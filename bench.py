@@ -1,0 +1,75 @@
+"""Benchmark harness (SURVEY §5.4): headline queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol mirrors BASELINE.md §2: warm session (startup excluded), one
+warm-up run per query, then median of 3 timed action-to-completion runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kompactor_spark.queries import all_queries  # noqa: E402
+from kompactor_spark.session import get_spark  # noqa: E402
+
+# Headline set — mirrors the BASELINE.md measured query list.
+HEADLINE = [
+    "a1_groupby_q1",        # Q-agg
+    "j9_star_join",         # Q-join3 (superset: 5-table star)
+    "w1_ranking",           # Q-window
+    "o2_topk",              # Q-topk
+    "a2_count_distinct",    # Q-distinct
+    "a4_rollup",            # Q-rollup
+    "u3_intersect",         # Q-setop
+    "j8_asof_join",         # asof temporal join
+]
+RUNS = 3
+
+
+def _time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()  # full action; avoids driver-side fetch of wide results
+    assert n >= 0
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("kompactor-spark-bench")
+    regs = all_queries()
+    names = [n for n in HEADLINE if n in regs]
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        fn = regs[name]
+        _time_query(spark, fn, sf_dir)  # warm-up (parquet footer cache, codegen)
+        per_query[name] = round(statistics.median(_time_query(spark, fn, sf_dir) for _ in range(RUNS)), 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""kompactor_spark — a PySpark-native analytics engine.
+
+A ground-up Spark-first re-expression of the capabilities of the
+reference compactor (metrico/kompactor, surveyed in SURVEY.md): a
+metadata-driven Parquet compaction pipeline PLUS the full declared
+relational / streaming / LLM-data-pipeline query surface (SURVEY §2.B).
+
+Everything here is public PySpark API: DataFrames over Parquet,
+Catalyst-optimized declarative plans, Structured Streaming, pandas UDFs
+only where built-ins cannot express the semantics.
+"""
+
+from kompactor_spark.session import get_spark
+from kompactor_spark.tables import TABLES, load_table
+
+__all__ = ["get_spark", "load_table", "TABLES"]
+__version__ = "0.1.0"

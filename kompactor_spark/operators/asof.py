@@ -1,0 +1,74 @@
+"""As-of join (SURVEY §2.B J8).
+
+For each left row, attach the latest right row with
+``right_ts <= left_ts`` (backward as-of, inclusive) sharing the join
+key — the semantics of DuckDB's ``ASOF LEFT JOIN`` oracle.
+
+Spark-first design: a range join (``l.ts >= r.ts``) explodes
+quadratically per key and forces a broadcast-nested-loop at scale.
+Instead: tag both sides, UNION, and take a running ``last(payload)``
+window per key ordered by (ts, side) — ONE shuffle on the key, linear
+work, arbitrarily many keys. This is the standard log-merge shape used
+by stream processors for temporal joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward inclusive as-of left join.
+
+    Output: all left columns + right's columns (minus the key). Right
+    columns are NULL when no prior-or-equal right row exists. Column
+    names of the two sides (besides ``on``) must be disjoint.
+    """
+    left_payload_cols = [c for c in left.columns if c != on]
+    right_payload_cols = [c for c in right.columns if c != on]
+    overlap = set(left_payload_cols) & set(right_payload_cols)
+    if overlap:
+        raise ValueError(f"asof_join requires disjoint non-key columns, overlap: {sorted(overlap)}")
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.struct(*[F.col(c) for c in left_payload_cols]).alias("_asof_left"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in right_payload_cols]).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("_asof_right"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left_payload_cols]).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("_asof_left"),
+        F.struct(*[F.col(c) for c in right_payload_cols]).alias("_asof_right"),
+    )
+
+    # side=0 (right) sorts before side=1 (left) at equal ts → inclusive match.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_asof_match", F.last("_asof_right", ignorenulls=True).over(w))
+        .where(F.col("_asof_side") == 1)
+    )
+
+    out_cols: list[Column] = [F.col(on)]
+    out_cols += [F.col(f"_asof_left.{c}").alias(c) for c in left_payload_cols]
+    out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
+    return matched.select(*out_cols)

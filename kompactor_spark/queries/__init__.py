@@ -1,0 +1,63 @@
+"""Declared query surface (SURVEY §2.B) — the duckdb-oracle contract.
+
+Every operator the engine claims is registered here twice:
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- (when SQL-expressible) the equivalent ANSI SQL string for the DuckDB
+  oracle, with IDENTICAL output column names and pinned types.
+
+Determinism discipline (SURVEY §2.B): total ORDER BY with unique
+tiebreaks; money sums via DECIMAL casts then presented as DOUBLE;
+other doubles rounded 6 dp; explicit NULLS FIRST/LAST; timestamps
+canonicalized as strings; events.ts compared as epoch-ns longs.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+_SUBMODULES = [
+    "kompactor_spark.queries.relational",
+    "kompactor_spark.queries.window_sort",
+    "kompactor_spark.queries.scalar_functions",
+    "kompactor_spark.queries.streaming_batch",
+    "kompactor_spark.queries.udf",
+    "kompactor_spark.queries.llm_pipeline",
+    "kompactor_spark.queries.compaction_queries",
+]
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load() -> None:
+    global _loaded
+    if not _loaded:
+        for mod in _SUBMODULES:
+            importlib.import_module(mod)
+        _loaded = True
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load()
+    return dict(_ORACLES)

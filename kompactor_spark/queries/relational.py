@@ -1,0 +1,693 @@
+"""Relational surface: sources, projection/filter, joins, aggregation,
+set ops (SURVEY §2.B rows S1-S4, P1-P2, J1-J9, A1-A7, U1-U3).
+
+Spark side is pure DataFrame API — Catalyst handles pushdown, pruning,
+join selection; broadcast hints are explicit where a dimension table is
+known-small (J6). Oracle SQL follows the determinism discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kompactor_spark.operators.asof import asof_join
+from kompactor_spark.queries import register
+from kompactor_spark.tables import loader
+
+
+def dec(col, scale: int = 2, prec: int = 18) -> F.Column:
+    """Money/measure discipline: exact decimal before any SUM."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------
+# S1 — multi-file Parquet scan with projection + filter pushdown
+# (reference R1, kompactor.ts:107 read_parquet([...]))
+# --------------------------------------------------------------------------
+@register(
+    "s1_parquet_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 45.0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def s1_parquet_scan(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# P1 — projection: rename + computed columns (decimal-exact revenue)
+# --------------------------------------------------------------------------
+@register(
+    "p1_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue,
+           l_returnflag AS flag
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def p1_projection(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .where(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# P2 — filter predicates: IN / BETWEEN / LIKE / IS NULL / boolean combos
+# --------------------------------------------------------------------------
+@register(
+    "p2_filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F','O')
+      AND o_totalprice BETWEEN 50000.0 AND 200000.0
+      AND o_orderpriority LIKE '%URGENT%'
+      AND NULLIF(o_orderstatus, 'P') IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def p2_filter_predicates(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .where(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_totalprice").between(50000.0, 200000.0)
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.nullif(F.col("o_orderstatus"), F.lit("P")).isNotNull()
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — inner equi-join (shuffle hash/sort-merge chosen by Catalyst)
+# --------------------------------------------------------------------------
+@register(
+    "j1_inner_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    WHERE o.o_totalprice > 250000.0
+    ORDER BY c.c_custkey, o.o_orderkey
+    """,
+)
+def j1_inner_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c, o = T("customer"), T("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .where(F.col("o_totalprice") > 250000.0)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J2 — left outer join (customers with zero orders kept, NULL-filled)
+# --------------------------------------------------------------------------
+@register(
+    "j2_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def j2_left_outer_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c, o = T("customer"), T("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J2b — full outer join over disjoint-ish keysets
+# --------------------------------------------------------------------------
+@register(
+    "j2_full_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nk,
+           COALESCE(cn.n_cust, 0) AS n_cust,
+           COALESCE(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    ORDER BY nk
+    """,
+)
+def j2_full_outer_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    cn = (
+        T("customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").cast("bigint").alias("n_cust"))
+    )
+    sn = (
+        T("supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").cast("bigint").alias("n_supp"))
+    )
+    return (
+        cn.join(sn, "nk", "full")
+        .select(
+            F.col("nk"),
+            F.coalesce("n_cust", F.lit(0).cast("bigint")).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0).cast("bigint")).alias("n_supp"),
+        )
+        .orderBy("nk")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — left semi join (EXISTS)
+# --------------------------------------------------------------------------
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """,
+)
+def j3_semi_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("customer")
+    o = T("orders").where(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — left anti join (NOT EXISTS)
+# --------------------------------------------------------------------------
+@register(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def j4_anti_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c, o = T("customer"), T("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — cross join (small dims only — never on fact tables at scale)
+# --------------------------------------------------------------------------
+@register(
+    "j5_cross_join",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def j5_cross_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("region")
+        .crossJoin(T("nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J6 — broadcast equi-join: dims broadcast, fact streams (plan asserted in
+# tests: BroadcastHashJoin, no shuffle of the fact side)
+# --------------------------------------------------------------------------
+@register(
+    "j6_broadcast_join",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def j6_broadcast_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c, n = T("customer"), T("nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J7 — theta / range join (non-equi): nation self-join within region
+# --------------------------------------------------------------------------
+@register(
+    "j7_theta_join",
+    oracle="""
+    SELECT n1.n_name AS name_a, n2.n_name AS name_b, n1.n_regionkey AS rk
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    ORDER BY rk, name_a, name_b
+    """,
+)
+def j7_theta_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    n1 = T("nation").alias("n1")
+    n2 = T("nation").alias("n2")
+    return (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_name").alias("name_a"),
+            F.col("n2.n_name").alias("name_b"),
+            F.col("n1.n_regionkey").alias("rk"),
+        )
+        .orderBy("rk", "name_a", "name_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# J8 — as-of join: for each error event, the latest prior-or-equal signup
+# of the same user. Spark-first: union + window (single shuffle by user),
+# NOT a range join (quadratic blow-up at scale) — see operators/asof.py.
+# --------------------------------------------------------------------------
+@register(
+    "j8_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS err_ts, epoch_ns(s.ts) AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    ORDER BY e.event_id
+    """,
+)
+def j8_asof_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    # DuckDB truncates Parquet ns-timestamps to µs at read; present ns longs
+    # truncated to µs so both engines hash the same values (SURVEY §5.2).
+    us = lambda c: (F.col(c) - F.col(c) % 1000).alias(c)  # int64-exact µs floor  # noqa: E731
+    ev = T("events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", F.col("ts").alias("err_ts"))
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("signup_ts"))
+    return (
+        asof_join(errors, signups, on="user_id", left_ts="err_ts", right_ts="signup_ts")
+        .select("event_id", "user_id", us("err_ts"), us("signup_ts"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# J9 — multi-way star join + aggregation (the flagship query).
+# region/nation broadcast; customer⋈orders⋈lineitem shuffle on keys.
+# --------------------------------------------------------------------------
+@register(
+    "j9_star_join",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def j9_star_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    r, n, c, o, l = T("region"), T("nation"), T("customer"), T("orders"), T("lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(revenue).cast("double").alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1 — hash aggregate, TPC-H Q1 shape (partial+final agg is automatic;
+# plan asserted in tests: HashAggregate x2, decimal-exact sums)
+# --------------------------------------------------------------------------
+@register(
+    "a1_groupby_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a1_groupby_q1(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    cnt = F.count("*")
+    return (
+        T("lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt.cast("double")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt.cast("double")).alias("avg_disc"),
+            cnt.cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — exact COUNT(DISTINCT), multi-distinct in one aggregate
+# --------------------------------------------------------------------------
+@register(
+    "a2_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a2_count_distinct(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("nd_parts"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("nd_supps"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — approx_count_distinct (HLL). Sketches differ across engines, so no
+# hash oracle (SURVEY A3: T-check); the tolerance test lives in tests/.
+# --------------------------------------------------------------------------
+@register("a3_approx_count_distinct")
+def a3_approx_count_distinct(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).cast("bigint").alias("approx_nd_parts"),
+            F.countDistinct("l_partkey").cast("bigint").alias("exact_nd_parts"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — ROLLUP with grouping markers (per-column GROUPING() flags — bit
+# layouts of grouping_id differ across engines, individual flags don't)
+# --------------------------------------------------------------------------
+@register(
+    "a4_rollup",
+    oracle="""
+    SELECT n.n_name, o.o_orderstatus,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS g_name,
+           CAST(GROUPING(o.o_orderstatus) AS INTEGER) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderstatus)
+    ORDER BY g_name, g_status, n.n_name NULLS FIRST, o.o_orderstatus NULLS FIRST
+    """,
+)
+def a4_rollup(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    o, c, n = T("orders"), T("customer"), T("nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_name"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .orderBy(
+            "g_name",
+            "g_status",
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A4b — CUBE
+# --------------------------------------------------------------------------
+@register(
+    "a4_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a4_cube(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — HAVING (post-aggregation filter)
+# --------------------------------------------------------------------------
+@register(
+    "a5_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+)
+def a5_having(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+        .where(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — ordered list aggregation
+# --------------------------------------------------------------------------
+@register(
+    "a7_list_agg",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_quantity)) AS quantities,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def a7_list_agg(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .where(F.col("l_orderkey") <= 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_quantity")).alias("quantities"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# U1/U2/U3 — set operations
+# --------------------------------------------------------------------------
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT nk, kind FROM (
+      SELECT c_nationkey AS nk, 'cust' AS kind FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk, 'supp' AS kind FROM supplier
+    ) ORDER BY nk, kind
+    """,
+)
+def u1_union_all(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("customer").select(F.col("c_nationkey").alias("nk"), F.lit("cust").alias("kind"))
+    s = T("supplier").select(F.col("s_nationkey").alias("nk"), F.lit("supp").alias("kind"))
+    return c.unionAll(s).orderBy("nk", "kind")
+
+
+@register(
+    "u2_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+)
+def u2_union_distinct(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("customer").select(F.col("c_nationkey").alias("nk"))
+    s = T("supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct().orderBy("nk")
+
+
+@register(
+    "u3_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+)
+def u3_intersect(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("customer").select(F.col("c_nationkey").alias("nk"))
+    s = T("supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@register(
+    "u3_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+)
+def u3_except(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("customer").select(F.col("c_nationkey").alias("nk"))
+    s = T("supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s).orderBy("nk")  # subtract == EXCEPT (distinct semantics)

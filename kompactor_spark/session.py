@@ -1,0 +1,68 @@
+"""SparkSession factory with engine defaults.
+
+Defaults chosen for scale (SURVEY §4.2, §7):
+- AQE on (runtime re-planning, skew-join handling, coalesce shuffle
+  partitions) — at 100 TB the static plan is never the right plan.
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the data model keeps
+  time as int64 epoch-nanoseconds end-to-end (reference semantics,
+  kompactor.ts:107 `ORDER BY time` over ns longs); Spark 4.x otherwise
+  rejects Parquet TIMESTAMP(NANOS).
+- zstd Parquet writes (reference sink option, kompactor.ts:109).
+- Arrow-accelerated Python interop for the pandas-UDF surface.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level (dynamic) confs that must also be applied when we are handed
+# a foreign SparkSession (e.g. the verification driver's) — see ensure_conf().
+DYNAMIC_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "*")
+
+
+def get_spark(app_name: str = "kompactor-spark", shuffle_partitions: int = 32) -> SparkSession:
+    """Build (or get) the engine SparkSession.
+
+    local[N] here; on a real cluster the same confs apply — only
+    master/executor sizing changes.
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{default_parallelism()}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in DYNAMIC_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_conf(spark)
+    return spark
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's dynamic confs to an existing session.
+
+    The correctness driver constructs its own SparkSession; queries that
+    read ns-timestamp Parquet (events.ts) require nanosAsLong at read
+    time. All confs in DYNAMIC_CONF are runtime-settable SQL confs.
+    """
+    for k, v in DYNAMIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this build — best effort
+            pass
+    return spark

@@ -1,0 +1,171 @@
+"""Deduplication operators (SURVEY §2.B L1-L2 + driver mandate):
+exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale notes (100 TB discipline):
+- exact: one hash-shuffle on the text key (map-side partial agg free).
+- n-gram Jaccard: NEVER all-pairs at scale — candidate pairs come from
+  an inverted shingle index (explode → self-join on shingle), which is
+  the standard bounded-blowup shape; a band-limit caps hot shingles.
+- MinHash-LSH: pyspark.ml MinHashLSH, seeded; banding via
+  approxSimilarityJoin.
+- SimHash: 64-bit md5-derived per-token hashes, per-bit majority vote
+  aggregated JVM-side (no Python UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kompactor_spark.operators.text import md5_hash60, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical doc per exact text: min id wins (SURVEY L1)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
+
+
+def shingles(col, n: int = 3) -> F.Column:
+    """Distinct n-gram token shingles ('tok1 tok2 tok3' strings)."""
+    ts = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(ts) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(ts, i + k + 1) for k in range(n)])),
+        ).otherwise(F.array(F.concat_ws(" ", ts)))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs via inverted-index blocking.
+
+    explode(shingles) → drop shingles hotter than max_shingle_freq
+    (stopword-shingle skew guard) → self-join on shingle → count shared
+    shingles per pair → exact Jaccard from |A|,|B|,|A∩B|. Only pairs
+    sharing ≥1 (rare) shingle are ever materialized.
+    """
+    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
+    inv = docs.select("id", F.explode("sh").alias("shingle"))
+    hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash-LSH (pyspark.ml), seeded.
+
+    Shingle → sparse binary vector (HashingTF) → MinHashLSH →
+    approxSimilarityJoin at distance 1-τ. Randomized (seeded): tested
+    by recall bound against exact Jaccard, never hash-checked.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
+    feats = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(
+            F.col("datasetA.id").alias("id_a"),
+            F.col("datasetB.id").alias("id_b"),
+            (F.lit(1.0) - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, md5-derived, fully JVM-side.
+
+    Per-bit majority over token hashes computed with one explode +
+    grouped SUMs of bit contributions (+1/-1), then bit reassembly.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+    h = tok.select("id", md5_hash60(F.col("t")).alias("h"))
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(min(bits, 60))
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for b in range(min(bits, 60)):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint") * (1 << b)).otherwise(0)
+    return votes.select(F.col("id").alias(id_col), sig.alias("simhash"))
+
+
+def hamming64(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("bigint")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force, JVM expressions).
+
+    All-pairs is the correctness baseline; the scale path buckets by an
+    LSH sign-signature first (see simsearch.lsh_partition_topk).
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nrm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

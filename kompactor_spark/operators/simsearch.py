@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns (SURVEY §2.B L3 + driver
+mandate: ANN over array<float>).
+
+- brute_force_topk: exact cosine top-k, pure JVM expressions
+  (zip_with + aggregate fold → whole-stage codegen), TakeOrderedAndProject
+  for the top-k — no Python, no collect.
+- lsh_topk: random-hyperplane LSH variant — deterministic seeded
+  hyperplanes, sign-bit signature bucketing, multi-probe on Hamming-
+  adjacent buckets. The scale path: at 100 TB the signature is a
+  partition key; only candidate buckets are scanned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(v) -> F.Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embedding") -> DataFrame:
+    """Adds a `cosine` column vs a constant query vector (broadcast as a
+    literal array — no join, no shuffle)."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(sum(x * x for x in q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    v = F.col(vec_col).cast("array<double>")
+    return df.withColumn("cosine", _dot(v, qlit) / (_norm(v) * F.lit(qn)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k with deterministic tie-break on id."""
+    return (
+        cosine_to_query(df, query_vec, vec_col)
+        .select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def signature_col(vec_col, planes: np.ndarray) -> F.Column:
+    """Sign-bit LSH signature: bit i = (v · plane_i) >= 0."""
+    v = F.col(vec_col).cast("array<double>") if isinstance(vec_col, str) else vec_col
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        sig = sig + F.when(_dot(v, plane_lit) >= 0, F.lit(1 << i).cast("bigint")).otherwise(0)
+    return sig
+
+
+def make_planes(dim: int, n_bits: int = 8, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    hamming_probe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: scan only buckets whose signature is
+    within `hamming_probe` bits of the query's signature.
+
+    At scale the signature is precomputed and the table is partitioned/
+    bucketed by it, so the probe is a partition-pruned scan; here the
+    signature is computed inline (same plan shape, no stored index).
+    """
+    planes = make_planes(len(query_vec), n_bits, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0)
+
+    with_sig = df.withColumn("_sig", signature_col(vec_col, planes))
+    probe = F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= hamming_probe
+    return (
+        cosine_to_query(with_sig.where(probe), query_vec, vec_col)
+        .select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

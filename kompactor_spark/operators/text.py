@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.B L4
++ driver mandate: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is JVM-side built-in expressions (whole-stage codegen,
+no Python in the hot path) and deterministic cross-engine: hashes
+derive from md5 (identical in Spark and DuckDB), never from engine
+hash functions like xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer (documents.text is space-separated tokens) and a
+# BPE-ish fallback splitting on word boundaries for raw text.
+TOKEN_SPLIT_RE = r"\s+"
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deterministic, SQL-expressible.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "y", "los"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT_RE)
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Regex token segmentation approximating a BPE pre-tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, rf"(?<=({BPE_ISH_RE}))\s*"), lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def md5_hash60(col: Column) -> Column:
+    """Deterministic 60-bit token hash: first 15 hex chars of md5.
+
+    Chosen over xxhash64/murmur because md5 is bit-identical in every
+    engine (the DuckDB oracle reproduces it exactly).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint (rolling-hash style).
+
+    XOR-fold of per-token 60-bit hashes salted with the token position:
+    reordering tokens changes the fingerprint; multiset-equal docs with
+    equal order collide. Distributed-safe: pure per-row expression.
+    """
+    ts = tokens(col)
+    salted = F.transform(ts, lambda t, i: md5_hash60(F.concat(t, F.lit("#"), i.cast("string"))))
+    return F.aggregate(salted, F.lit(0).cast("bigint"), lambda acc, h: acc.bitwiseXOR(h))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: lengths, token stats, stopword ratio,
+    alpha ratio. Adds columns; keeps input columns."""
+    ts = tokens(text_col)
+    n_tok = F.size(ts)
+    c = F.col(text_col)
+    en_hits = F.size(F.filter(ts, lambda t: t.isin(LANG_MARKERS["en"])))
+    return df.select(
+        "*",
+        F.length(c).cast("bigint").alias("q_n_chars"),
+        n_tok.cast("bigint").alias("q_n_tokens"),
+        F.size(F.array_distinct(ts)).cast("bigint").alias("q_n_distinct_tokens"),
+        (F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")).cast("double") / F.length(c).cast("double")).alias(
+            "q_alpha_ratio"
+        ),
+        (en_hits.cast("double") / n_tok.cast("double")).alias("q_en_stopword_ratio"),
+        ((F.length(c).cast("double") - n_tok.cast("double") + 1.0) / n_tok.cast("double")).alias(
+            "q_avg_token_len"
+        ),
+    )
+
+
+def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language-ID heuristic: per-language hit counts and
+    an argmax guess with deterministic tie-break on language code.
+
+    (The synthetic corpus shares one vocabulary across lang labels, so
+    accuracy on testdata is not meaningful — the operator contract is
+    the deterministic scoring pipeline itself.)
+    """
+    ts = tokens(text_col)
+
+    def marker_filter(markers):
+        # NB: must return a single-arg lambda — pyspark passes the array
+        # index to a second parameter (including defaulted ones).
+        return lambda t: t.isin(markers)
+
+    score_cols = [
+        F.size(F.filter(ts, marker_filter(markers))).cast("bigint").alias(f"lang_score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("*", *score_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"lang_score_{lang}")).alias("neg_score"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # argmax with deterministic tie-break: sort (-score, lang) ascending
+    best = F.sort_array(pairs)[0]
+    return scored.withColumn("lang_guess", F.when(best["neg_score"] < 0, best["lang"]).otherwise(F.lit("und")))

@@ -23,6 +23,7 @@ _ORACLES: dict[str, str] = {}
 
 _SUBMODULES = [
     "kompactor_spark.queries.relational",
+    "kompactor_spark.queries.sources_sinks",
     "kompactor_spark.queries.window_sort",
     "kompactor_spark.queries.scalar_functions",
     "kompactor_spark.queries.streaming_batch",

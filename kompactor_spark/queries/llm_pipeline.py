@@ -1,1 +1,340 @@
-"""Placeholder — populated incrementally."""
+"""LLM training-data pipeline queries (SURVEY §2.B L1-L5 + driver
+mandate: dedup, similarity search, multimodal, text analysis).
+
+Hash-checked where deterministic; MinHash/SimHash/LSH variants are
+seeded-randomized or engine-hash-based and registered rows-only with
+property tests in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kompactor_spark.operators import dedup as D
+from kompactor_spark.operators import simsearch as S
+from kompactor_spark.operators import text as X
+from kompactor_spark.queries import register
+from kompactor_spark.tables import loader
+
+# Shared DuckDB fragment: distinct 3-gram shingles per doc.
+_SH_SQL = """
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(ts) >= 3
+               THEN list_transform(generate_series(1, len(ts)-2),
+                                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               ELSE [array_to_string(ts, ' ')] END) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# L1 — exact dedup: canonical doc per text (min doc_id), copy count
+# --------------------------------------------------------------------------
+@register(
+    "l1_exact_dedup",
+    oracle="""
+    SELECT text, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY text
+    ORDER BY canonical_id
+    """,
+)
+def l1_exact_dedup(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return D.exact_dedup(T("documents")).orderBy("canonical_id")
+
+
+# --------------------------------------------------------------------------
+# L2 — exact shingle-Jaccard near-dup pairs (inverted-index blocked in
+# Spark; all-pairs in the oracle — same integer counts, same doubles)
+# --------------------------------------------------------------------------
+@register(
+    "l2_jaccard_pairs",
+    oracle=f"""
+    WITH d AS ({_SH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_jaccard_pairs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.jaccard_pairs(T("documents"), threshold=0.12)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2b — MinHash-LSH near-dup (seeded-randomized → rows-only check;
+# recall bound vs exact Jaccard asserted in tests)
+# --------------------------------------------------------------------------
+@register("l2_minhash_lsh")
+def l2_minhash_lsh(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.minhash_lsh_pairs(T("documents"), jaccard_threshold=0.12)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2c — SimHash signatures + near-dup pairs by Hamming distance
+# --------------------------------------------------------------------------
+@register("l2_simhash_pairs")
+def l2_simhash_pairs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    sig = D.simhash(T("documents"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L2d — embedding-cosine near-dup pairs
+# --------------------------------------------------------------------------
+@register(
+    "l2_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_embedding_neardup(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.embedding_neardup_pairs(T("embeddings"), threshold=0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L3 — cosine top-k vs a query vector (vec_id=0), exact brute force
+# --------------------------------------------------------------------------
+@register(
+    "l3_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def l3_cosine_topk(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    emb = T("embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return (
+        S.brute_force_topk(emb.where(F.col("vec_id") != 0), qvec, k=10)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L3b — LSH-bucketed approximate top-k (scale path; recall vs brute
+# force asserted in tests)
+# --------------------------------------------------------------------------
+@register("l3_lsh_topk")
+def l3_lsh_topk(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    emb = T("embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return (
+        S.lsh_topk(emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=8, hamming_probe=2)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L4 — token frequency top-20 (tokenize → explode → count)
+# --------------------------------------------------------------------------
+@register(
+    "l4_token_freq",
+    oracle="""
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+)
+def l4_token_freq(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("documents")
+        .select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# L4b — per-doc quality features (length / alpha ratio / stopword ratio)
+# --------------------------------------------------------------------------
+@register(
+    "l4_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS q_n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS q_n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS q_n_distinct_tokens,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS q_alpha_ratio,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('the','a','of','and'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS q_en_stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def l4_doc_stats(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    q = X.quality_features(T("documents"))
+    return q.select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_n_distinct_tokens",
+        F.round("q_alpha_ratio", 6).alias("q_alpha_ratio"),
+        F.round("q_en_stopword_ratio", 6).alias("q_en_stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L4c — language-ID heuristic (marker scores + deterministic argmax)
+# --------------------------------------------------------------------------
+@register(
+    "l4_lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS BIGINT) AS lang_score_de,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and')))  AS BIGINT) AS lang_score_en,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','y','los')))   AS BIGINT) AS lang_score_es,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les')))  AS BIGINT) AS lang_score_fr
+      FROM documents)
+    SELECT doc_id, lang, lang_score_de, lang_score_en, lang_score_es, lang_score_fr,
+           CASE WHEN greatest(lang_score_de, lang_score_en, lang_score_es, lang_score_fr) = 0 THEN 'und'
+                WHEN lang_score_de = greatest(lang_score_de, lang_score_en, lang_score_es, lang_score_fr) THEN 'de'
+                WHEN lang_score_en = greatest(lang_score_de, lang_score_en, lang_score_es, lang_score_fr) THEN 'en'
+                WHEN lang_score_es = greatest(lang_score_de, lang_score_en, lang_score_es, lang_score_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def l4_lang_id(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        X.lang_id_scores(T("documents"))
+        .select(
+            "doc_id",
+            "lang",
+            "lang_score_de",
+            "lang_score_en",
+            "lang_score_es",
+            "lang_score_fr",
+            "lang_guess",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4d — order-sensitive document fingerprint (rolling-hash style,
+# md5-based → bit-identical in the oracle)
+# --------------------------------------------------------------------------
+@register(
+    "l4_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           bit_xor(CAST(('0x' || substr(md5(t || '#' || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)) AS fingerprint
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS t,
+                 unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+          FROM documents)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def l4_fingerprint(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("documents")
+        .select("doc_id", X.doc_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L5 — multimodal columns: vector column Parquet round-trip with filter
+# and projection intact
+# --------------------------------------------------------------------------
+@register(
+    "l5_multimodal_roundtrip",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4), x -> round(x, 6)) AS head4
+    FROM embeddings
+    WHERE label % 2 = 0
+    ORDER BY vec_id
+    """,
+)
+def l5_multimodal_roundtrip(spark, sf_dir):
+    from kompactor_spark.sources import scratch_path
+
+    T = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = scratch_path("l5_embeddings_" + tag)
+    T("embeddings").where(F.col("label") % 2 == 0).write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.transform(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 4), lambda x: F.round(x, 6)
+        ).alias("head4"),
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# L5b — multimodal feature extraction: binary payload → mapInPandas
+# Arrow-batched kernel (deterministic fake decode; rows-only check)
+# --------------------------------------------------------------------------
+@register("l5_media_features")
+def l5_media_features(spark, sf_dir):
+    from kompactor_spark.operators.multimodal import extract_features, synthesize_media
+
+    T = loader(sf_dir, spark)
+    media = synthesize_media(T("embeddings").select("vec_id"), "vec_id", kind="image")
+    return (
+        extract_features(media)
+        .select("media_id", "kind", "n_bytes", F.transform("feature", lambda x: F.round(x, 4)).alias("feature"))
+        .orderBy("media_id")
+    )

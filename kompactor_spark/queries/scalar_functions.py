@@ -1,1 +1,368 @@
-"""Placeholder — populated incrementally."""
+"""Scalar function surface (SURVEY §2.B F1-F8).
+
+Cross-engine type pinning: Spark ceil/floor return BIGINT while DuckDB
+returns DOUBLE → explicit casts both sides; libm-backed functions
+(pow/ln/log10) rounded to 6 dp; Spark posexplode is 0-based while
+DuckDB ordinality is 1-based → aligned explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kompactor_spark.queries import register
+from kompactor_spark.tables import loader
+
+
+# --------------------------------------------------------------------------
+# F1 — string functions
+# --------------------------------------------------------------------------
+@register(
+    "f1_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                          AS brand_u,
+           lower(p_type)                           AS type_l,
+           CAST(length(p_name) AS BIGINT)          AS name_len,
+           substr(p_name, 1, 8)                    AS name_pfx,
+           concat(p_brand, ':', p_type)            AS brand_type,
+           trim('  ' || p_brand || ' ')            AS brand_trim,
+           replace(p_type, ' ', '_')               AS type_us,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')   AS size_pad,
+           CAST(p_name LIKE '%ol%' AS BOOLEAN)     AS has_ol,
+           split_part(p_type, ' ', 1)              AS type_head,
+           regexp_extract(p_name, '([a-z]+)', 1)   AS first_word,
+           CAST(starts_with(p_brand, 'Brand#1') AS BOOLEAN) AS b1
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def f1_string_funcs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("part")
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lower("p_type").alias("type_l"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.substring("p_name", 1, 8).alias("name_pfx"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+            F.col("p_name").like("%ol%").alias("has_ol"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+            F.regexp_extract(F.col("p_name"), "([a-z]+)", 1).alias("first_word"),
+            F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("b1"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F2 — date/time functions (timestamp[ms] table columns + ns-long events)
+# --------------------------------------------------------------------------
+@register(
+    "f2_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate)  AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate)   AS BIGINT) AS d,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def f2_date_funcs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").alias("month_start"),
+            F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("plus30"),
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("days_to_98"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("od_str"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F2b — ns-long ↔ timestamp conversion on events (engine ns-time policy)
+# --------------------------------------------------------------------------
+@register(
+    "f2_ns_time",
+    oracle="""
+    SELECT event_id,
+           epoch_ns(ts) AS ts_ns,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def f2_ns_time(spark, sf_dir):
+    from kompactor_spark.timeutil import NS_PER_HOUR, ns_bucket, ns_to_timestamp
+
+    T = loader(sf_dir, spark)
+    ts = F.col("ts")
+    return (
+        T("events")
+        .select(
+            "event_id",
+            (ts - ts % 1000).alias("ts_ns"),  # µs floor: DuckDB reads ns parquet as µs
+            F.date_format(ns_to_timestamp(ns_bucket(ts, NS_PER_HOUR)), "yyyy-MM-dd HH:mm:ss").alias("hour_str"),
+            F.hour(ns_to_timestamp(ts)).cast("bigint").alias("hour_of_day"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F3 — math functions
+# --------------------------------------------------------------------------
+@register(
+    "f3_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                          AS price_r1,
+           round(abs(l_discount - 0.05), 6)                   AS disc_dev,
+           CAST(ceil(l_quantity)  AS BIGINT)                  AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)                  AS qty_floor,
+           CAST(l_partkey % 7 AS BIGINT)                      AS pk_mod7,
+           round(pow(l_quantity, 2.0), 6)                     AS qty_sq,
+           round(sqrt(l_extendedprice), 6)                    AS price_sqrt,
+           round(ln(l_extendedprice), 6)                      AS price_ln,
+           round(log10(l_extendedprice), 6)                   AS price_log10,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)            AS disc_sign,
+           greatest(l_quantity, 25.0)                         AS qty_hi,
+           least(l_quantity, 25.0)                            AS qty_lo
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f3_math_funcs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .where(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("price_r1"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+            F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+            F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+            (F.col("l_partkey") % 7).cast("bigint").alias("pk_mod7"),
+            F.round(F.pow("l_quantity", F.lit(2.0)), 6).alias("qty_sq"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+            F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+            F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+            F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_hi"),
+            F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_lo"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# F4 — conditional expressions
+# --------------------------------------------------------------------------
+@register(
+    "f4_conditionals",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END                        AS bal_tier,
+           coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT) AS is_positive,
+           if(c_nationkey % 2 = 0, 'even', 'odd')      AS nk_parity
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def f4_conditionals(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("customer")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("bal_tier"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+            F.when(F.col("c_acctbal") >= 0, 1).otherwise(0).cast("bigint").alias("is_positive"),
+            F.when(F.col("c_nationkey") % 2 == 0, "even").otherwise("odd").alias("nk_parity"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F5 — array functions on the embedding vector column
+# --------------------------------------------------------------------------
+@register(
+    "f5_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
+                          x -> round(x, 6)) AS head4,
+           round(list_sort(CAST(embedding AS DOUBLE[]))[1], 6) AS min_val
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def f5_array_funcs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    emb_d = F.col("embedding").cast("array<double>")
+    return (
+        T("embeddings")
+        .select(
+            "vec_id",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+            F.transform(F.slice(emb_d, 1, 4), lambda x: F.round(x, 6)).alias("head4"),
+            F.round(F.element_at(F.sort_array(emb_d), 1), 6).alias("min_val"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F5b — explode / posexplode (zipped parallel unnest on the oracle side;
+# Spark pos is 0-based, ordinality is 1-based → aligned to 1-based)
+# --------------------------------------------------------------------------
+@register(
+    "f5_posexplode",
+    oracle="""
+    SELECT vec_id,
+           unnest(generate_series(1, 3)) AS pos,
+           unnest(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 3),
+                                 x -> round(x, 6))) AS val
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id, pos
+    """,
+)
+def f5_posexplode(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    head3 = F.transform(F.slice(F.col("embedding").cast("array<double>"), 1, 3), lambda x: F.round(x, 6))
+    return (
+        T("embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", F.posexplode(head3).alias("pos0", "val"))
+        .select("vec_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "val")
+        .orderBy("vec_id", "pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6 — map construct + lookup (scalars out: map hash layouts differ)
+# --------------------------------------------------------------------------
+@register(
+    "f6_map_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           (map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})['name'][1]   AS m_name,
+           (map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})['region'][1] AS m_region,
+           CAST(cardinality(map {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS BIGINT) AS m_size
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def f6_map_funcs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    return (
+        T("nation")
+        .select(
+            "n_nationkey",
+            F.element_at(m, "name").alias("m_name"),
+            F.element_at(m, "region").alias("m_region"),
+            F.size(m).cast("bigint").alias("m_size"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# F7 — JSON extraction from the events.props string column
+# --------------------------------------------------------------------------
+@register(
+    "f7_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def f7_json_extract(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+            F.get_json_object("props", "$.missing").alias("missing_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# F8 — casts across the numeric/string/date lattice
+# --------------------------------------------------------------------------
+@register(
+    "f8_casts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                         AS key_str,
+           CAST(o_orderkey AS DOUBLE)                          AS key_dbl,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,0)) AS BIGINT)  AS price_whole,
+           CAST(CAST('1995-03-15' AS DATE) AS VARCHAR)         AS lit_date,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)          AS od_date_str
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+def f8_casts(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .where(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.col("o_orderkey").cast("double").alias("key_dbl"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec_str"),
+            F.col("o_totalprice").cast("decimal(18,0)").cast("bigint").alias("price_whole"),
+            F.lit("1995-03-15").cast("date").cast("string").alias("lit_date"),
+            F.col("o_orderdate").cast("date").cast("string").alias("od_date_str"),
+        )
+        .orderBy("o_orderkey")
+    )

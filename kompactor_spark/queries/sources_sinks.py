@@ -1,0 +1,146 @@
+"""Source/sink query surface (SURVEY §2.B S2-S5).
+
+Round-trip queries: write a derived layout into the repo-local scratch
+area, read it back through the engine, and prove content equivalence
+against the oracle running on the original table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kompactor_spark.queries import register
+from kompactor_spark.sources import scratch_path
+from kompactor_spark.tables import loader
+
+
+def _us(col: str) -> F.Column:
+    """ns → µs floor (int64-exact) for DuckDB comparability."""
+    return (F.col(col) - F.col(col) % 1000).alias(col)
+
+
+# --------------------------------------------------------------------------
+# S2 — partition-pruned scan over a Hive-style layout. The write is the
+# reference's db/table/date/hour path scheme re-expressed as col=value
+# partitions; the read's partition filter prunes at the scan (asserted
+# in tests via the physical plan's PartitionFilters).
+# --------------------------------------------------------------------------
+@register(
+    "s2_partition_pruned_scan",
+    oracle="""
+    SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def s2_partition_pruned_scan(spark, sf_dir):
+    T_ = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = scratch_path("s2_events_by_type_" + tag)
+    (
+        T_("events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value", (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# S3 — JSON source: typed parse of the events.props JSON strings via
+# from_json with an explicit schema (vs F7's path extraction).
+# --------------------------------------------------------------------------
+@register(
+    "s3_json_typed_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def s3_json_typed_parse(spark, sf_dir):
+    T_ = loader(sf_dir, spark)
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        T_("events")
+        .select(
+            "event_id",
+            parsed.getField("k").alias("k"),
+            parsed.isNotNull().alias("is_valid"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# S4 — CSV interchange: write a projection as headered CSV, read it back
+# with an explicit schema (no inference — 100 TB discipline), compare to
+# the original table.
+# --------------------------------------------------------------------------
+@register(
+    "s4_csv_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def s4_csv_roundtrip(spark, sf_dir):
+    T_ = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = scratch_path("s4_lineitem_csv_" + tag)
+    (
+        T_("lineitem")
+        .where(F.col("l_orderkey") <= 2000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(path).orderBy("l_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# S5 — the reference's data plane as a query: sorted single-file zstd
+# Parquet sink + read-back (R1-R4, kompactor.ts:107-111). Sortedness and
+# file-count invariants are asserted in tests; content here.
+# --------------------------------------------------------------------------
+@register(
+    "s5_sorted_sink_roundtrip",
+    oracle="""
+    SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def s5_sorted_sink_roundtrip(spark, sf_dir):
+    from kompactor_spark.sources import write_sorted_single_file
+
+    T_ = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = scratch_path("s5_events_sorted_" + tag)
+    write_sorted_single_file(T_("events"), path, sort_col="ts")
+    return (
+        spark.read.parquet(path)
+        .select("event_id", (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"), "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -1,0 +1,206 @@
+"""Compaction golden + property tests (SURVEY §5.3, FIXTURES.md §2).
+
+Invariants on every scenario: P1 idempotence, P2 row conservation per
+(db, table), P3 per-file time-sortedness + footer/metadata agreement,
+P4 catalog↔disk integrity, P5 grouping isolation.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+
+from kompactor_spark.compaction import CompactionJob
+from kompactor_spark.compaction.metadata import read_snapshot
+
+from tests import fixtures_compaction as FX
+
+
+def run_job(spark, root, **kw):
+    job = CompactionJob(spark, root, [FX.HOST], **kw)
+    return job.run()[0]
+
+
+def catalog_files(root):
+    out = []
+    for sp in sorted(glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.info.json"))):
+        snap = read_snapshot(sp)
+        for db_id, table_id, f in snap.all_files():
+            out.append((sp, db_id, table_id, f))
+    return out
+
+
+def disk_parquets(root):
+    return {
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, FX.HOST, "dbs", "**", "*.parquet"), recursive=True)
+    }
+
+
+def assert_invariants(root):
+    """P3 + P4 over the current layout."""
+    entries = catalog_files(root)
+    on_disk = disk_parquets(root)
+    cataloged = {f.path for _, _, _, f in entries}
+    # P4: every catalog path exists; no orphan data files
+    assert cataloged <= on_disk, f"dangling catalog entries: {cataloged - on_disk}"
+    assert on_disk <= cataloged, f"orphaned files: {on_disk - cataloged}"
+    # P3: each file time-sorted; footer min/max == metadata min/max
+    for _, _, _, f in entries:
+        t = pq.read_table(os.path.join(root, f.path), columns=["time"]).column("time").to_pylist()
+        assert t == sorted(t), f"not time-sorted: {f.path}"
+        if t:
+            assert (min(t), max(t)) == (f.min_time, f.max_time), f"stat mismatch: {f.path}"
+            assert len(t) == f.row_count
+
+
+def rows_by_table(root):
+    """P2 helper: multiset of rows per (db, table) via DuckDB."""
+    con = duckdb.connect()
+    out = {}
+    for p in sorted(disk_parquets(root)):
+        parts = p.split("/")
+        key = (parts[2], parts[3])
+        rows = con.execute(f"SELECT * FROM read_parquet('{os.path.join(root, p)}') ORDER BY time, f_int, f_str").fetchall()
+        out.setdefault(key, []).append(rows)
+    con.close()
+    return {k: sorted(sum(v, [])) for k, v in out.items()}
+
+
+SCENARIOS = {
+    "basic_hour": FX.basic_hour,
+    "multi_hour": FX.multi_hour,
+    "multi_table": FX.multi_table,
+    "recompact": FX.recompact,
+    "overlapping_snapshots": FX.overlapping_snapshots,
+    "ns_precision": FX.ns_precision,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_scenario(spark, tmp_path, name):
+    root = str(tmp_path / name)
+    SCENARIOS[name](root)
+    before = rows_by_table(root)
+
+    report = run_job(spark, root)
+    assert report.compacted_groups >= 1 or name == "ns_precision"
+
+    # P2: exact row conservation per (db, table)
+    assert rows_by_table(root) == before
+    assert_invariants(root)
+
+    # P1: idempotence — second run is a no-op on merged groups
+    report2 = run_job(spark, root)
+    assert report2.compacted_groups == 0, "second run must be a no-op"
+    assert rows_by_table(root) == before
+    assert_invariants(root)
+
+
+def test_basic_hour_golden(spark, tmp_path):
+    """Golden: 3×50 rows → one c_0000000001_0000000003_h14.parquet,
+    150 rows, matching a DuckDB replay of the reference's merge query
+    (kompactor.ts:107-111)."""
+    root = str(tmp_path / "golden")
+    FX.basic_hour(root)
+    inputs = sorted(glob.glob(os.path.join(root, FX.HOST, "dbs", "**", "*.parquet"), recursive=True))
+    con = duckdb.connect()
+    expected = con.execute(
+        f"SELECT * FROM read_parquet({[p for p in inputs]!r}) ORDER BY time, f_int, f_str"
+    ).fetchall()
+
+    report = run_job(spark, root)
+    assert report.compacted_groups == 1
+    (out_rel,) = report.results[0].output_paths
+    assert os.path.basename(out_rel) == "c_0000000001_0000000003_h14.parquet"
+    actual = con.execute(
+        f"SELECT * FROM read_parquet('{os.path.join(root, out_rel)}') ORDER BY time, f_int, f_str"
+    ).fetchall()
+    con.close()
+    assert actual == expected
+    assert len(actual) == 150
+
+
+def test_multi_hour_singletons_untouched(spark, tmp_path):
+    root = str(tmp_path / "mh")
+    FX.multi_hour(root)
+    report = run_job(spark, root)
+    # hour 10 has one file → untouched (kompactor.ts:213 semantics)
+    assert report.skipped_singletons == 1
+    assert report.compacted_groups == 2
+    on_disk = disk_parquets(root)
+    assert any("10-00/0000000001.parquet" in p for p in on_disk)
+
+
+def test_multi_table_isolation(spark, tmp_path):
+    """P5: distinct (db, table) never co-merge (B5 fixed)."""
+    root = str(tmp_path / "mt")
+    FX.multi_table(root)
+    report = run_job(spark, root)
+    assert report.compacted_groups == 3
+    keys = {r.key[1:3] for r in report.results}
+    assert keys == {("db-0", "table-3"), ("db-0", "table-4"), ("db-1", "table-7")}
+
+
+def test_recompact_picks_up_compacted(spark, tmp_path):
+    root = str(tmp_path / "rc")
+    FX.recompact(root)
+    report = run_job(spark, root)
+    assert report.compacted_groups == 1
+    (out_rel,) = report.results[0].output_paths
+    # first wal from the pre-existing c_ file, last from the new WALs
+    assert os.path.basename(out_rel) == "c_0000000001_0000000005_h14.parquet"
+    assert report.results[0].row_count == 130
+
+
+def test_overlapping_snapshots_consistent(spark, tmp_path):
+    """Dedup across snapshots; BOTH metadata files updated; other-hour
+    entries preserved (B4 fixed)."""
+    root = str(tmp_path / "ov")
+    FX.overlapping_snapshots(root)
+    report = run_job(spark, root)
+    assert report.compacted_groups == 1  # hour 20 is a singleton
+    assert report.results[0].row_count == 90  # 3 files, deduped across snapshots
+    for sp in glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.info.json")):
+        snap = read_snapshot(sp)
+        paths = [f.path for _, _, f in snap.all_files()]
+        assert any("c_0000000001_0000000003_h14" in p for p in paths), sp
+        assert any("20-00/0000000009.parquet" in p for p in paths), f"other-hour entry dropped from {sp}"
+        assert not any("14-00/000000000" in p for p in paths), f"stale compacted entry in {sp}"
+
+
+def test_missing_input_skipped(spark, tmp_path):
+    root = str(tmp_path / "mi")
+    FX.missing_input(root)
+    report = run_job(spark, root)
+    assert report.compacted_groups == 1
+    assert report.results[0].dropped_missing, "ghost file should be reported"
+    assert report.results[0].row_count == 60
+
+
+def test_ns_precision_exact(spark, tmp_path):
+    """B3 regression: adjacent-ns stats survive exactly."""
+    root = str(tmp_path / "nsp")
+    FX.ns_precision(root)
+    report = run_job(spark, root)
+    assert report.compacted_groups == 1
+    r = report.results[0]
+    assert r.min_time == 1_737_928_861_362_000_001
+    assert r.max_time == 1_737_928_861_362_000_002
+    assert_invariants(root)
+
+
+def test_dry_run_is_read_only(spark, tmp_path):
+    """B1 fixed: dry-run plans but writes nothing."""
+    root = str(tmp_path / "dry")
+    FX.basic_hour(root)
+    before_files = disk_parquets(root)
+    before_snap = open(glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.json"))[0]).read()
+    report = run_job(spark, root, dry_run=True)
+    assert report.compacted_groups == 1  # planned
+    assert disk_parquets(root) == before_files
+    assert open(glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.json"))[0]).read() == before_snap

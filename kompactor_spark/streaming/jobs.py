@@ -1,0 +1,81 @@
+"""Streaming transformations over the events schema (SURVEY §2.B
+X1-X5).
+
+Each builder takes a DataFrame that may be a STREAMING frame
+(spark.readStream) or a batch frame — the same declarative plan serves
+both, which is exactly the batch-equivalence contract the tests check:
+run incrementally (file source, per-file micro-batches, watermark) and
+the final state must match the one-shot batch run.
+
+Event time: events.ts is int64 epoch-ns (engine time policy); Spark's
+window()/session_window()/withWatermark need TimestampType, so these
+jobs convert ns→µs timestamps at the boundary and expose window bounds
+back as ns longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kompactor_spark.timeutil import NS_PER_US
+
+
+def _with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn("event_time", F.timestamp_micros((F.col(ts_col) / NS_PER_US).cast("long")))
+
+
+def _start_ns(window_col) -> F.Column:
+    return (F.unix_micros(window_col.getField("start")) * NS_PER_US).cast("long")
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """X1: tumbling event-time window; count + sum per (window, type)."""
+    e = _with_event_time(events)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+    return (
+        e.groupBy(F.window("event_time", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(_start_ns(F.col("w")).alias("window_start_ns"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """X2: sliding event-time window."""
+    e = _with_event_time(events)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+    return (
+        e.groupBy(F.window("event_time", width, slide).alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(_start_ns(F.col("w")).alias("window_start_ns"), "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """X3: session windows (gap-based) per user."""
+    e = _with_event_time(events)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+    return (
+        e.groupBy(F.session_window("event_time", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(_start_ns(F.col("w")).alias("session_start_ns"), "user_id", "n_events")
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """X5: drop duplicate event_ids within the watermark horizon."""
+    e = _with_event_time(events)
+    if e.isStreaming:
+        return e.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return e.dropDuplicates(["event_id"])

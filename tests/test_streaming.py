@@ -1,0 +1,166 @@
+"""B-class streaming tests (SURVEY §5.2): drive the X1-X5 jobs
+incrementally (file source, multiple micro-batches via maxFilesPerTrigger,
+availableNow trigger) and assert the final state matches the one-shot
+batch run; watermark semantics exercised with injected late rows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kompactor_spark.streaming import jobs as J
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+NS = 1_000_000_000
+BASE = 1_700_000_000 * NS
+
+
+def _write_batches(spark, path, batches):
+    import glob as _glob
+    import time
+
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        d = os.path.join(path, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        # file source orders micro-batches by mtime — make it unambiguous
+        for f in _glob.glob(os.path.join(d, "*.parquet")):
+            os.utime(f, (now + i * 30, now + i * 30))
+
+
+def _run_stream(spark, src_dir, builder, out_name, tmp):
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per input file
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = (
+        builder(stream)
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete" if out_name != "dedup" else "append")
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{out_name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {out_name}")
+
+
+def _rows(n0, t0, user=1, etype="click", n=5, step_ns=60 * NS):
+    return [
+        (n0 + i, t0 + i * step_ns, user, etype, float(i), "{}")
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def src(tmp_path, spark):
+    p = str(tmp_path / "src")
+    batches = [
+        _rows(0, BASE, user=1),
+        _rows(10, BASE + 3600 * NS, user=1) + _rows(20, BASE + 2 * 3600 * NS, user=2),
+        _rows(30, BASE + 3 * 3600 * NS, user=2, etype="purchase"),
+    ]
+    _write_batches(spark, p, batches)
+    return p
+
+
+def _canon(df, keys):
+    return sorted(tuple(r) for r in df.select(*keys).collect())
+
+
+def test_x1_tumbling_incremental_matches_batch(spark, src, tmp_path):
+    streamed = _run_stream(spark, src, J.tumbling_counts, "x1", str(tmp_path))
+    batch = J.tumbling_counts(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*")))
+    cols = ["window_start_ns", "event_type", "n_events", "total_value"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+
+
+def test_x2_sliding_incremental_matches_batch(spark, src, tmp_path):
+    streamed = _run_stream(spark, src, J.sliding_counts, "x2", str(tmp_path))
+    batch = J.sliding_counts(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*")))
+    cols = ["window_start_ns", "n_events", "total_value"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+
+
+def test_x3_session_incremental_matches_batch(spark, src, tmp_path):
+    streamed = _run_stream(spark, src, J.session_counts, "x3", str(tmp_path))
+    batch = J.session_counts(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*")))
+    cols = ["session_start_ns", "user_id", "n_events"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+    # 5 events at 1-min spacing per burst → each burst is one session
+    assert streamed.count() == 4
+
+
+def test_x4_watermark_drops_late_rows(spark, tmp_path):
+    """Deterministic micro-batch sequence via checkpoint restarts: a row
+    arriving behind the watermark is dropped; the closed window
+    finalizes WITHOUT it."""
+    p = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt_x4")
+    os.makedirs(p, exist_ok=True)
+
+    out = str(tmp_path / "x4_out")
+    dropped_counts: list[int] = []
+
+    def step(qname):
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(os.path.join(p, "*"))
+        q = (
+            J.tumbling_counts(stream, watermark="10 minutes")
+            .writeStream.format("parquet")  # file sink: append + restartable
+            .option("path", out)
+            .outputMode("append")  # append emits only FINALIZED windows
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        dropped_counts.extend(
+            int(so["numRowsDroppedByWatermark"])
+            for pp in q.recentProgress
+            for so in pp["stateOperators"]
+        )
+
+    batches = [
+        _rows(0, BASE, user=1, n=3),  # window W0 = [22:00, 23:00)
+        _rows(10, BASE + 4 * 3600 * NS, user=1, n=3),  # watermark → far past W0
+        [(99, BASE + 1 * NS, 1, "click", 9.9, "{}")],  # late: behind watermark
+        _rows(20, BASE + 8 * 3600 * NS, user=1, n=3),  # flush remaining state
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, f"step{i}"))
+        step(f"x4_s{i}")
+
+    emitted = [tuple(r) for r in spark.read.parquet(out).collect()]
+    w0 = BASE - BASE % (3600 * NS)
+    w0_rows = [r for r in emitted if r[0] == w0]
+    # W0 finalized exactly once, with only the 3 on-time rows
+    assert len(w0_rows) == 1, f"W0 emissions: {w0_rows}"
+    assert w0_rows[0][2] == 3
+    # the late row was dropped by the watermark, observably
+    assert sum(dropped_counts) >= 1, f"expected a watermark drop, got {dropped_counts}"
+
+
+def test_x5_stateful_dedup(spark, tmp_path):
+    p = str(tmp_path / "dup_src")
+    rows = _rows(0, BASE, n=4)
+    dup_rows = rows[:2]  # same event_ids again, within watermark
+    _write_batches(spark, p, [rows, dup_rows])
+    streamed = _run_stream(spark, p, J.stateful_dedup, "dedup", str(tmp_path))
+    assert sorted(r.event_id for r in streamed.select("event_id").collect()) == [0, 1, 2, 3]

@@ -8,7 +8,13 @@ implemented (D1-D4/D8: size cutoffs, 70/30 split, generation level).
 
 from kompactor_spark.compaction.job import CompactionJob
 from kompactor_spark.compaction.metadata import ParquetFileInfo, SnapshotMetadata
-from kompactor_spark.compaction.planner import CompactionConfig, CompactionPlan, plan_compaction
+from kompactor_spark.compaction.planner import (
+    CompactionConfig,
+    CompactionPlan,
+    compute_split_cuts,
+    plan_compaction,
+    plan_generation,
+)
 
 __all__ = [
     "CompactionJob",
@@ -16,5 +22,7 @@ __all__ = [
     "CompactionPlan",
     "ParquetFileInfo",
     "SnapshotMetadata",
+    "compute_split_cuts",
     "plan_compaction",
+    "plan_generation",
 ]

@@ -39,8 +39,10 @@ from kompactor_spark.compaction.planner import (
     CompactionConfig,
     CompactionGroup,
     CompactionPlan,
+    GenerationGroup,
+    compute_split_cuts,
     plan_compaction,
-    split_cut_times,
+    plan_generation,
 )
 
 log = logging.getLogger("kompactor_spark.compaction")
@@ -106,10 +108,21 @@ class CompactionJob:
         self.validate_directories()
         return [self._run_host(h) for h in self.hosts]
 
-    def _run_host(self, host: str) -> CompactionReport:
+    def run_generation(self, now_ns: int | None = None) -> list[CompactionReport]:
+        """K2: merge each eligible day's files (hour-compacted + stray
+        raw) into generation-level ``c_…_g<day>`` outputs with size
+        cutoffs + splits (reference D1-D4/D8). ``now_ns`` gates on the
+        24 h window; None = backfill every day."""
+        self.validate_directories()
+        return [self._run_host(h, level="generation", now_ns=now_ns) for h in self.hosts]
+
+    def _run_host(self, host: str, level: str = "hour", now_ns: int | None = None) -> CompactionReport:
         snap_paths = self.snapshot_paths(host)
         snapshots = [read_snapshot(p) for p in snap_paths]
-        plan = plan_compaction(host, snapshots)
+        if level == "generation":
+            plan = plan_generation(host, snapshots, self.config, now_ns=now_ns)
+        else:
+            plan = plan_compaction(host, snapshots)
         report = CompactionReport(
             host=host,
             dry_run=self.dry_run,
@@ -126,7 +139,9 @@ class CompactionJob:
     def _abs(self, rel: str) -> str:
         return os.path.join(self.data_dir, rel)
 
-    def _compact_group(self, host: str, group: CompactionGroup, snap_paths: list[str]) -> GroupResult | None:
+    def _compact_group(
+        self, host: str, group: CompactionGroup | GenerationGroup, snap_paths: list[str]
+    ) -> GroupResult | None:
         sorted_files = group.sorted_files()
         existing = [f for f in sorted_files if os.path.exists(self._abs(f.path))]
         dropped = [f.path for f in sorted_files if not os.path.exists(self._abs(f.path))]
@@ -163,15 +178,20 @@ class CompactionJob:
         staging = out_abs + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
 
-        needs_split = group.total_size_bytes > self.config.large_cutoff_bytes
+        tmin_in = min(f.min_time for f in existing)
+        tmax_in = max(f.max_time for f in existing)
+        cuts = compute_split_cuts(tmin_in, tmax_in, group.total_size_bytes, self.config)
+        needs_split = bool(cuts)
         if needs_split:
-            tmin_in = min(f.min_time for f in existing)
-            tmax_in = max(f.max_time for f in existing)
-            cut = split_cut_times(tmin_in, tmax_in, self.config.split_percentage)
-            parts = [
-                df.where(F.col(self.time_col) <= F.lit(cut)),
-                df.where(F.col(self.time_col) > F.lit(cut)),
-            ]
+            bounds = [None, *cuts, None]
+            parts = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                p = df
+                if lo is not None:
+                    p = p.where(F.col(self.time_col) > F.lit(lo))
+                if hi is not None:
+                    p = p.where(F.col(self.time_col) <= F.lit(hi))
+                parts.append(p)
         else:
             parts = [df]
 

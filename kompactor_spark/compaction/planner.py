@@ -150,3 +150,111 @@ def plan_compaction(host: str, snapshots: list[SnapshotMetadata]) -> CompactionP
 def split_cut_times(min_time: int, max_time: int, split_percentage: int) -> int:
     """70/30 split point in ns (exact int math — B3 discipline)."""
     return min_time + (max_time - min_time) * split_percentage // 100
+
+
+def compute_split_cuts(
+    min_time: int, max_time: int, total_bytes: int, config: CompactionConfig
+) -> list[int]:
+    """Split points for an oversized output (reference D3 intent,
+    kompactor.ts:40): while the projected output exceeds the large
+    cutoff, cut the remaining time range at split_percentage — the
+    leading part targets ~max_desired size, the 30% tail is re-examined.
+    Byte density is assumed uniform over time (the only stat available
+    without scanning). Returns [] when no split is needed.
+    """
+    cuts: list[int] = []
+    lo, remaining = min_time, total_bytes
+    while remaining > config.large_cutoff_bytes and lo < max_time:
+        cut = split_cut_times(lo, max_time, config.split_percentage)
+        if cut <= lo or cut >= max_time:
+            break
+        cuts.append(cut)
+        remaining -= remaining * config.split_percentage // 100
+        lo = cut
+    return cuts
+
+
+@dataclass
+class GenerationGroup:
+    """K2: a day's files (raw + hour-compacted) to merge to generation
+    level (reference D4/D8 — the ``g`` filename level that was designed
+    but never produced, kompactor.ts:41,92)."""
+
+    key: GroupKey  # hour field is "" at day level
+    files: list[ParquetFileInfo] = field(default_factory=list)
+
+    def sorted_files(self) -> list[ParquetFileInfo]:
+        return sorted(self.files, key=lambda f: (extract_wal_sequence(os.path.basename(f.path)), f.path))
+
+    @property
+    def total_size_bytes(self) -> int:
+        return sum(f.size_bytes for f in self.files)
+
+    def output_name(self) -> str:
+        s = self.sorted_files()
+        first = extract_wal_sequence(os.path.basename(s[0].path))
+        last = extract_wal_sequence(os.path.basename(s[-1].path))
+        # g<days-since-epoch>: the generation window index, mirroring
+        # h<hour> at hour level (filename grammar kompactor.ts:92).
+        import datetime as _dt
+
+        day = (_dt.date.fromisoformat(self.key.date) - _dt.date(1970, 1, 1)).days
+        return f"c_{first:010d}_{last:010d}_g{day}.parquet"
+
+    def output_relpath(self) -> str:
+        """Day-level outputs live directly under <date>/."""
+        k = self.key
+        return os.path.join(k.host, "dbs", k.db_seg, k.table_seg, k.date, self.output_name())
+
+
+def is_generation_file(filename: str) -> bool:
+    m = COMPACTED_FILE_RE.search(os.path.basename(filename))
+    return bool(m) and "_g" in os.path.basename(filename)[m.start() : m.end()]
+
+
+def plan_generation(
+    host: str,
+    snapshots: list[SnapshotMetadata],
+    config: CompactionConfig,
+    now_ns: int | None = None,
+) -> CompactionPlan:
+    """Group ALL of a day's files (hour-compacted + stray raw) by
+    (host, db, table, date). A day is eligible when its newest data is
+    older than the compaction window (time_window_hours before now_ns) —
+    pass now_ns=None to compact every day (manual/backfill mode).
+    Files already at generation level and >= large cutoff are left
+    alone (D2: no value re-writing a full-size file)."""
+    by_key: dict[GroupKey, dict[str, ParquetFileInfo]] = defaultdict(dict)
+    for snap in snapshots:
+        for _db_id, _table_id, f in snap.all_files():
+            hk = parse_group_key(host, f.path)
+            if hk is not None:
+                key = GroupKey(host=hk.host, db_seg=hk.db_seg, table_seg=hk.table_seg, date=hk.date, hour="")
+            else:
+                # day-level paths have no HH segment; parse date directly
+                m = re.search(r"/(\d{4}-\d{2}-\d{2})/", f.path)
+                if not m:
+                    continue
+                parts = f.path.split("/")
+                if len(parts) < 4:
+                    continue
+                i = parts.index(m.group(1))
+                key = GroupKey(host=host, db_seg=parts[i - 2], table_seg=parts[i - 1], date=m.group(1), hour="")
+            by_key[key][f.path] = f
+
+    window_ns = config.time_window_hours * 3_600_000_000_000
+    groups, skipped = [], 0
+    for key in sorted(by_key, key=lambda k: (k.db_seg, k.table_seg, k.date)):
+        files = [
+            f
+            for f in by_key[key].values()
+            if not (is_generation_file(f.path) and f.size_bytes >= config.large_cutoff_bytes)
+        ]
+        if now_ns is not None and files and max(f.max_time for f in files) > now_ns - window_ns:
+            skipped += 1
+            continue
+        if len(files) <= 1:
+            skipped += 1
+            continue
+        groups.append(GenerationGroup(key=key, files=files))
+    return CompactionPlan(groups=groups, skipped_singletons=skipped)

@@ -204,3 +204,82 @@ def test_dry_run_is_read_only(spark, tmp_path):
     assert report.compacted_groups == 1  # planned
     assert disk_parquets(root) == before_files
     assert open(glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.json"))[0]).read() == before_snap
+
+
+# -- K2: generation (daily) level ------------------------------------------
+
+
+def test_generation_merges_day(spark, tmp_path):
+    """K2: after hour compaction, a day's files (h-compacted + stray
+    raw singletons) merge into one c_…_g<day> file; invariants hold."""
+    root = str(tmp_path / "gen")
+    FX.multi_hour(root)
+    before = rows_by_table(root)
+    run_job(spark, root)  # hour pass: hours 11,12 → c_…_h files
+
+    job = CompactionJob(spark, root, [FX.HOST])
+    report = job.run_generation()[0]
+    assert report.compacted_groups == 1
+    (out_rel,) = report.results[0].output_paths
+    name = os.path.basename(out_rel)
+    assert name.startswith("c_0000000001_") and "_g" in name and name.endswith(".parquet")
+    # day-level output sits directly under <date>/
+    assert out_rel.split("/")[-2] == "2025-01-26"
+    assert rows_by_table(root) == before
+    assert_invariants(root)
+
+    # P1: generation pass is idempotent
+    report2 = CompactionJob(spark, root, [FX.HOST]).run_generation()[0]
+    assert report2.compacted_groups == 0
+
+
+def test_generation_window_gating(spark, tmp_path):
+    """Days with data newer than the 24 h window are NOT compacted."""
+    root = str(tmp_path / "genw")
+    FX.multi_hour(root)
+    run_job(spark, root)
+    snaps = [read_snapshot(p) for p in glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.info.json"))]
+    max_t = max(f.max_time for s in snaps for _, _, f in s.all_files())
+
+    job = CompactionJob(spark, root, [FX.HOST])
+    hot = job.run_generation(now_ns=max_t + 3600 * FX.NS)[0]  # 1 h later: still hot
+    assert hot.compacted_groups == 0
+    cold = job.run_generation(now_ns=max_t + 25 * 3600 * FX.NS)[0]  # past the window
+    assert cold.compacted_groups == 1
+
+
+def test_oversized_output_splits(spark, tmp_path):
+    """D2/D3: projected output above the large cutoff splits 70/30 by
+    time into _p<i> parts; conservation + invariants hold."""
+    from kompactor_spark.compaction import CompactionConfig
+
+    root = str(tmp_path / "split")
+    FX.basic_hour(root)
+    before = rows_by_table(root)
+    cfg = CompactionConfig(max_desired_file_size_bytes=4000)  # large cutoff 5200 B
+    report = run_job(spark, root, config=cfg)
+    assert report.compacted_groups == 1
+    outs = report.results[0].output_paths
+    assert len(outs) >= 2, f"expected a split, got {outs}"
+    assert all("_p" in os.path.basename(p) for p in outs)
+    assert rows_by_table(root) == before
+    assert_invariants(root)
+    # parts cover disjoint, increasing time ranges
+    metas = []
+    for p in sorted(outs):
+        t = pq.read_table(os.path.join(root, p), columns=["time"]).column("time").to_pylist()
+        if t:
+            metas.append((min(t), max(t)))
+    for (lo1, hi1), (lo2, hi2) in zip(metas, metas[1:]):
+        assert hi1 < lo2
+
+
+def test_compute_split_cuts_unit():
+    from kompactor_spark.compaction import CompactionConfig, compute_split_cuts
+
+    cfg = CompactionConfig()  # 100 MiB target, 130 MiB large cutoff
+    assert compute_split_cuts(0, 1000, 50 * 1024 * 1024, cfg) == []
+    cuts = compute_split_cuts(0, 1000, 200 * 1024 * 1024, cfg)
+    assert cuts == [700]  # one 70/30 cut; 30% tail (60 MiB) fits
+    big = compute_split_cuts(0, 10_000, 1000 * 1024 * 1024, cfg)
+    assert len(big) >= 2 and big == sorted(big)

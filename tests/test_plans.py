@@ -1,0 +1,91 @@
+"""Plan-level assertions (SURVEY §2.B P-class checks: J6, A6, S1/S2,
+O2) — the physical plan IS part of the contract. At 100 TB the
+difference between a broadcast join and a shuffled one, or a pushed
+filter and a post-scan one, is the difference between minutes and
+hours; these tests pin the plan shape so a regression is caught at
+sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kompactor_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def Q(spark):
+    return all_queries()
+
+
+def plan(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_s1_pushdown_and_pruning(spark, Q):
+    """Filter reaches the Parquet scan; scan reads ONLY the projected
+    columns (SURVEY 'Push down and prune')."""
+    p = plan(spark, Q["s1_parquet_scan"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in p
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_returnflag:string>" in p
+
+
+def test_s2_partition_pruning(spark, Q):
+    """Hive-layout scan prunes partitions at planning time."""
+    p = plan(spark, Q["s2_partition_pruned_scan"](spark, SF))
+    assert "PartitionFilters: [" in p and "event_type" in p.split("PartitionFilters:")[1][:200]
+
+
+def test_j6_broadcast_join_no_fact_shuffle(spark, Q):
+    """J6: dim is broadcast; the fact side is never hash-exchanged
+    before the join."""
+    p = plan(spark, Q["j6_broadcast_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    join_part = p.split("BroadcastHashJoin")[1]
+    assert "BroadcastExchange" in join_part
+    # the only Exchanges are the broadcast + the post-agg/sort ones,
+    # never a hashpartitioning of customer below the join
+    pre_join = p.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in pre_join or "HashAggregate" in pre_join
+
+
+def test_j9_star_all_broadcast(spark, Q):
+    """J9 at dim-scale: every one of the 4 joins is a broadcast join —
+    the lineitem fact streams through zero shuffles until the final
+    aggregate."""
+    p = plan(spark, Q["j9_star_join"](spark, SF))
+    assert p.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_a1_partial_final_agg(spark, Q):
+    """A6: map-side partial aggregation before the exchange."""
+    p = plan(spark, Q["a1_groupby_q1"](spark, SF))
+    assert "partial_sum" in p and "partial_count" in p
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_o2_take_ordered(spark, Q):
+    """O2: ORDER BY + LIMIT compiles to TakeOrderedAndProject (no
+    global sort of the full table)."""
+    p = plan(spark, Q["o2_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_w1_single_shuffle(spark, Q):
+    """W1: one hash exchange for the window partitioning; ranking adds
+    no second shuffle of the data."""
+    p = plan(spark, Q["w1_ranking"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_l3_no_python_udf_in_topk(spark, Q):
+    """L3 cosine top-k stays JVM-side (no BatchEvalPython — a
+    row-at-a-time Python UDF in the hot path would be 10-100x slower)."""
+    p = plan(spark, Q["l3_cosine_topk"](spark, SF))
+    assert "BatchEvalPython" not in p

@@ -1,0 +1,84 @@
+"""Engine CLI — reference parity for kompactor's entry point
+(kompactor.ts:343-372: positional data-dir, required --hosts
+comma-list, --dry-run, --verbose) with the differences that matter:
+--dry-run actually does nothing destructive (reference bug B1), and
+the planned-but-dead generation level (D4/D8) is reachable via
+--generation.
+
+Usage:
+    python -m kompactor_spark <data-dir> --hosts host-a,host-b
+        [--dry-run] [--verbose] [--generation] [--now-ns N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from pyspark.sql import SparkSession
+
+from kompactor_spark.compaction import CompactionConfig, CompactionJob
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kompactor_spark",
+        description="Metadata-driven Parquet compaction for InfluxDB-3-style layouts, on Spark.",
+    )
+    p.add_argument("data_dir", help="root data directory (contains <host>/{snapshots,dbs})")
+    p.add_argument("--hosts", required=True, help="comma-separated host list")
+    p.add_argument("--dry-run", action="store_true", help="plan and report; write nothing")
+    p.add_argument("--verbose", action="store_true", help="INFO-level logging")
+    p.add_argument(
+        "--generation",
+        action="store_true",
+        help="run the day-level (generation) pass instead of the hour-level pass",
+    )
+    p.add_argument(
+        "--now-ns",
+        type=int,
+        default=None,
+        help="generation-pass clock (ns epoch); days newer than 24h before this are skipped. "
+        "Omit to compact every day (backfill).",
+    )
+    p.add_argument("--time-col", default="time", help="time column name (default: time)")
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO if args.verbose else logging.WARNING, stream=sys.stderr)
+
+    own_session = spark is None
+    if own_session:
+        from kompactor_spark.session import get_spark
+
+        spark = get_spark("kompactor-spark-cli")
+    try:
+        job = CompactionJob(
+            spark,
+            args.data_dir,
+            [h for h in args.hosts.split(",") if h],
+            config=CompactionConfig(),
+            dry_run=args.dry_run,
+            time_col=args.time_col,
+        )
+        reports = job.run_generation(now_ns=args.now_ns) if args.generation else job.run()
+        for rep in reports:
+            mode = "dry-run" if rep.dry_run else "compacted"
+            print(
+                f"{rep.host}: {mode} {rep.compacted_groups}/{rep.planned_groups} groups "
+                f"({rep.skipped_singletons} singletons skipped)"
+            )
+            for r in rep.results:
+                print(f"  {'/'.join(r.key[1:])}: {len(r.input_paths)} files -> {', '.join(r.output_paths)} "
+                      f"({r.row_count} rows)")
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,69 @@
+"""CLI (reference C1 parity) and S6 size-targeted multi-file sink."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from kompactor_spark.cli import main
+from kompactor_spark.sources import write_range_sorted
+from kompactor_spark.tables import load_table
+
+from tests import fixtures_compaction as FX
+
+
+def test_cli_hour_pass(spark, tmp_path, capsys):
+    root = str(tmp_path / "cli")
+    FX.basic_hour(root)
+    rc = main([root, "--hosts", FX.HOST], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"{FX.HOST}: compacted 1/1 groups" in out
+    assert "150 rows" in out
+
+
+def test_cli_dry_run_then_generation(spark, tmp_path, capsys):
+    root = str(tmp_path / "clig")
+    FX.multi_hour(root)
+    before = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    assert main([root, "--hosts", FX.HOST, "--dry-run"], spark=spark) == 0
+    assert sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)) == before
+
+    assert main([root, "--hosts", FX.HOST], spark=spark) == 0
+    assert main([root, "--hosts", FX.HOST, "--generation"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "_g" in out
+    gen = [p for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True) if "_g" in os.path.basename(p)]
+    assert len(gen) == 1
+
+
+def test_cli_requires_hosts():
+    with pytest.raises(SystemExit):
+        main(["/tmp/nowhere"])
+
+
+def test_s6_range_sorted_multi_file(spark, tmp_path):
+    """S6: multi-file write is globally range-sorted — files cover
+    disjoint, increasing time ranges and are sorted within (the 100 TB
+    write path: no single-writer bottleneck)."""
+    events = load_table(spark, "/root/testdata/sf0.01", "events")
+    out = str(tmp_path / "s6")
+    write_range_sorted(events, out, sort_col="ts", num_files=4)
+
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(parts) == 4
+    ranges = []
+    total = 0
+    for p in parts:
+        t = pq.read_table(p, columns=["ts"]).column("ts").to_pylist()
+        total += len(t)
+        assert t == sorted(t), f"not sorted within: {p}"
+        if t:
+            ranges.append((min(t), max(t)))
+    assert total == events.count()
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap"

@@ -1,0 +1,111 @@
+"""Property tests over seeded random layouts (SURVEY §5.3 P1-P5).
+
+Hypothesis generates the layout shape (tables × hours × files ×
+pre-compacted flags × snapshot overlap); data content is seeded from
+the draw so every failure reproduces. Each example runs the full hour
+pass, then the generation pass, asserting:
+  P1 idempotence, P2 row conservation per (db, table),
+  P3 per-file sortedness + stat agreement, P4 catalog↔disk integrity,
+  P5 grouping isolation (implied by P2's per-(db,table) keying).
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kompactor_spark.compaction import CompactionJob
+
+from tests import fixtures_compaction as FX
+from tests.test_compaction import assert_invariants, rows_by_table
+
+NS = FX.NS
+
+table_st = st.lists(
+    st.sampled_from([(0, 3), (0, 4), (1, 7)]), min_size=1, max_size=2, unique=True
+)
+hours_st = st.lists(st.integers(8, 13), min_size=1, max_size=3, unique=True)
+
+
+@st.composite
+def layout_st(draw):
+    tables = draw(table_st)
+    spec = []
+    for db, tbl in tables:
+        for hour in draw(hours_st):
+            nfiles = draw(st.integers(1, 3))
+            pre_compacted = draw(st.booleans()) and nfiles >= 2
+            spec.append((db, tbl, hour, nfiles, pre_compacted))
+    two_snapshots = draw(st.booleans())
+    seed = draw(st.integers(0, 2**16))
+    return spec, two_snapshots, seed
+
+
+def build(root: str, spec, two_snapshots: bool, seed: int):
+    b = FX.LayoutBuilder(root)
+    entries = []
+    wal = 1
+    for db, tbl, hour, nfiles, pre_compacted in spec:
+        hstart = (FX.BASE_NS // (3600 * NS) + hour) * 3600 * NS
+        for i in range(nfiles):
+            n = 5 + (seed + wal) % 30
+            rows = FX.make_rows(n, hstart + i * 7 * NS, 3000 * NS, seed=seed * 31 + wal)
+            if pre_compacted and i == 0:
+                name = f"c_{wal:010d}_{wal:010d}_h{hour}.parquet"
+            else:
+                name = f"{wal:010d}.parquet"
+            entries.append(b.add_parquet(db, tbl, "2025-01-26", hour, name, rows))
+            wal += 1
+    if two_snapshots and len(entries) >= 2:
+        mid = len(entries) // 2
+        # overlap: entry at the boundary appears in both snapshots
+        b.write_snapshot("0001.info.json", entries[: mid + 1])
+        b.write_snapshot("0002.info.json", entries[mid:])
+    else:
+        b.write_snapshot()
+    return b
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(layout=layout_st())
+def test_compaction_properties(spark, tmp_path_factory, layout):
+    spec, two_snapshots, seed = layout
+    root = str(tmp_path_factory.mktemp("prop"))
+    build(root, spec, two_snapshots, seed)
+    before = rows_by_table(root)
+
+    job = CompactionJob(spark, root, [FX.HOST])
+    job.run()
+    assert rows_by_table(root) == before  # P2 (and P5: keyed per table)
+    assert_invariants(root)  # P3 + P4
+
+    rep2 = CompactionJob(spark, root, [FX.HOST]).run()[0]
+    assert rep2.compacted_groups == 0  # P1
+
+    # generation pass over whatever the hour pass left
+    CompactionJob(spark, root, [FX.HOST]).run_generation()
+    assert rows_by_table(root) == before
+    assert_invariants(root)
+    gen2 = CompactionJob(spark, root, [FX.HOST]).run_generation()[0]
+    assert gen2.compacted_groups == 0  # P1 at day level
+
+    # P5 explicit: every output path stays under its own (db, table)
+    for p in {p for p in _all_parquets(root)}:
+        parts = p.split(os.sep)
+        assert parts[2].startswith("db-") and parts[3].startswith("table-")
+
+
+def _all_parquets(root):
+    import glob
+
+    return [
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, FX.HOST, "dbs", "**", "*.parquet"), recursive=True)
+    ]

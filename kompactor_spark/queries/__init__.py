@@ -30,6 +30,7 @@ _SUBMODULES = [
     "kompactor_spark.queries.udf",
     "kompactor_spark.queries.llm_pipeline",
     "kompactor_spark.queries.compaction_queries",
+    "kompactor_spark.queries.scale_ops",
 ]
 _loaded = False
 

@@ -89,3 +89,11 @@ def test_l3_no_python_udf_in_topk(spark, Q):
     row-at-a-time Python UDF in the hot path would be 10-100x slower)."""
     p = plan(spark, Q["l3_cosine_topk"](spark, SF))
     assert "BatchEvalPython" not in p
+
+
+def test_z2_salted_join_stays_broadcast(spark, Q):
+    """Salted dim join: dim exploded 8x is still broadcast; the fact
+    side is never sort-merge shuffled."""
+    p = plan(spark, Q["z2_salted_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -43,6 +43,20 @@ def _time_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _time_compact(spark, sf_dir: str) -> float:
+    """BASELINE.md Q-compact mirror: read events → ORDER BY ts → single
+    zstd Parquet with bounded row groups (the reference's entire data
+    plane, kompactor.ts:107-111)."""
+    from kompactor_spark.sources import clear_scratch, write_sorted_single_file
+    from kompactor_spark.tables import load_table
+
+    out = clear_scratch("bench_compact_events")
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.perf_counter()
+    write_sorted_single_file(ev, out, sort_col="ts")
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -55,6 +69,11 @@ def main() -> None:
         fn = regs[name]
         _time_query(spark, fn, sf_dir)  # warm-up (parquet footer cache, codegen)
         per_query[name] = round(statistics.median(_time_query(spark, fn, sf_dir) for _ in range(RUNS)), 4)
+
+    _time_compact(spark, sf_dir)  # warm-up
+    per_query["k_compact_events"] = round(
+        statistics.median(_time_compact(spark, sf_dir) for _ in range(RUNS)), 4
+    )
 
     total = round(sum(per_query.values()), 4)
     print(

@@ -79,3 +79,44 @@ def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFram
     if e.isStreaming:
         return e.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(["event_id"])
     return e.dropDuplicates(["event_id"])
+
+
+USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_ts long"
+_USER_STATE_SCHEMA = "n long, total double, mx long"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """X6: custom stateful operator — per-user running (count, sum,
+    max ts) maintained across micro-batches with
+    ``applyInPandasWithState`` (Arrow-batched; state is one tuple per
+    user, so memory is O(distinct users), not O(events)).
+
+    On a batch frame the same contract is the plain groupBy — which is
+    exactly what the batch-equivalence test compares against.
+    """
+    if not events.isStreaming:
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").cast("double").alias("total_value"),
+            F.max("ts").cast("bigint").alias("max_ts"),
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total, mx = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, int(pdf["ts"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total], "max_ts": [mx]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, USER_STATS_SCHEMA, _USER_STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+    )

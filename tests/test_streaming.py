@@ -164,3 +164,39 @@ def test_x5_stateful_dedup(spark, tmp_path):
     _write_batches(spark, p, [rows, dup_rows])
     streamed = _run_stream(spark, p, J.stateful_dedup, "dedup", str(tmp_path))
     assert sorted(r.event_id for r in streamed.select("event_id").collect()) == [0, 1, 2, 3]
+
+
+def test_x6_stateful_running_user_stats(spark, src, tmp_path):
+    """X6: applyInPandasWithState running per-user totals — the final
+    update per user matches the one-shot batch aggregation."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        J.running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("x6")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    updates = spark.sql("SELECT * FROM x6").collect()
+    # n_events grows monotonically per user → the max-n row is final state
+    final = {}
+    for r in updates:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+
+    batch = J.running_user_stats(
+        spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))
+    ).collect()
+    expect = {r.user_id: r for r in batch}
+    assert set(final) == set(expect)
+    for uid, r in final.items():
+        e = expect[uid]
+        assert (r.n_events, r.max_ts) == (e.n_events, e.max_ts)
+        assert abs(r.total_value - e.total_value) < 1e-6

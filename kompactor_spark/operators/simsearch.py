@@ -94,3 +94,39 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def lsh_topk_multitable(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 6,
+    hamming_probe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH top-k (OR-amplification): a row is a candidate
+    if ANY of `n_tables` independent signatures is within
+    `hamming_probe` bits of the query's — the standard fix for
+    single-table sign-LSH's recall cliff. Still one scan, pure JVM
+    expressions (no join, no Python).
+
+    At 100 TB each table is a stored signature column; the probe is a
+    bucket-pruned scan per table unioned by candidate id. Cost model:
+    candidates ≈ n_tables × (probed buckets / 2^n_bits) of the corpus.
+    """
+    qv = np.asarray(query_vec, dtype=float)
+    probe_any = F.lit(False)
+    for t in range(n_tables):
+        planes = make_planes(len(query_vec), n_bits, seed + 1000 * t)
+        qsig = sum((1 << i) for i, p in enumerate(planes) if float(np.dot(qv, p)) >= 0)
+        sig = signature_col(vec_col, planes)
+        probe_any = probe_any | (F.bit_count(sig.bitwiseXOR(F.lit(qsig))) <= hamming_probe)
+    return (
+        cosine_to_query(df.where(probe_any), query_vec, vec_col)
+        .select(F.col(id_col), F.col("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -162,7 +162,9 @@ def l3_lsh_topk(spark, sf_dir):
     emb = T("embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     return (
-        S.lsh_topk(emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=8, hamming_probe=2)
+        S.lsh_topk_multitable(
+            emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=8, n_tables=4, hamming_probe=2
+        )
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
     )
 

@@ -1,0 +1,44 @@
+"""T/PY-class checks (SURVEY §2.B: A3, L2b, L3b) — sketches and LSH
+are seeded-deterministic but engine-specific, so they are checked by
+tolerance/recall bounds against the exact operator, never hash-matched
+against DuckDB. All inputs and seeds are pinned → the observed values
+are exact reproducible constants; bounds leave margin below them.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kompactor_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"  # the driver's correctness scale
+
+
+@pytest.fixture(scope="module")
+def Q(spark):
+    return all_queries()
+
+
+def test_a3_approx_count_distinct_tolerance(spark, Q):
+    """A3: HLL estimate within ±5% of exact (rsd=0.02 requested)."""
+    r = Q["a3_approx_count_distinct"](spark, SF).first()
+    assert abs(r.approx_nd_parts - r.exact_nd_parts) <= 0.05 * r.exact_nd_parts
+
+
+def test_l2_minhash_lsh_recall(spark, Q):
+    """L2b: MinHash-LSH candidates recover >=80% of the exact-Jaccard
+    pairs at the same threshold (observed: 100%)."""
+    truth = {(r.id_a, r.id_b) for r in Q["l2_jaccard_pairs"](spark, SF).collect()}
+    cand = {(r.id_a, r.id_b) for r in Q["l2_minhash_lsh"](spark, SF).collect()}
+    assert truth, "fixture must contain near-dup pairs"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8 ({len(truth)} truth pairs)"
+
+
+def test_l3_lsh_topk_recall(spark, Q):
+    """L3b: multi-table LSH top-10 recovers >=70% of the exact top-10
+    (observed: 100% at sf0.01 with bits=8, tables=4, probe<=2)."""
+    exact = [r.vec_id for r in Q["l3_cosine_topk"](spark, SF).collect()]
+    approx = [r.vec_id for r in Q["l3_lsh_topk"](spark, SF).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.7, f"lsh top-k recall {recall:.2f} < 0.7"

@@ -31,6 +31,7 @@ _SUBMODULES = [
     "kompactor_spark.queries.llm_pipeline",
     "kompactor_spark.queries.compaction_queries",
     "kompactor_spark.queries.scale_ops",
+    "kompactor_spark.queries.relational_ext",
 ]
 _loaded = False
 

@@ -86,6 +86,45 @@ def l2_minhash_lsh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L2e — dedup clusters: connected components over near-dup pairs
+# (iterative min-label propagation; oracle = DuckDB recursive CTE)
+# --------------------------------------------------------------------------
+@register(
+    "l2_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS ({_SH_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+)
+def l2_dedup_clusters(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.12)
+    return (
+        D.dedup_clusters(pairs, docs)
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), F.col("cluster_id").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2c — SimHash signatures + near-dup pairs by Hamming distance
 # --------------------------------------------------------------------------
 @register("l2_simhash_pairs")

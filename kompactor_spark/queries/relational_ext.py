@@ -1,0 +1,149 @@
+"""Extended relational surface: statistical aggregates, exact
+percentiles, pivot, decorrelated subquery (beyond SURVEY §2.B's
+minimum — OLAP staples a reference user would expect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kompactor_spark.queries import register
+from kompactor_spark.tables import loader
+
+
+def dec(col, scale: int = 2, prec: int = 18) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------
+# A8 — statistical aggregates (sample stddev/variance, correlation,
+# covariance) — rounded doubles per the determinism discipline
+# --------------------------------------------------------------------------
+@register(
+    "a8_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a8_stats_aggs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 — exact percentiles (linear interpolation; Spark percentile() ==
+# DuckDB quantile_cont())
+# --------------------------------------------------------------------------
+@register(
+    "a9_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a9_percentiles(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(l_quantity, {q})"), 6).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75, 0.99)
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# P3 — pivot: order-status counts per nation (wide output; columns are
+# the pivoted values, zero-filled)
+# --------------------------------------------------------------------------
+@register(
+    "p3_pivot",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def p3_pivot(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    o, c, n = T("orders"), T("customer"), T("nation")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("bigint").alias(s) for s in ("F", "O", "P")],
+    ).orderBy("n_name")
+
+
+# --------------------------------------------------------------------------
+# J10 — correlated scalar subquery, decorrelated as a window aggregate:
+# orders above their own customer's average order value. The window
+# rewrite is ONE shuffle on o_custkey; the naive correlated form would
+# re-aggregate per row. Average via exact decimal sum / count so the
+# comparison is reproducible across engines.
+# --------------------------------------------------------------------------
+@register(
+    "j10_decorrelated_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+)
+def j10_decorrelated_subquery(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("o_custkey")
+    avg_exact = F.sum(dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    return (
+        T("orders")
+        .withColumn("_avg", avg_exact)
+        .where(F.col("o_totalprice") > F.col("_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kompactor_spark.queries import all_queries  # noqa: E402
 from kompactor_spark.session import get_spark  # noqa: E402
 
-# Headline set — mirrors the BASELINE.md measured query list.
+# Headline set — 1:1 with the BASELINE.md §2 measured query list
+# (k_compact_events = Q-compact is timed separately below).
 HEADLINE = [
     "a1_groupby_q1",        # Q-agg
     "j9_star_join",         # Q-join3 (superset: 5-table star)
@@ -30,7 +31,11 @@ HEADLINE = [
     "a2_count_distinct",    # Q-distinct
     "a4_rollup",            # Q-rollup
     "u3_intersect",         # Q-setop
-    "j8_asof_join",         # asof temporal join
+    "f7_json_extract",      # Q-json+time
+    "l1_exact_dedup",       # Q-dedup
+    "l3_cosine_topk",       # Q-simsearch
+    "l4_token_freq",        # Q-tokens
+    "j8_asof_join",         # asof temporal join (no DuckDB twin metric)
 ]
 RUNS = 3
 

@@ -102,3 +102,74 @@ def extract_features(media: DataFrame, batch_hint: int = 1024, use_fake: bool = 
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int, use_fake: bool = True) -> DataFrame:
+    """Resize kernel over mapInPandas. The fake kernel re-encodes the
+    payload to a deterministic (width*height)-byte tiling of the input
+    bytes; the real kernel would decode+resample via _decode_real with
+    the identical schema and batch shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not use_fake:  # pragma: no cover
+                _decode_real(None, "image")
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b"\x00"
+                reps = (target // len(b)) + 1
+                out.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250, use_fake: bool = True) -> DataFrame:
+    """Frame sampling (1→N rows per video) over mapInPandas. Fake
+    kernel: one frame per every_ms of meta.duration_ms, frame bytes =
+    payload slice — deterministic row explosion with the real
+    operator's schema and fan-out shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake:  # pragma: no cover
+                _decode_real(None, "video")
+            ids, idxs, frames = [], [], []
+            for mid, p, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                b = bytes(p) if p is not None else b""
+                dur = int(meta["duration_ms"]) if meta is not None else 0
+                n_frames = max(dur // every_ms, 1)
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i % max(len(b), 1) :] + b[: i % max(len(b), 1)])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

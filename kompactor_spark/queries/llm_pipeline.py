@@ -3,7 +3,7 @@ mandate: dedup, similarity search, multimodal, text analysis).
 
 Hash-checked where deterministic; MinHash/SimHash/LSH variants are
 seeded-randomized or engine-hash-based and registered rows-only with
-property tests in tests/test_llm_ops.py.
+recall-bound tests in tests/test_tolerance.py.
 """
 
 from __future__ import annotations

@@ -67,3 +67,28 @@ def test_s6_range_sorted_multi_file(spark, tmp_path):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file ranges overlap"
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize + frame-sample plumbing: schema, determinism, fan-out."""
+    from kompactor_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(8)
+    media = synthesize_media(docs, "doc_id", kind="video")
+
+    resized = resize_images(media, 16, 16).collect()
+    assert len(resized) == 8
+    assert all(len(r.payload) == 256 and (r.width, r.height) == (16, 16) for r in resized)
+
+    frames = sample_frames(media, every_ms=250)
+    per = frames.groupBy("media_id").count().collect()
+    assert len(per) == 8
+    assert all(r["count"] == 4 for r in per)  # 1000ms / 250ms
+    # deterministic: second run identical
+    a = sorted((r.media_id, r.frame_idx) for r in frames.collect())
+    b = sorted((r.media_id, r.frame_idx) for r in sample_frames(media, every_ms=250).collect())
+    assert a == b

@@ -32,6 +32,7 @@ _SUBMODULES = [
     "kompactor_spark.queries.compaction_queries",
     "kompactor_spark.queries.scale_ops",
     "kompactor_spark.queries.relational_ext",
+    "kompactor_spark.queries.tpch",
 ]
 _loaded = False
 

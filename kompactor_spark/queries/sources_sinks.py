@@ -55,6 +55,44 @@ def s2_partition_pruned_scan(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# S7 — bucketed co-located join: both sides bucketed on the join key at
+# write time → the join runs with ZERO exchanges (plan-asserted in
+# tests). The 100 TB pattern for repeatedly-joined fact tables.
+# --------------------------------------------------------------------------
+@register(
+    "s7_bucketed_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def s7_bucketed_join(spark, sf_dir):
+    from kompactor_spark.sources import write_bucketed
+
+    T_ = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    to, tc = f"orders_b_{tag}", f"customer_b_{tag}"
+    if not spark.catalog.tableExists(to):
+        write_bucketed(T_("orders"), to, "o_custkey", 8, path=scratch_path(f"bkt_{to}"))
+    if not spark.catalog.tableExists(tc):
+        write_bucketed(T_("customer"), tc, "c_custkey", 8, path=scratch_path(f"bkt_{tc}"))
+    o, c = spark.table(to), spark.table(tc)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
 # S3 — JSON source: typed parse of the events.props JSON strings via
 # from_json with an explicit schema (vs F7's path extraction).
 # --------------------------------------------------------------------------

@@ -67,3 +67,27 @@ def write_range_sorted(df: DataFrame, path: str, sort_col: str, num_files: int,
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table write (SURVEY §2.B S-layer scale path):
+    two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle — the exchange is pre-paid at write time,
+    which is the right trade for fact tables joined repeatedly on the
+    same key (each query saves a full shuffle of the big side).
+    """
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("compression", "zstd")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -97,3 +97,16 @@ def test_z2_salted_join_stays_broadcast(spark, Q):
     p = plan(spark, Q["z2_salted_join"](spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_s7_bucketed_join_no_shuffle(spark, Q):
+    """S7: both sides bucketed on the join key → sort-merge join with
+    ZERO exchanges on either input (the only hash exchange in the whole
+    plan is the post-join aggregate's)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, Q["s7_bucketed_join"](spark, SF))
+        assert "SortMergeJoin" in p
+        assert p.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))

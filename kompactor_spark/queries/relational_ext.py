@@ -147,3 +147,68 @@ def j10_decorrelated_subquery(spark, sf_dir):
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# A10 — GROUPING SETS via the engine's Spark-SQL surface (the DataFrame
+# API exposes rollup/cube; arbitrary grouping sets are SQL) with
+# grouping() flags for the super-aggregate rows
+# --------------------------------------------------------------------------
+_A10_SQL = """
+    SELECT n_name, o_orderstatus,
+           CAST(grouping(n_name) AS BIGINT) AS g_nation,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+    ORDER BY g_nation, g_status, n_name NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+@register("a10_grouping_sets", oracle=_A10_SQL)
+def a10_grouping_sets(spark, sf_dir):
+    from kompactor_spark.sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _A10_SQL)
+
+
+# --------------------------------------------------------------------------
+# S8 — schema evolution: two Parquet generations (a column added) read
+# as one table with mergeSchema; old rows surface NULL for the new col
+# --------------------------------------------------------------------------
+@register(
+    "s8_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL::VARCHAR AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'web' AS o_channel
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderkey, o_totalprice, o_channel
+    FROM unioned
+    ORDER BY o_orderkey
+    """,
+)
+def s8_schema_evolution(spark, sf_dir):
+    from kompactor_spark.sources import clear_scratch
+    from kompactor_spark.tables import load_table
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    root = clear_scratch("s8_evo_" + tag)
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    gen2 = (
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", F.lit("web").alias("o_channel"))
+    )
+    gen1.write.mode("overwrite").parquet(root + "/gen1")
+    gen2.write.mode("overwrite").parquet(root + "/gen2")
+    return (
+        spark.read.option("mergeSchema", "true").parquet(root + "/gen1", root + "/gen2")
+        .select("o_orderkey", "o_totalprice", "o_channel")
+        .orderBy("o_orderkey")
+    )

@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
         "Omit to compact every day (backfill).",
     )
     p.add_argument("--time-col", default="time", help="time column name (default: time)")
+    p.add_argument(
+        "--parallelism",
+        type=int,
+        default=1,
+        help="concurrent compaction groups (driver threads; Spark overlaps their stages)",
+    )
     return p
 
 
@@ -63,6 +69,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             config=CompactionConfig(),
             dry_run=args.dry_run,
             time_col=args.time_col,
+            parallelism=args.parallelism,
         )
         reports = job.run_generation(now_ns=args.now_ns) if args.generation else job.run()
         for rep in reports:

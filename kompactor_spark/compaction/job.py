@@ -24,6 +24,8 @@ import glob
 import logging
 import os
 import shutil
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import Observation, SparkSession
@@ -81,6 +83,7 @@ class CompactionJob:
         config: CompactionConfig | None = None,
         dry_run: bool = False,
         time_col: str = "time",
+        parallelism: int = 1,
     ):
         self.spark = spark
         self.data_dir = data_dir
@@ -88,6 +91,14 @@ class CompactionJob:
         self.config = config or CompactionConfig()
         self.dry_run = dry_run
         self.time_col = time_col
+        # Groups are independent read→sort→write jobs; submitting them
+        # from multiple driver threads lets the Spark scheduler overlap
+        # their stages (a single group's coalesce(1) write uses one
+        # task — serial groups would idle the rest of the cluster).
+        self.parallelism = max(1, parallelism)
+        # Snapshot JSONs are shared across groups — rewrite under a lock
+        # (the data-plane work stays fully parallel).
+        self._meta_lock = threading.Lock()
 
     # -- discovery ---------------------------------------------------------
     def validate_directories(self) -> None:
@@ -129,8 +140,12 @@ class CompactionJob:
             planned_groups=len(plan.groups),
             skipped_singletons=plan.skipped_singletons,
         )
-        for group in plan.groups:
-            res = self._compact_group(host, group, snap_paths)
+        if self.parallelism > 1 and not self.dry_run and len(plan.groups) > 1:
+            with ThreadPoolExecutor(max_workers=self.parallelism) as ex:
+                results = list(ex.map(lambda g: self._compact_group(host, g, snap_paths), plan.groups))
+        else:
+            results = [self._compact_group(host, g, snap_paths) for g in plan.groups]
+        for res in results:
             if res is not None:
                 report.results.append(res)
                 report.compacted_groups += 1
@@ -230,20 +245,24 @@ class CompactionJob:
                     f"row conservation violated for {out_rel}: inputs={expected_rows} output={rows}"
                 )
 
-        # ---- 3. metadata rewrite (atomic, BEFORE deletion — B7) -----------
-        compacted_paths = {f.path for f in existing}
-        new_infos = self._new_file_infos(
-            snap_paths, final_rel_paths, part_stats, existing, rows, tmin, tmax
-        )
-        for sp in snap_paths:
-            snap = read_snapshot(sp)
-            if self._rewrite_snapshot(snap, compacted_paths, new_infos):
-                write_snapshot_atomic(snap, sp)
+        # ---- 3+4 under the catalog lock: id allocation + snapshot
+        # rewrite + deletion serialize across concurrent groups (the
+        # merge/write above runs fully parallel) ----------------------------
+        with self._meta_lock:
+            # metadata rewrite (atomic, BEFORE deletion — B7)
+            compacted_paths = {f.path for f in existing}
+            new_infos = self._new_file_infos(
+                snap_paths, final_rel_paths, part_stats, existing, rows, tmin, tmax
+            )
+            for sp in snap_paths:
+                snap = read_snapshot(sp)
+                if self._rewrite_snapshot(snap, compacted_paths, new_infos):
+                    write_snapshot_atomic(snap, sp)
 
-        # ---- 4. delete originals + prune (C14) ----------------------------
-        for p in input_abs:
-            os.unlink(p)
-            self._remove_empty_dirs_upward(os.path.dirname(p))
+            # delete originals + prune (C14)
+            for p in input_abs:
+                os.unlink(p)
+                self._remove_empty_dirs_upward(os.path.dirname(p))
 
         return GroupResult(
             key=(host, group.key.db_seg, group.key.table_seg, group.key.date, group.key.hour),

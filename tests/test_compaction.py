@@ -283,3 +283,18 @@ def test_compute_split_cuts_unit():
     assert cuts == [700]  # one 70/30 cut; 30% tail (60 MiB) fits
     big = compute_split_cuts(0, 10_000, 1000 * 1024 * 1024, cfg)
     assert len(big) >= 2 and big == sorted(big)
+
+
+def test_parallel_group_execution(spark, tmp_path):
+    """Groups compacted from concurrent driver threads: identical
+    results + invariants; catalog writes serialized by the meta lock."""
+    root = str(tmp_path / "par")
+    FX.multi_hour(root)
+    before = rows_by_table(root)
+    report = run_job(spark, root, parallelism=4)
+    assert report.compacted_groups == 2
+    assert rows_by_table(root) == before
+    assert_invariants(root)
+    # fresh ids unique across concurrently-compacted groups
+    ids = [f.id for _, _, _, f in catalog_files(root)]
+    assert len(ids) == len(set(ids))

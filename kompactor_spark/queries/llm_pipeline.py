@@ -379,3 +379,110 @@ def l5_media_features(spark, sf_dir):
         .select("media_id", "kind", "n_bytes", F.transform("feature", lambda x: F.round(x, 4)).alias("feature"))
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L6a — token-budget selection: highest-quality docs first until a
+# token budget is exhausted (running-sum window; the standard
+# "fill the training mix" primitive)
+# --------------------------------------------------------------------------
+@register(
+    "l6_token_budget",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE), 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= 20000
+    ORDER BY doc_id
+    """,
+)
+def l6_token_budget(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    scored = T("documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+            / F.length("text").cast("double"),
+            6,
+        ).alias("quality"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 20000)
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L6b — PII-style redaction: emails, long digit runs, URLs → tags
+# (regexp_replace chain; pure JVM expression)
+# --------------------------------------------------------------------------
+@register(
+    "l6_redact",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS redacted
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def l6_redact(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"https?://[^ ]+",
+            "<URL>",
+        ),
+        r"[0-9]{6,}",
+        "<NUM>",
+    )
+    return T("documents").select("doc_id", redacted.alias("redacted")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# L6c — deterministic stratified sampling: per-stratum rates via a hash
+# of the row key (NOT rand(): hash sampling is partitioning- and
+# retry-independent, which is what a reproducible training mix needs).
+# Engine-specific hash → rows-only driver check + rate property test.
+# --------------------------------------------------------------------------
+SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.25, "it": 0.25}
+
+
+@register("l6_stratified_sample")
+def l6_stratified_sample(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(20260813)), F.lit(10000))
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == code, F.lit(r)) for code, r in SAMPLE_RATES.items()],
+        F.lit(0.1),
+    )
+    return (
+        T("documents")
+        .where(bucket < rate * 10000)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -42,3 +42,22 @@ def test_l3_lsh_topk_recall(spark, Q):
     approx = [r.vec_id for r in Q["l3_lsh_topk"](spark, SF).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.7, f"lsh top-k recall {recall:.2f} < 0.7"
+
+
+def test_l6_stratified_sample_rates(spark, Q):
+    """L6c: hash-stratified sampling hits each stratum's target rate
+    (±15% relative at sf0.01 strata sizes) and is reproducible."""
+    from kompactor_spark.queries.llm_pipeline import SAMPLE_RATES
+    from kompactor_spark.tables import load_table
+
+    sampled = Q["l6_stratified_sample"](spark, SF).groupBy("lang").count().collect()
+    totals = {r.lang: r["count"] for r in load_table(spark, SF, "documents").groupBy("lang").count().collect()}
+    got = {r.lang: r["count"] for r in sampled}
+    for lang, rate in SAMPLE_RATES.items():
+        if lang in totals and totals[lang] >= 50:
+            frac = got.get(lang, 0) / totals[lang]
+            assert abs(frac - rate) <= 0.15 * rate + 0.05, f"{lang}: {frac:.3f} vs {rate}"
+    # deterministic: re-run identical
+    a = sorted(r.doc_id for r in Q["l6_stratified_sample"](spark, SF).collect())
+    b = sorted(r.doc_id for r in Q["l6_stratified_sample"](spark, SF).collect())
+    assert a == b

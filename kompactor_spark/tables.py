@@ -28,6 +28,22 @@ TABLES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Pinned schema contract (FIXTURES.md §1; SURVEY §1.3 "pin schemas
+# explicitly for 100 TB safety"). events.ts is ns-parquet read as long
+# via nanosAsLong. Asserted against every scale dir in tests.
+SCHEMAS = {
+    "region": "struct<r_regionkey:int,r_name:string>",
+    "nation": "struct<n_nationkey:int,n_name:string,n_regionkey:int>",
+    "customer": "struct<c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string>",
+    "supplier": "struct<s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double>",
+    "part": "struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double>",
+    "orders": "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>",
+    "lineitem": "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>",
+    "events": "struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double,props:string>",
+    "documents": "struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>",
+    "embeddings": "struct<vec_id:bigint,embedding:array<float>,label:int>",
+}
+
 # Unique keys per table — total-order tiebreaks for hash-checked queries
 # (FIXTURES.md §1).
 UNIQUE_KEYS = {

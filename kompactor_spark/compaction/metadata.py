@@ -140,3 +140,70 @@ def write_snapshot_atomic(meta: SnapshotMetadata, path: str) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def bootstrap_snapshot(
+    data_dir: str,
+    host: str,
+    time_col: str = "time",
+    writer_id: str | None = None,
+) -> SnapshotMetadata:
+    """Adopt an uncataloged layout: walk <host>/dbs/db-N/table-N/...,
+    read each Parquet footer (rows + time min/max — no data scan), and
+    build a SnapshotMetadata over everything found. The entry point for
+    taking ownership of files written by an external ingester (e.g. a
+    streaming job) that doesn't maintain the snapshot catalog.
+    """
+    import glob as _glob
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    files: list[tuple[int, int, ParquetFileInfo]] = []
+    next_id = 1
+    base = os.path.join(data_dir, host, "dbs")
+    for p in sorted(_glob.glob(os.path.join(base, "**", "*.parquet"), recursive=True)):
+        rel = os.path.relpath(p, data_dir)
+        m = _re.search(r"/db-(\d+)/table-(\d+)/", rel)
+        if not m:
+            continue
+        db_id, table_id = int(m.group(1)), int(m.group(2))
+        md = pq.ParquetFile(p).metadata
+        tmin = tmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == time_col and col.statistics is not None and col.statistics.has_min_max:
+                    s = col.statistics
+                    tmin = s.min if tmin is None else min(tmin, s.min)
+                    tmax = s.max if tmax is None else max(tmax, s.max)
+        files.append(
+            (
+                db_id,
+                table_id,
+                ParquetFileInfo(
+                    id=next_id,
+                    path=rel,
+                    size_bytes=os.path.getsize(p),
+                    row_count=md.num_rows,
+                    chunk_time=tmin or 0,
+                    min_time=tmin or 0,
+                    max_time=tmax or 0,
+                ),
+            )
+        )
+        next_id += 1
+
+    dbs: dict[int, dict[int, list[ParquetFileInfo]]] = {}
+    for db_id, table_id, info in files:
+        dbs.setdefault(db_id, {}).setdefault(table_id, []).append(info)
+    meta = SnapshotMetadata(
+        writer_id=writer_id or host,
+        parquet_size_bytes=0,
+        row_count=0,
+        min_time=0,
+        max_time=0,
+        databases=[(db_id, tables) for db_id, tables in sorted(dbs.items())],
+    )
+    meta.recompute_totals()
+    return meta

@@ -54,14 +54,17 @@ class CompactionConfig:
 def extract_wal_sequence(filename: str) -> int:
     """WAL sequence from raw or compacted names (kompactor.ts:86-96).
     Compacted files report their FIRST wal seq → re-compaction keeps
-    idempotent ordering (C16)."""
+    idempotent ordering (C16). Adopted files with foreign names (e.g.
+    a streaming writer's part-*.parquet, cataloged by
+    bootstrap_snapshot) sort as seq 0; group ordering stays
+    deterministic via the (seq, path) sort key."""
     m = RAW_FILE_RE.search(filename)
     if m:
         return int(m.group(1))
     m = COMPACTED_FILE_RE.search(filename)
     if m:
         return int(m.group(1))
-    raise ValueError(f"unrecognized parquet filename: {filename!r}")
+    return 0
 
 
 def is_compacted_file(filename: str) -> bool:

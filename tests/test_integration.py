@@ -1,0 +1,88 @@
+"""End-to-end product flow: streaming ingest → bare Parquet layout →
+bootstrap_snapshot (catalog adoption, footer-stats only) → hour
+compaction → generation compaction, invariants at every step.
+This is the full lifecycle a reference user runs: an external writer
+lands files, the engine takes ownership and compacts."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from kompactor_spark.compaction import CompactionJob
+from kompactor_spark.compaction.metadata import bootstrap_snapshot, write_snapshot_atomic
+
+from tests import fixtures_compaction as FX
+from tests.test_compaction import assert_invariants, disk_parquets
+from tests.test_streaming import BASE, EVENTS_SCHEMA, NS, _rows, _write_batches
+
+
+def test_ingest_bootstrap_compact(spark, tmp_path):
+    # 1. streaming ingest: file source → partitioned parquet sink
+    src = str(tmp_path / "src")
+    batches = [
+        _rows(0, BASE, user=1, n=40, step_ns=30 * NS),
+        _rows(100, BASE + 600 * NS, user=2, n=40, step_ns=30 * NS),
+        _rows(200, BASE + 3600 * NS, user=3, n=30, step_ns=30 * NS),
+    ]
+    _write_batches(spark, src, batches)
+    staged = str(tmp_path / "staged")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    hour_ns = 3600 * NS
+    q = (
+        stream.withColumn("time", F.col("ts"))
+        .withColumn("date", F.from_unixtime((F.col("ts") / NS).cast("long"), "yyyy-MM-dd"))
+        .withColumn("hour", F.from_unixtime((F.col("ts") / NS).cast("long"), "HH"))
+        .writeStream.format("parquet")
+        .partitionBy("date", "hour")
+        .option("path", staged)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # 2. external-writer layout: relocate into <host>/dbs/db-0/table-0/<date>/<HH-00>/
+    root = str(tmp_path / "lake")
+    host = FX.HOST
+    os.makedirs(os.path.join(root, host, "snapshots"), exist_ok=True)
+    moved = 0
+    for p in glob.glob(os.path.join(staged, "date=*", "hour=*", "*.parquet")):
+        date = p.split("date=")[1].split("/")[0]
+        hour = p.split("hour=")[1].split("/")[0]
+        dest = os.path.join(root, host, "dbs", "db-0", "table-0", date, f"{hour}-00", f"ingest_{moved:04d}_{os.path.basename(p)}")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.copy(p, dest)
+        moved += 1
+    assert moved >= 3  # micro-batches × hours
+
+    # 3. adopt: bootstrap the catalog from footers alone
+    snap = bootstrap_snapshot(root, host)
+    assert snap.row_count == 110
+    write_snapshot_atomic(snap, os.path.join(root, host, "snapshots", "0000.info.json"))
+    assert_invariants(root)  # catalog ↔ disk agree from the start
+
+    # 4. hour compaction over adopted files
+    total_before = snap.row_count
+    job = CompactionJob(spark, root, [host], time_col="time")
+    rep = job.run()[0]
+    assert rep.compacted_groups >= 1
+
+    # 5. generation pass
+    CompactionJob(spark, root, [host], time_col="time").run_generation()
+
+    # end state: catalog integrity + row conservation + sortedness
+    assert_invariants(root)
+    con_total = 0
+    import pyarrow.parquet as pq
+
+    for rel in disk_parquets(root):
+        con_total += pq.ParquetFile(os.path.join(root, rel)).metadata.num_rows
+    assert con_total == total_before

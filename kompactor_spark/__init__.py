@@ -10,8 +10,20 @@ Catalyst-optimized declarative plans, Structured Streaming, pandas UDFs
 only where built-ins cannot express the semantics.
 """
 
-from kompactor_spark.session import get_spark
+from kompactor_spark.compaction import CompactionConfig, CompactionJob
+from kompactor_spark.compaction.metadata import bootstrap_snapshot
+from kompactor_spark.session import ensure_conf, get_spark
+from kompactor_spark.sql_api import run_sql
 from kompactor_spark.tables import TABLES, load_table
 
-__all__ = ["get_spark", "load_table", "TABLES"]
+__all__ = [
+    "CompactionConfig",
+    "CompactionJob",
+    "TABLES",
+    "bootstrap_snapshot",
+    "ensure_conf",
+    "get_spark",
+    "load_table",
+    "run_sql",
+]
 __version__ = "0.1.0"

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--time-col", default="time", help="time column name (default: time)")
     p.add_argument(
+        "--bootstrap",
+        action="store_true",
+        help="before compacting, adopt any uncataloged <host>/dbs files into a fresh snapshot "
+        "(footer stats only, no data scan)",
+    )
+    p.add_argument(
         "--parallelism",
         type=int,
         default=1,
@@ -62,6 +68,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         spark = get_spark("kompactor-spark-cli")
     try:
+        if args.bootstrap:
+            import os
+
+            from kompactor_spark.compaction.metadata import bootstrap_snapshot, write_snapshot_atomic
+
+            for host in args.hosts.split(","):
+                if not host:
+                    continue
+                snap = bootstrap_snapshot(args.data_dir, host, time_col=args.time_col)
+                out = os.path.join(args.data_dir, host, "snapshots", "0000.info.json")
+                os.makedirs(os.path.dirname(out), exist_ok=True)
+                write_snapshot_atomic(snap, out)
+                print(f"{host}: bootstrapped catalog ({snap.row_count} rows, "
+                      f"{sum(1 for _ in snap.all_files())} files)")
         job = CompactionJob(
             spark,
             args.data_dir,

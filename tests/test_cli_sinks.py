@@ -92,3 +92,21 @@ def test_multimodal_resize_and_frames(spark):
     a = sorted((r.media_id, r.frame_idx) for r in frames.collect())
     b = sorted((r.media_id, r.frame_idx) for r in sample_frames(media, every_ms=250).collect())
     assert a == b
+
+
+def test_cli_bootstrap_adopts_bare_layout(spark, tmp_path, capsys):
+    """--bootstrap: a dbs/ tree with NO snapshot catalog is adopted
+    (footer stats) and then compacted in the same invocation."""
+    root = str(tmp_path / "boot")
+    b = FX.LayoutBuilder(root)
+    hstart = (FX.BASE_NS // (3600 * FX.NS)) * 3600 * FX.NS
+    for wal in (1, 2, 3):
+        rows = FX.make_rows(20, hstart + wal * 11 * FX.NS, 2000 * FX.NS, seed=wal)
+        b.add_parquet(0, 3, "2025-01-26", 14, f"{wal:010d}.parquet", rows)
+    # deliberately no b.write_snapshot()
+
+    rc = main([root, "--hosts", FX.HOST, "--bootstrap"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "bootstrapped catalog (60 rows" in out
+    assert "compacted 1/1 groups" in out

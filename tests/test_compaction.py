@@ -298,3 +298,15 @@ def test_parallel_group_execution(spark, tmp_path):
     # fresh ids unique across concurrently-compacted groups
     ids = [f.id for _, _, _, f in catalog_files(root)]
     assert len(ids) == len(set(ids))
+
+
+def test_output_is_zstd(spark, tmp_path):
+    """Sink policy: compacted output row groups are ZSTD-compressed
+    (reference COPY option, kompactor.ts:109)."""
+    root = str(tmp_path / "zstd")
+    FX.basic_hour(root)
+    report = run_job(spark, root)
+    (out_rel,) = report.results[0].output_paths
+    md = pq.ParquetFile(os.path.join(root, out_rel)).metadata
+    codecs = {md.row_group(rg).column(0).compression for rg in range(md.num_row_groups)}
+    assert codecs == {"ZSTD"}

@@ -33,6 +33,7 @@ _SUBMODULES = [
     "kompactor_spark.queries.scale_ops",
     "kompactor_spark.queries.relational_ext",
     "kompactor_spark.queries.tpch",
+    "kompactor_spark.queries.timeseries",
 ]
 _loaded = False
 

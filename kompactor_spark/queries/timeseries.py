@@ -1,0 +1,157 @@
+"""Time-series operators (the reference's domain — InfluxDB 3 data):
+gap-fill, last-observation-carried-forward, tolerance-bounded as-of.
+
+All on the ns-long time policy (events.ts), H-checked. Gap-fill's
+bucket spine is a driver-built sequence (two scalars collected — the
+hour range), never a data-sized collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kompactor_spark.queries import register
+from kompactor_spark.tables import loader
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+# --------------------------------------------------------------------------
+# X7 — gap-fill: every (event_type × hour) bucket over the full time
+# range, zero-filled where no events landed (dashboards need the empty
+# buckets; storage engines never materialize them)
+# --------------------------------------------------------------------------
+@register(
+    "x7_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (epoch_ns(min(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmin,
+             (epoch_ns(max(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmax
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, gs.h AS hour_ns
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(hmin, hmax, {NS_PER_HOUR})) AS h FROM bounds) gs
+    ),
+    actual AS (
+      SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hour_ns,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour_ns, COALESCE(a.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN actual a USING (event_type, hour_ns)
+    ORDER BY s.event_type, s.hour_ns
+    """,
+)
+def x7_gap_fill(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    b = ev.agg(
+        ((F.min("ts") / NS_PER_HOUR).cast("long") * NS_PER_HOUR).alias("hmin"),
+        ((F.max("ts") / NS_PER_HOUR).cast("long") * NS_PER_HOUR).alias("hmax"),
+    ).first()
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(F.lit(int(b["hmin"])), F.lit(int(b["hmax"])), F.lit(NS_PER_HOUR))
+                ).alias("hour_ns")
+            )
+        )
+    )
+    actual = (
+        ev.groupBy(
+            "event_type",
+            ((F.col("ts") / NS_PER_HOUR).cast("long") * NS_PER_HOUR).alias("hour_ns"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    return (
+        spine.join(actual, ["event_type", "hour_ns"], "left")
+        .select("event_type", "hour_ns", F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"))
+        .orderBy("event_type", "hour_ns")
+    )
+
+
+# --------------------------------------------------------------------------
+# X8 — LOCF (last observation carried forward): sparse readings (every
+# 5th event's value nulled to simulate gaps) forward-filled per user in
+# event-time order — the canonical sensor-stream interpolation
+# --------------------------------------------------------------------------
+@register(
+    "x8_locf",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE round(value, 6) END AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts_ns, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_ns, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM sparse
+    ORDER BY event_id
+    """,
+)
+def x8_locf(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    sparse = T("events").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.round("value", 6)).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.withColumn("v_filled", F.last("v", ignorenulls=True).over(w)).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# J8b — as-of join with tolerance: latest prior signup of the same
+# user, but only if within 24 h of the error (stale matches → NULL) —
+# the bounded-lookback variant every time-series store exposes
+# --------------------------------------------------------------------------
+_TOL = 24 * NS_PER_HOUR
+
+
+@register(
+    "j8b_asof_tolerance",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS err_ts,
+           CASE WHEN epoch_ns(e.ts) - epoch_ns(s.ts) <= {_TOL}
+                THEN epoch_ns(s.ts) END AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    ORDER BY e.event_id
+    """,
+)
+def j8b_asof_tolerance(spark, sf_dir):
+    from kompactor_spark.operators.asof import asof_join
+
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts_raw")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts_raw")
+    )
+    joined = asof_join(errors, signups, on="user_id", left_ts="err_ts_raw", right_ts="signup_ts_raw")
+    # tolerance compared on µs-floored ns to match the oracle exactly
+    # (DuckDB's epoch_ns(ts) is µs-truncated — parquet ns → TIMESTAMP µs)
+    us = lambda c: F.col(c) - F.col(c) % 1000  # noqa: E731
+    return joined.select(
+        "event_id",
+        "user_id",
+        us("err_ts_raw").alias("err_ts"),
+        F.when(us("err_ts_raw") - us("signup_ts_raw") <= _TOL, us("signup_ts_raw")).alias("signup_ts"),
+    ).orderBy("event_id")

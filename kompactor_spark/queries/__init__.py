@@ -34,6 +34,7 @@ _SUBMODULES = [
     "kompactor_spark.queries.relational_ext",
     "kompactor_spark.queries.tpch",
     "kompactor_spark.queries.timeseries",
+    "kompactor_spark.queries.maintenance",
 ]
 _loaded = False
 

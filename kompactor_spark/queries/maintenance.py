@@ -1,0 +1,112 @@
+"""Lake-maintenance operators: upsert (MERGE semantics composed from
+joins — no table format required) and latest-per-key recency dedup.
+These are the mutation patterns a compacted Parquet lake needs next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kompactor_spark.queries import register
+from kompactor_spark.tables import loader
+
+
+# --------------------------------------------------------------------------
+# M1 — upsert: apply a change-set to a target by key. MERGE = matched
+# rows take the source's values, unmatched source rows append. Composed
+# as target-antijoin + source-union — one shuffle each side, no
+# row-at-a-time logic; at scale the same plan works per partition.
+# The change-set is synthesized deterministically (every 100th order
+# gets a price bump, plus brand-new keys past the max).
+# --------------------------------------------------------------------------
+@register(
+    "m1_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+             round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    kept AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+    )
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM changes
+    ORDER BY o_orderkey
+    """,
+)
+def m1_upsert(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    target = T("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    updates = (
+        T("orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+    )
+    inserts = (
+        T("orders")
+        .where(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    kept = target.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
+    return kept.select(*cols).unionByName(changes.select(*cols)).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# M2 — latest-per-key: keep each (user, event_type)'s most recent event
+# (recency dedup — the CDC/compaction-of-state primitive). One shuffle,
+# row_number over the recency order, deterministic tiebreak.
+# --------------------------------------------------------------------------
+@register(
+    "m2_latest_per_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns, round(value, 6) AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def m2_latest_per_key(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        T("events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -486,3 +486,43 @@ def l6_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L2f — edit-distance near-dup pairs: levenshtein over shingle-blocked
+# candidates (never all-pairs; the candidate set comes from the same
+# inverted index as L2, then the expensive metric runs on candidates
+# only — the standard two-stage filter-verify shape)
+# --------------------------------------------------------------------------
+@register(
+    "l2_edit_distance_pairs",
+    oracle=f"""
+    WITH d AS ({_SH_SQL}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.12
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN documents ta ON ta.doc_id = c.id_a
+    JOIN documents tb ON tb.doc_id = c.id_b
+    WHERE levenshtein(ta.text, tb.text) <= 50
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_edit_distance_pairs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    cand = D.jaccard_pairs(docs, threshold=0.12).select("id_a", "id_b")
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 50)
+        .orderBy("id_a", "id_b")
+    )

@@ -212,3 +212,48 @@ def s8_schema_evolution(spark, sf_dir):
         .select("o_orderkey", "o_totalprice", "o_channel")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# A11 — fixed-width histogram over a measure (binning is the basis of
+# approximate quantiles / data profiling at scale: one pass, one small
+# groupBy — never a sort)
+# --------------------------------------------------------------------------
+@register(
+    "a11_histogram",
+    oracle="""
+    WITH params AS (SELECT 0.0 AS lo, 500.0 AS hi, 20 AS nbins),
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(floor((value - lo) / ((hi - lo) / nbins)) AS BIGINT), 0), nbins - 1) AS bin
+      FROM events, params
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(0.0 + bin * 25.0, 6) AS bin_lo,
+           round(0.0 + (bin + 1) * 25.0, 6) AS bin_hi
+    FROM binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def a11_histogram(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    lo, hi, nbins = 0.0, 500.0, 20
+    width = (hi - lo) / nbins
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("value") - lo) / width).cast("bigint"), F.lit(0)),
+        F.lit(nbins - 1),
+    ).alias("bin")
+    return (
+        T("events")
+        .select(bin_col)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("bin") * width + lo, 6).alias("bin_lo"),
+            F.round((F.col("bin") + 1) * width + lo, 6).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )

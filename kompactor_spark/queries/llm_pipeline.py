@@ -526,3 +526,40 @@ def l2_edit_distance_pairs(spark, sf_dir):
         .where(F.col("edit_dist") <= 50)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# L7 — per-label embedding centroids (class prototypes / one k-means
+# step): posexplode → avg per (label, dim) → reassemble ordered array.
+# Shuffle volume is rows×dims scalars with map-side partial agg — at
+# scale this beats any driver-side accumulation by construction.
+# --------------------------------------------------------------------------
+@register(
+    "l7_label_centroids",
+    oracle="""
+    WITH flat AS (
+      SELECT label, u.idx AS dim, u.v AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+                           generate_subscripts(embedding, 1) AS idx) u
+    )
+    SELECT label, dim, round(avg(val), 6) AS centroid_val,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM flat
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def l7_label_centroids(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    flat = T("embeddings").select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    return (
+        flat.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -182,3 +182,40 @@ def s5_sorted_sink_roundtrip(spark, sf_dir):
         .select("event_id", (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"), "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S9 — JSON-lines sink + typed re-read round trip (interchange format;
+# schema pinned on read — never inferred in the engine path)
+# --------------------------------------------------------------------------
+@register(
+    "s9_json_sink_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events
+    WHERE event_type IN ('signup', 'error')
+    ORDER BY event_id
+    """,
+)
+def s9_json_sink_roundtrip(spark, sf_dir):
+    from pyspark.sql import types as T_
+
+    T = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = scratch_path("s9_json_" + tag)
+    (
+        T("events")
+        .where(F.col("event_type").isin("signup", "error"))
+        .select("event_id", "user_id", "event_type", F.round("value", 6).alias("value"))
+        .write.mode("overwrite")
+        .json(path)
+    )
+    schema = T_.StructType(
+        [
+            T_.StructField("event_id", T_.LongType()),
+            T_.StructField("user_id", T_.LongType()),
+            T_.StructField("event_type", T_.StringType()),
+            T_.StructField("value", T_.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path).orderBy("event_id")

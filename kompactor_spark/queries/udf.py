@@ -175,3 +175,53 @@ def v3_map_in_pandas_chunker(spark, sf_dir):
         .mapInPandas(_chunker, schema=_CHUNK_SCHEMA)
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# V4 — cogrouped applyInPandas: per-user as-of merge of two grouped
+# streams with pandas.merge_asof — the cogroup API surface. Oracle =
+# the same ASOF semantics in DuckDB SQL (results are deterministic, so
+# this is H-checked even though it runs in Python).
+# --------------------------------------------------------------------------
+@register(
+    "v4_cogroup_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS err_ts, epoch_ns(s.ts) AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    ORDER BY e.event_id
+    """,
+)
+def v4_cogroup_asof(spark, sf_dir):
+    import pandas as pd
+
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("s_ts"))
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(columns=["event_id", "user_id", "err_ts", "signup_ts"])
+        # Work in µs: ns epochs (~1.7e18) exceed float64's 2^53 integer
+        # range, and merge_asof's NaN fill forces float64 — µs (~1.7e15)
+        # stays exact (engine B3 discipline inside Python kernels too).
+        left = left.assign(ts_us=left["ts"] // 1000).sort_values("ts_us")
+        right = right.assign(s_us=right["s_ts"] // 1000).sort_values("s_us")
+        m = pd.merge_asof(left, right[["s_us"]], left_on="ts_us", right_on="s_us", direction="backward")
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "err_ts": m["ts_us"] * 1000,  # µs floor (oracle epoch_ns)
+                "signup_ts": (m["s_us"].astype("Int64") * 1000),
+            }
+        )
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(signups.groupBy("user_id"))
+        .applyInPandas(merge, schema="event_id long, user_id long, err_ts long, signup_ts long")
+        .orderBy("event_id")
+    )

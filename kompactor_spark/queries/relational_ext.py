@@ -257,3 +257,58 @@ def a11_histogram(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# A9b — approximate percentiles (one-pass sketch; tolerance-checked vs
+# the exact A9 in tests — sketches are engine-specific, never H)
+# --------------------------------------------------------------------------
+@register("a9b_approx_percentiles")
+def a9b_approx_percentiles(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_p50_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# M3 — table profiling: per-column null counts, distinct counts,
+# min/max in ONE pass (the stats an optimizer/catalog maintains;
+# distributed by construction — one aggregate, no per-column scans)
+# --------------------------------------------------------------------------
+@register(
+    "m3_profile_orders",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_priority,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+           round(MIN(o_totalprice), 6) AS min_price,
+           round(MAX(o_totalprice), 6) AS max_price,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+)
+def m3_profile_orders(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return T("orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).cast("bigint").alias("null_custkey"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("nd_status"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("nd_priority"),
+        F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+        F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )

@@ -61,3 +61,12 @@ def test_l6_stratified_sample_rates(spark, Q):
     a = sorted(r.doc_id for r in Q["l6_stratified_sample"](spark, SF).collect())
     b = sorted(r.doc_id for r in Q["l6_stratified_sample"](spark, SF).collect())
     assert a == b
+
+
+def test_a9b_approx_percentiles_tolerance(spark, Q):
+    """A9b: approx p50 within 2% relative of the exact percentile."""
+    exact = {r.l_returnflag: r.p50 for r in Q["a9_percentiles"](spark, SF).collect()}
+    approx = {r.l_returnflag: r.p50_approx for r in Q["a9b_approx_percentiles"](spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= 0.02 * abs(e) + 0.5, f"{k}: approx {approx[k]} vs exact {e}"

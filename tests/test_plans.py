@@ -110,3 +110,23 @@ def test_s7_bucketed_join_no_shuffle(spark, Q):
         assert p.count("Exchange hashpartitioning") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_m2_latest_per_key_single_shuffle(spark, Q):
+    """M2 recency dedup: one hash exchange (the window's), nothing else."""
+    p = plan(spark, Q["m2_latest_per_key"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q3_pushes_filters_to_all_scans(spark, Q):
+    """Q3: the segment and both date filters reach their Parquet scans."""
+    p = plan(spark, Q["q3_shipping_priority"](spark, SF))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThan(l_shipdate" in p
+
+
+def test_l7_centroids_partial_agg(spark, Q):
+    """L7: the rows×dims explode aggregates map-side before shuffling."""
+    p = plan(spark, Q["l7_label_centroids"](spark, SF))
+    assert "partial_avg" in p or "partial_sum" in p

@@ -1,0 +1,152 @@
+"""Streaming ingest into the reference's layout (the write path the
+compactor consumes — reference README.md:74-106 format, produced by
+InfluxDB's WAL flusher there, by Structured Streaming here).
+
+Each micro-batch becomes one WAL-numbered Parquet file per
+(db, table, date, hour) — `<wal>.parquet` under
+`<host>/dbs/db-N/table-N/<date>/<HH-00>/` — and the snapshot catalog
+is updated atomically after the files land (same ordering discipline
+as the compactor's commit protocol: files first, catalog second,
+so a crash never catalogs a missing file).
+
+Idempotent re-delivery: foreachBatch may replay a batch after a crash;
+the WAL name is derived from batch_id, so a replay overwrites the same
+file (os.replace) and the catalog dedups by path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kompactor_spark.compaction.metadata import (
+    ParquetFileInfo,
+    SnapshotMetadata,
+    read_snapshot,
+    write_snapshot_atomic,
+)
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+class IngestJob:
+    """foreachBatch sink: stream → WAL files + snapshot catalog."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        host: str,
+        db: int = 0,
+        table: int = 0,
+        time_col: str = "time",
+    ):
+        self.data_dir = data_dir
+        self.host = host
+        self.db = db
+        self.table = table
+        self.time_col = time_col
+        os.makedirs(os.path.join(data_dir, host, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(data_dir, host, "dbs"), exist_ok=True)
+
+    @property
+    def snapshot_path(self) -> str:
+        return os.path.join(self.data_dir, self.host, "snapshots", "0001.info.json")
+
+    def attach(self, stream: DataFrame, checkpoint: str):
+        """Wire this sink into a streaming DataFrame; returns the query."""
+        return (
+            stream.writeStream.foreachBatch(self.write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def write_batch(self, df: DataFrame, batch_id: int) -> None:
+        """One WAL file per (date, hour) present in the batch."""
+        t = F.col(self.time_col)
+        with_bucket = df.withColumn(
+            "_hour_ns", (t / NS_PER_HOUR).cast("long") * NS_PER_HOUR
+        )
+        buckets = [r["_hour_ns"] for r in with_bucket.select("_hour_ns").distinct().collect()]
+        wal = int(batch_id) + 1
+        new_infos: list[ParquetFileInfo] = []
+        for hour_ns in sorted(buckets):
+            import datetime
+
+            dt = datetime.datetime.fromtimestamp(hour_ns / 1e9, tz=datetime.timezone.utc)
+            rel = os.path.join(
+                self.host,
+                "dbs",
+                f"db-{self.db}",
+                f"table-{self.table}",
+                dt.strftime("%Y-%m-%d"),
+                f"{dt.hour:02d}-00",
+                f"{wal:010d}.parquet",
+            )
+            abs_path = os.path.join(self.data_dir, rel)
+            staging = abs_path + ".staging"
+            shutil.rmtree(staging, ignore_errors=True)
+            part = with_bucket.where(F.col("_hour_ns") == hour_ns).drop("_hour_ns")
+            (
+                part.coalesce(1)
+                .sortWithinPartitions(self.time_col)
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .parquet(staging)
+            )
+            (written,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            os.replace(written, abs_path)
+            shutil.rmtree(staging, ignore_errors=True)
+            stats = part.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(self.time_col).alias("mn"),
+                F.max(self.time_col).alias("mx"),
+            ).first()
+            new_infos.append(
+                ParquetFileInfo(
+                    id=0,  # assigned under the catalog update below
+                    path=rel,
+                    size_bytes=os.path.getsize(abs_path),
+                    row_count=int(stats["n"]),
+                    chunk_time=int(stats["mn"]),
+                    min_time=int(stats["mn"]),
+                    max_time=int(stats["mx"]),
+                )
+            )
+        if new_infos:
+            self._update_catalog(new_infos)
+
+    def _update_catalog(self, new_infos: list[ParquetFileInfo]) -> None:
+        if os.path.exists(self.snapshot_path):
+            snap = read_snapshot(self.snapshot_path)
+        else:
+            snap = SnapshotMetadata(
+                writer_id=self.host,
+                parquet_size_bytes=0,
+                row_count=0,
+                min_time=0,
+                max_time=0,
+                databases=[(self.db, {self.table: []})],
+            )
+        tables = dict(snap.databases).get(self.db)
+        if tables is None:
+            tables = {self.table: []}
+            snap.databases.append((self.db, tables))
+        files = tables.setdefault(self.table, [])
+        next_id = snap.max_file_id()
+        by_path = {f.path: i for i, f in enumerate(files)}
+        for info in new_infos:
+            if info.path in by_path:  # batch replay: replace in place
+                info.id = files[by_path[info.path]].id
+                files[by_path[info.path]] = info
+            else:
+                next_id += 1
+                info.id = next_id
+                files.append(info)
+        snap.recompute_totals()
+        write_snapshot_atomic(snap, self.snapshot_path)

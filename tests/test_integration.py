@@ -86,3 +86,50 @@ def test_ingest_bootstrap_compact(spark, tmp_path):
     for rel in disk_parquets(root):
         con_total += pq.ParquetFile(os.path.join(root, rel)).metadata.num_rows
     assert con_total == total_before
+
+
+def test_ingest_job_writes_wal_layout(spark, tmp_path):
+    """IngestJob: streaming events → WAL-numbered files in the
+    reference layout + live snapshot catalog → compaction just works."""
+    from kompactor_spark.streaming.ingest import IngestJob
+
+    src = str(tmp_path / "isrc")
+    batches = [
+        _rows(0, BASE, user=1, n=30, step_ns=60 * NS),
+        _rows(100, BASE + 120 * NS, user=2, n=30, step_ns=60 * NS),
+        _rows(200, BASE + 3600 * NS, user=3, n=20, step_ns=60 * NS),
+    ]
+    _write_batches(spark, src, batches)
+
+    root = str(tmp_path / "ilake")
+    job = IngestJob(root, FX.HOST, db=0, table=0, time_col="ts")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = job.attach(stream, checkpoint=str(tmp_path / "ickpt"))
+    q.awaitTermination(120)
+
+    # WAL-named files in the reference layout, cataloged from birth
+    on_disk = sorted(disk_parquets(root))
+    assert on_disk, "no files ingested"
+    import re
+
+    assert all(re.search(r"\d{10}\.parquet$", p) for p in on_disk)
+    snap_files = glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.info.json"))
+    assert len(snap_files) == 1
+
+    # catalog ↔ disk agree; rows conserved (time col is ts here)
+    from kompactor_spark.compaction.metadata import read_snapshot
+
+    snap = read_snapshot(snap_files[0])
+    assert snap.row_count == 80
+    cataloged = {f.path for _, _, f in snap.all_files()}
+    assert cataloged == set(on_disk)
+
+    # the compactor consumes it directly
+    rep = CompactionJob(spark, root, [FX.HOST], time_col="ts").run()[0]
+    assert rep.compacted_groups >= 1
+    snap2 = read_snapshot(snap_files[0])
+    assert snap2.row_count == 80

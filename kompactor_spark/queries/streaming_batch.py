@@ -140,3 +140,38 @@ def x3_session_window(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X9 — stream-stream join, batch twin: same-user error↔signup pairs
+# within a 24 h lookback (the streaming form in streaming/jobs.py runs
+# this plan incrementally with watermarked state; H-checked here)
+# --------------------------------------------------------------------------
+@register(
+    "x9_interval_join",
+    oracle="""
+    SELECT e.event_id AS err_id, e.user_id, s.event_id AS signup_id,
+           epoch_ns(e.ts) AS err_ts, epoch_ns(s.ts) AS signup_ts
+    FROM events e
+    JOIN events s
+      ON e.user_id = s.user_id
+     AND s.ts <= e.ts
+     AND s.ts >= e.ts - INTERVAL 24 HOURS
+    WHERE e.event_type = 'error' AND s.event_type = 'signup'
+    ORDER BY err_id, signup_id
+    """,
+)
+def x9_interval_join(spark, sf_dir):
+    from kompactor_spark.streaming.jobs import error_signup_join
+
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    joined = error_signup_join(
+        ev.where(F.col("event_type") == "error"),
+        ev.where(F.col("event_type") == "signup"),
+        lookback="24 hours",
+    )
+    us = lambda c: (F.col(c) - F.col(c) % 1000).alias(c)  # noqa: E731
+    return joined.select("err_id", "user_id", "signup_id", us("err_ts"), us("signup_ts")).orderBy(
+        "err_id", "signup_id"
+    )

@@ -120,3 +120,43 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, USER_STATS_SCHEMA, _USER_STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def error_signup_join(
+    errors: DataFrame,
+    signups: DataFrame,
+    lookback: str = "24 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """X9: stream-stream inner join — each error pairs with same-user
+    signups in the preceding `lookback`. Both sides watermarked so
+    Spark can expire join state (without the time bound + watermarks,
+    stream-stream state grows forever — the bound IS the scale story).
+
+    Works identically on batch frames (the declarative plan is shared),
+    which is what the batch-equivalence test compares against.
+    """
+    e = _with_event_time(errors).select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("event_time").alias("err_time"),
+        F.col("ts").alias("err_ts"),
+    )
+    s = _with_event_time(signups).select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("event_time").alias("signup_time"),
+        F.col("ts").alias("signup_ts"),
+    )
+    if e.isStreaming:
+        e = e.withWatermark("err_time", watermark)
+    if s.isStreaming:
+        s = s.withWatermark("signup_time", watermark)
+    cond = (
+        (F.col("e_user") == F.col("s_user"))
+        & (F.col("signup_time") <= F.col("err_time"))
+        & (F.col("signup_time") >= F.col("err_time") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return e.join(s, cond, "inner").select(
+        "err_id", F.col("e_user").alias("user_id"), "signup_id", "err_ts", "signup_ts"
+    )

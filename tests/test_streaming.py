@@ -200,3 +200,43 @@ def test_x6_stateful_running_user_stats(spark, src, tmp_path):
         e = expect[uid]
         assert (r.n_events, r.max_ts) == (e.n_events, e.max_ts)
         assert abs(r.total_value - e.total_value) < 1e-6
+
+
+def test_x9_stream_stream_join_matches_batch(spark, tmp_path):
+    """X9: watermarked stream-stream join, incremental == batch."""
+    p = str(tmp_path / "ss_src")
+    batches = [
+        _rows(0, BASE, user=1, etype="signup", n=2, step_ns=600 * NS),
+        _rows(10, BASE + 1800 * NS, user=1, etype="error", n=3, step_ns=600 * NS)
+        + _rows(20, BASE, user=2, etype="signup", n=1),
+        _rows(30, BASE + 7200 * NS, user=2, etype="error", n=2, step_ns=600 * NS),
+    ]
+    _write_batches(spark, p, batches)
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "error"),
+            df.where(F.col("event_type") == "signup"),
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(p, "*"))
+    )
+    q = (
+        J.error_signup_join(*split(stream))
+        .writeStream.format("memory")
+        .queryName("x9")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x9"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM x9")
+
+    batch = J.error_signup_join(*split(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(p, "*"))))
+    cols = ["err_id", "user_id", "signup_id", "err_ts", "signup_ts"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+    assert streamed.count() > 0

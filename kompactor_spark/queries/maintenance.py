@@ -110,3 +110,47 @@ def m2_latest_per_key(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# M4 — funnel analysis: users progressing signup → click → purchase in
+# event-time order. One groupBy (min ts per step per user), ordering
+# conditions on the driver-free aggregate row — the marquee product-
+# analytics query, one shuffle total.
+# --------------------------------------------------------------------------
+@register(
+    "m4_funnel",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'signup') AS t_signup,
+             min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) FILTER (WHERE t_signup IS NOT NULL) AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup) AS BIGINT) AS n_clicked_after,
+           CAST(count(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                                   AND t_purchase > t_click) AS BIGINT) AS n_purchased_after
+    FROM steps
+    """,
+)
+def m4_funnel(spark, sf_dir):
+    T = loader(sf_dir, spark)
+
+    def min_if(step):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+
+    steps = T("events").groupBy("user_id").agg(
+        min_if("signup").alias("t_signup"),
+        min_if("click").alias("t_click"),
+        min_if("purchase").alias("t_purchase"),
+    )
+    did_signup = F.col("t_signup").isNotNull()
+    clicked_after = did_signup & (F.col("t_click") > F.col("t_signup"))
+    purchased_after = clicked_after & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count(F.when(did_signup, 1)).cast("bigint").alias("n_signup"),
+        F.count(F.when(clicked_after, 1)).cast("bigint").alias("n_clicked_after"),
+        F.count(F.when(purchased_after, 1)).cast("bigint").alias("n_purchased_after"),
+    )

@@ -312,3 +312,91 @@ def m3_profile_orders(spark, sf_dir):
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
     )
+
+
+# --------------------------------------------------------------------------
+# P4 — unpivot/melt (wide → long; the inverse of P3's pivot) via the
+# DataFrame unpivot API
+# --------------------------------------------------------------------------
+@register(
+    "p4_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, round(val, 6) AS val
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    )
+    WHERE c_custkey <= 500
+    ORDER BY c_custkey, metric
+    """,
+)
+def p4_unpivot(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    wide = (
+        T("customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+    )
+    return (
+        wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .select("c_custkey", "metric", F.round("val", 6).alias("val"))
+        .orderBy("c_custkey", "metric")
+    )
+
+
+# --------------------------------------------------------------------------
+# W5 — rolling distinct count: distinct users per type over the current
+# + all earlier hours (size(collect_set) over a running frame — exact
+# windowed COUNT DISTINCT, which neither engine supports natively)
+# --------------------------------------------------------------------------
+@register(
+    "w5_rolling_distinct",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000000000 AS hour_ns,
+             list(DISTINCT user_id) AS users
+      FROM events GROUP BY 1, 2
+    ),
+    expanded AS (
+      SELECT a.event_type, a.hour_ns,
+             CAST(count(DISTINCT u.u) AS BIGINT) AS cum_distinct_users
+      FROM hourly a
+      JOIN hourly b ON a.event_type = b.event_type AND b.hour_ns <= a.hour_ns,
+           LATERAL (SELECT unnest(b.users) AS u) u
+      GROUP BY a.event_type, a.hour_ns
+    )
+    SELECT event_type, hour_ns, cum_distinct_users
+    FROM expanded
+    ORDER BY event_type, hour_ns
+    """,
+)
+def w5_rolling_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    hourly = (
+        T("events")
+        .groupBy(
+            "event_type",
+            ((F.col("ts") / 3_600_000_000_000).cast("long") * 3_600_000_000_000).alias("hour_ns"),
+        )
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hourly.withColumn(
+            "cum_distinct_users",
+            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w)))).cast("bigint"),
+        )
+        .select("event_type", "hour_ns", "cum_distinct_users")
+        .orderBy("event_type", "hour_ns")
+    )

@@ -133,3 +133,27 @@ def test_ingest_job_writes_wal_layout(spark, tmp_path):
     assert rep.compacted_groups >= 1
     snap2 = read_snapshot(snap_files[0])
     assert snap2.row_count == 80
+
+
+def test_ingest_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch redelivery: replaying the same batch_id overwrites
+    the same WAL files and leaves the catalog byte-identical — the
+    crash-recovery contract."""
+    from kompactor_spark.streaming.ingest import IngestJob
+
+    root = str(tmp_path / "rlake")
+    job = IngestJob(root, FX.HOST, db=0, table=0, time_col="ts")
+    rows = spark.createDataFrame(_rows(0, BASE, user=1, n=25, step_ns=60 * NS), EVENTS_SCHEMA)
+
+    job.write_batch(rows, 0)
+    files_1 = sorted(disk_parquets(root))
+    snap_1 = open(job.snapshot_path).read()
+
+    job.write_batch(rows, 0)  # replay of batch 0
+    assert sorted(disk_parquets(root)) == files_1
+    assert open(job.snapshot_path).read() == snap_1
+
+    job.write_batch(spark.createDataFrame(_rows(100, BASE + 60 * NS, user=2, n=5), EVENTS_SCHEMA), 1)
+    assert len(disk_parquets(root)) == len(files_1) + len(
+        {p for p in disk_parquets(root) if "0000000002" in p}
+    )

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--time-col", default="time", help="time column name (default: time)")
     p.add_argument(
+        "--fsck",
+        action="store_true",
+        help="check catalog <-> disk integrity (footer stats vs snapshot entries) and exit; "
+        "non-zero exit on corruption",
+    )
+    p.add_argument(
         "--bootstrap",
         action="store_true",
         help="before compacting, adopt any uncataloged <host>/dbs files into a fresh snapshot "
@@ -68,6 +74,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
 
         spark = get_spark("kompactor-spark-cli")
     try:
+        if args.fsck:
+            from kompactor_spark.compaction.fsck import fsck_host
+
+            rc = 0
+            for host in args.hosts.split(","):
+                if not host:
+                    continue
+                rep = fsck_host(args.data_dir, host, time_col=args.time_col)
+                print(rep.summary())
+                for issue in rep.dangling + rep.orphans + rep.stat_mismatches:
+                    print(f"  {issue}")
+                if not rep.ok:
+                    rc = 2
+            return rc
         if args.bootstrap:
             import os
 

@@ -110,3 +110,26 @@ def test_cli_bootstrap_adopts_bare_layout(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "bootstrapped catalog (60 rows" in out
     assert "compacted 1/1 groups" in out
+
+
+def test_cli_fsck(spark, tmp_path, capsys):
+    """--fsck: clean lake passes; deleting a data file or corrupting a
+    stat is detected with a non-zero exit."""
+    import json
+
+    root = str(tmp_path / "fsck")
+    FX.basic_hour(root)
+    assert main([root, "--hosts", FX.HOST, "--fsck"], spark=spark) == 0
+    assert "OK" in capsys.readouterr().out
+
+    # compact, then damage the lake: remove one file, corrupt one stat
+    main([root, "--hosts", FX.HOST], spark=spark)
+    assert main([root, "--hosts", FX.HOST, "--fsck"], spark=spark) == 0
+    capsys.readouterr()
+
+    (snap_path,) = glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.info.json"))
+    meta = json.load(open(snap_path))
+    meta["databases"][0][1]["tables"][0][1][0]["row_count"] += 1
+    json.dump(meta, open(snap_path, "w"))
+    assert main([root, "--hosts", FX.HOST, "--fsck"], spark=spark) == 2
+    assert "stat mismatches" in capsys.readouterr().out

@@ -400,3 +400,64 @@ def w5_rolling_distinct(spark, sf_dir):
         .select("event_type", "hour_ns", "cum_distinct_users")
         .orderBy("event_type", "hour_ns")
     )
+
+
+# --------------------------------------------------------------------------
+# P5 — empty result set: the canonicalization/hash harness must agree
+# on zero rows with a pinned schema (an engine that silently returns
+# NULL-typed or missing columns on empty input corrupts downstream
+# unions)
+# --------------------------------------------------------------------------
+@register(
+    "p5_empty_result",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_totalprice < 0
+    ORDER BY o_orderkey
+    """,
+)
+def p5_empty_result(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .where(F.col("o_totalprice") < 0)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# J11 — null-safe equi-join: NULL keys match each other under <=>
+# (Spark eqNullSafe == SQL IS NOT DISTINCT FROM), unlike plain = where
+# NULL matches nothing. Keys NULLed deterministically via NULLIF.
+# --------------------------------------------------------------------------
+@register(
+    "j11_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer WHERE c_custkey <= 200
+    ),
+    b AS (
+      SELECT n_nationkey, n_name, NULLIF(n_nationkey, 3) AS k FROM nation
+    )
+    SELECT a.c_custkey, b.n_nationkey, b.n_name
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.c_custkey, b.n_nationkey
+    """,
+)
+def j11_nullsafe_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    a = (
+        T("customer")
+        .where(F.col("c_custkey") <= 200)
+        .select("c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k_a"))
+    )
+    b = T("nation").select(
+        "n_nationkey", "n_name", F.nullif(F.col("n_nationkey"), F.lit(3)).alias("k_b")
+    )
+    return (
+        a.join(b, a.k_a.eqNullSafe(b.k_b))
+        .select("c_custkey", "n_nationkey", "n_name")
+        .orderBy("c_custkey", "n_nationkey")
+    )

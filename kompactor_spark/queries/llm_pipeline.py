@@ -563,3 +563,35 @@ def l7_label_centroids(spark, sf_dir):
         )
         .orderBy("label", "dim")
     )
+
+
+# --------------------------------------------------------------------------
+# L6d — cap per group: at most N docs per source (deterministic order
+# by doc_id — reproducible training mixes need stable selection, not
+# rand()). One shuffle; the window never materializes beyond rank N+1.
+# --------------------------------------------------------------------------
+@register(
+    "l6_cap_per_source",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 50
+    ORDER BY doc_id
+    """,
+)
+def l6_cap_per_source(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        T("documents")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

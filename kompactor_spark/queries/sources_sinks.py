@@ -1,4 +1,5 @@
-"""Source/sink query surface (SURVEY §2.B S2-S5).
+"""Source/sink query surface (SURVEY §2.B S2-S5, plus S7 bucketed
+join and S9 JSON round-trip).
 
 Round-trip queries: write a derived layout into the repo-local scratch
 area, read it back through the engine, and prove content equivalence

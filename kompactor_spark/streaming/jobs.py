@@ -1,5 +1,5 @@
 """Streaming transformations over the events schema (SURVEY §2.B
-X1-X5).
+X1-X5, plus X6 custom state and X9 stream-stream join).
 
 Each builder takes a DataFrame that may be a STREAMING frame
 (spark.readStream) or a batch frame — the same declarative plan serves

@@ -41,8 +41,8 @@ def _revenue() -> F.Column:
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, l.l_orderkey
     LIMIT 10
@@ -50,7 +50,7 @@ def _revenue() -> F.Column:
 )
 def q3_shipping_priority(spark, sf_dir):
     T = loader(sf_dir, spark)
-    cut = "1995-03-15 00:00:00"
+    cut = "1997-03-15 00:00:00"
     c = T("customer").where(F.col("c_mktsegment") == "BUILDING")
     o = T("orders").where(F.col("o_orderdate") < cut)
     li = T("lineitem").where(F.col("l_shipdate") > cut)
@@ -86,8 +86,8 @@ def q3_shipping_priority(spark, sf_dir):
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
     ORDER BY revenue DESC, n.n_name
     """,
@@ -95,7 +95,7 @@ def q3_shipping_priority(spark, sf_dir):
 def q5_local_supplier_volume(spark, sf_dir):
     T = loader(sf_dir, spark)
     o = T("orders").where(
-        (F.col("o_orderdate") >= "1994-01-01 00:00:00") & (F.col("o_orderdate") < "1995-01-01 00:00:00")
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00") & (F.col("o_orderdate") < "1997-01-01 00:00:00")
     )
     c, li, s = T("customer"), T("lineitem"), T("supplier")
     n, r = T("nation"), T("region").where(F.col("r_name") == "ASIA")
@@ -124,8 +124,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE o.o_orderdate >= TIMESTAMP '1993-10-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name
     ORDER BY revenue DESC, c.c_custkey
@@ -135,7 +135,7 @@ def q5_local_supplier_volume(spark, sf_dir):
 def q10_returned_items(spark, sf_dir):
     T = loader(sf_dir, spark)
     o = T("orders").where(
-        (F.col("o_orderdate") >= "1993-10-01 00:00:00") & (F.col("o_orderdate") < "1994-01-01 00:00:00")
+        (F.col("o_orderdate") >= "1995-10-01 00:00:00") & (F.col("o_orderdate") < "1996-01-01 00:00:00")
     )
     li = T("lineitem").where(F.col("l_returnflag") == "R")
     c, n = T("customer"), T("nation")
@@ -148,4 +148,246 @@ def q10_returned_items(spark, sf_dir):
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change: single-table scan + predicate stack +
+# scalar aggregate. The canonical pushdown test: every predicate reaches
+# the Parquet scan.
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount", 2, 4)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by supplier/customer nation
+# direction and ship year
+# --------------------------------------------------------------------------
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+        OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    n1 = T("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T("nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = T("lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1998-01-01 00:00:00")
+    )
+    pair = (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6") | (
+        F.col("supp_nation") == "NATION_6"
+    ) & (F.col("cust_nation") == "NATION_9")
+    return (
+        T("supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(T("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(T("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share: NATION_9's share of STANDARD-part revenue
+# among AMERICA-region customers, per order year
+# --------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             {_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS volume,
+             n1.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN volume
+                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM v
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    n1 = T("nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T("nation").select(F.col("n_nationkey").alias("n2_key"), "n_regionkey")
+    o = T("orders").where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1998-01-01 00:00:00")
+    )
+    vol = _revenue()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        F.broadcast(T("part").where(F.col("p_type") == "STANDARD"))
+        .join(T("lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(T("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(T("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(
+            F.broadcast(T("region").where(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promo revenue share over one ship month (join + conditional agg
+# ratio)
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT round(CAST(100 AS DOUBLE)
+                 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE), 6) AS promo_revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = T("lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01 00:00:00")
+        & (F.col("l_shipdate") < "1996-10-01 00:00:00")
+    )
+    vol = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(T("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers: orders whose total quantity exceeds the
+# threshold (agg → filter → re-join shape)
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = T("lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_tq"))
+        .where(F.col("_tq") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        T("customer")
+        .join(T("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
     )

@@ -595,3 +595,46 @@ def l6_cap_per_source(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L3c — IVF-bucketed approximate top-k (the partition-pruned ANN scale
+# path; recall vs brute force asserted in tests, not SQL-expressible)
+# --------------------------------------------------------------------------
+@register("l3_ivf_topk")
+def l3_ivf_topk(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    emb = T("embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return (
+        S.ivf_topk(emb.where(F.col("vec_id") != 0), qvec, k=10, n_clusters=8, n_probe=4)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
+# L4e — BPE-ish regex token segmentation (pre-tokenizer counts; the
+# whitespace counts live in l4_doc_stats)
+# --------------------------------------------------------------------------
+@register(
+    "l4_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_distinct_bpe_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def l4_bpe_token_count(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    toks = F.regexp_extract_all("text", F.lit(X.BPE_ISH_RE), 0)
+    return (
+        T("documents")
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -391,3 +391,91 @@ def q18_large_volume_customer(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue: correlated scalar-subquery shape,
+# decorrelated as a per-part average joined back (the Catalyst-friendly
+# rewrite of `l_quantity < 0.2 * (SELECT avg ... WHERE same part)`)
+# --------------------------------------------------------------------------
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    # Threshold determinism: l_quantity values are integral, so
+    # avg = exact-sum / exact-count is bit-identical across engines.
+    T = loader(sf_dir, spark)
+    li = T("lineitem")
+    avgq = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(
+            F.broadcast(T("part").where(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(avgq, F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — global sales opportunity: above-average-balance customers with
+# no recent orders (scalar subquery + anti-join)
+# --------------------------------------------------------------------------
+@register(
+    "q22_sales_opportunity",
+    oracle="""
+    SELECT CAST(c.c_nationkey AS INT) AS c_nationkey,
+           count(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q22_sales_opportunity(spark, sf_dir):
+    # Threshold = exact decimal sum / exact count, then ONE double
+    # division — order-independent, so both engines agree to the bit
+    # (a raw double avg() would drift in the last ulp).
+    T = loader(sf_dir, spark)
+    cust = T("customer")
+    thr = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("bal_thr"))
+    )
+    recent = (
+        T("orders")
+        .where(F.col("o_orderdate") >= "2000-01-01 00:00:00")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("bal_thr"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

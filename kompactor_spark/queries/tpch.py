@@ -479,3 +479,43 @@ def q22_sales_opportunity(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue: disjunctive multi-attribute predicate over a
+# join (OR-of-ANDs; exercises CNF conversion and partial pushdown of
+# the common part-key conjunct)
+# --------------------------------------------------------------------------
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    q = F.col("l_quantity")
+    branch = lambda brand, size_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & (q >= q_lo)
+        & (q <= q_hi)
+    )
+    return (
+        T("lineitem")
+        .join(F.broadcast(T("part")), F.col("p_partkey") == F.col("l_partkey"))
+        .where(branch("Brand#1", 15, 1, 11) | branch("Brand#2", 25, 10, 20) | branch("Brand#3", 35, 20, 30))
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

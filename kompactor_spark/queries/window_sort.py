@@ -208,3 +208,39 @@ def o2_topk(spark, sf_dir):
         .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# W6 — distribution functions: cume_dist + nth_value over a frame
+# pinned to the whole partition (nth_value defaults differ across
+# engines, so the frame is explicit on both sides)
+# --------------------------------------------------------------------------
+@register(
+    "w6_distribution_funcs",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(cume_dist() OVER w, 6) AS cdist,
+           round(CAST(nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                    ORDER BY s_acctbal DESC, s_suppkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 6) AS second_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
+    ORDER BY s_suppkey
+    """,
+)
+def w6_distribution_funcs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        T("supplier")
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.round(F.nth_value("s_acctbal", 2).over(wfull).cast("double"), 6).alias("second_bal"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -155,3 +155,51 @@ def j8b_asof_tolerance(spark, sf_dir):
         us("err_ts_raw").alias("err_ts"),
         F.when(us("err_ts_raw") - us("signup_ts_raw") <= _TOL, us("signup_ts_raw")).alias("signup_ts"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# X10 — retention cohorts: users bucketed by first-seen day, active-user
+# counts per (cohort_day, days_since). All bucket math is exact ns-long
+# arithmetic (day deltas < 2^53, no float loss); presentation converts
+# to date strings only at the end.
+# --------------------------------------------------------------------------
+@register(
+    "x10_retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(time_bucket(INTERVAL '1 day', ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS active_day
+      FROM events)
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT) AS days_since,
+           count(*) AS active_users
+    FROM first_day f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day)
+    ORDER BY cohort_day, days_since
+    """,
+)
+def x10_retention_cohorts(spark, sf_dir):
+    from kompactor_spark.timeutil import NS_PER_DAY, ns_bucket, ns_to_timestamp
+
+    T = loader(sf_dir, spark)
+    ev = T("events").select("user_id", ns_bucket(F.col("ts"), NS_PER_DAY).alias("day_ns"))
+    first = ev.groupBy("user_id").agg(F.min("day_ns").alias("cohort_ns"))
+    activity = ev.distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_ns",
+            ((F.col("day_ns") - F.col("cohort_ns")) / F.lit(NS_PER_DAY))
+            .cast("bigint")
+            .alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .select(
+            F.date_format(ns_to_timestamp(F.col("cohort_ns")), "yyyy-MM-dd").alias("cohort_day"),
+            "days_since",
+            "active_users",
+        )
+        .orderBy("cohort_day", "days_since")
+    )

@@ -130,3 +130,31 @@ def test_l7_centroids_partial_agg(spark, Q):
     """L7: the rows×dims explode aggregates map-side before shuffling."""
     p = plan(spark, Q["l7_label_centroids"](spark, SF))
     assert "partial_avg" in p or "partial_sum" in p
+
+
+def test_q6_full_predicate_pushdown(spark, Q):
+    """Q6: every selective predicate (shipdate range, discount between,
+    quantity bound) reaches the Parquet scan as a pushed filter."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = Q["q6_forecast_revenue"](spark, SF)._jdf.queryExecution().explainString(mode)
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    for frag in ("l_shipdate", "GreaterThanOrEqual(l_discount,0.05)",
+                 "LessThanOrEqual(l_discount,0.07)", "LessThan(l_quantity,24.0)"):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_q19_common_conjunct_pushdown(spark, Q):
+    """Q19 (OR-of-ANDs): the extractable common conjuncts — brand IN set,
+    quantity/size outer bounds — are pushed to each scan even though the
+    full disjunction must evaluate post-join."""
+    p = plan(spark, Q["q19_discounted_revenue"](spark, SF))
+    part_pushed = [seg.split("]")[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_brand" in seg for seg in part_pushed), part_pushed
+    assert any("l_quantity" in seg for seg in part_pushed), part_pushed
+
+
+def test_q17_decorrelated_no_cartesian(spark, Q):
+    """Q17: the correlated-subquery rewrite must stay a hash/broadcast
+    join on partkey — no nested-loop re-execution per row."""
+    p = plan(spark, Q["q17_small_qty_revenue"](spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -638,3 +638,55 @@ def l4_bpe_token_count(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L4f — TF-IDF top terms per document (term importance; ranking is on
+# the ROUNDED score with a term tiebreak so both engines order
+# identically)
+# --------------------------------------------------------------------------
+@register(
+    "l4_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term)
+    SELECT doc_id, term, tfidf
+    FROM (SELECT scored.*,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    ORDER BY doc_id, tfidf DESC, term
+    """,
+)
+def l4_tfidf_topterms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

@@ -690,3 +690,45 @@ def l4_tfidf_topterms(spark, sf_dir):
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+# --------------------------------------------------------------------------
+# L6e — sequence packing: assign docs to fixed-token-budget training
+# bins per source (running-count chunking — the distributed-friendly
+# packer: one window cumsum, no sequential greedy state)
+# --------------------------------------------------------------------------
+@register(
+    "l6_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / 512.0) AS BIGINT) AS bin_id
+    FROM t
+    ORDER BY source, doc_id
+    """,
+)
+def l6_pack_sequences(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    t = T("documents").select(
+        "doc_id", "source", X.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn(
+            "bin_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast("bigint"),
+        )
+        .select("source", "doc_id", "n_tokens", "bin_id")
+        .orderBy("source", "doc_id")
+    )

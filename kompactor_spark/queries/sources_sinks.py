@@ -220,3 +220,43 @@ def s9_json_sink_roundtrip(spark, sf_dir):
         ]
     )
     return spark.read.schema(schema).json(path).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# S10 — ORC sink + re-read round trip (second columnar interchange
+# format; zstd, schema preserved exactly so the re-read H-matches the
+# parquet-sourced oracle)
+# --------------------------------------------------------------------------
+@register(
+    "s10_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    """,
+)
+def s10_orc_roundtrip(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = scratch_path("s10_orc_" + tag)
+    (
+        T("orders")
+        .where(F.col("o_orderstatus") == "O")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .orc(path)
+    )
+    return (
+        spark.read.orc(path)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -203,3 +203,48 @@ def x10_retention_cohorts(spark, sf_dir):
         )
         .orderBy("cohort_day", "days_since")
     )
+
+
+# --------------------------------------------------------------------------
+# X11 — counter rate (InfluxDB DERIVATIVE shape): per-series delta of
+# value over delta of time between consecutive samples. Timestamps are
+# µs-floored longs on both sides; the only double op is the final
+# division, identical IEEE in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "x11_counter_rate",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, event_id, ts_us,
+           round((value - lag(value) OVER w)
+                 / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0), 6) AS rate_per_s
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def x11_counter_rate(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    s = (
+        T("events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            # integer div: a float path would round the ~1.7e18 ns epoch
+            # (> 2^53) before dividing — reference bug B3's failure class
+            F.expr("ts div 1000").cast("long").alias("ts_us"),
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dt = (F.col("ts_us") - F.lag("ts_us").over(w)).cast("double") / F.lit(1_000_000.0)
+    return (
+        s.withColumn("rate_per_s", F.round((F.col("value") - F.lag("value").over(w)) / dt, 6))
+        .select("user_id", "event_id", "ts_us", "rate_per_s")
+        .orderBy("user_id", "ts_us", "event_id")
+    )

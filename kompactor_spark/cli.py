@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(footer stats only, no data scan)",
     )
     p.add_argument(
+        "--retention-cutoff-ns",
+        type=int,
+        default=None,
+        help="prune files whose max_time is older than this ns epoch (catalog-first "
+        "commit, then deletes), print a report, and exit; honors --dry-run",
+    )
+    p.add_argument(
         "--parallelism",
         type=int,
         default=1,
@@ -88,6 +95,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 if not rep.ok:
                     rc = 2
             return rc
+        if args.retention_cutoff_ns is not None:
+            from kompactor_spark.compaction.retention import enforce_retention
+
+            for rep in enforce_retention(
+                args.data_dir,
+                [h for h in args.hosts.split(",") if h],
+                cutoff_ns=args.retention_cutoff_ns,
+                dry_run=args.dry_run,
+            ):
+                print(rep.summary())
+            return 0
         if args.bootstrap:
             import os
 

@@ -1,0 +1,65 @@
+"""Retention (TTL) pruning: catalog-first commit, whole-file expiry,
+idempotence, fsck-clean aftermath. Pure driver-side — no Spark session
+needed (the planner/commit path is metadata + unlink, by design)."""
+
+from __future__ import annotations
+
+import os
+
+from kompactor_spark.compaction.fsck import fsck_host
+from kompactor_spark.compaction.metadata import read_snapshot
+from kompactor_spark.compaction.retention import enforce_retention
+
+from tests.fixtures_compaction import BASE_NS, HOST, NS, multi_hour
+
+
+def _hour_start(hour: int) -> int:
+    return (BASE_NS // (3600 * NS) + hour) * 3600 * NS
+
+
+def _snap(root: str):
+    return read_snapshot(os.path.join(root, HOST, "snapshots", "0001.info.json"))
+
+
+def test_retention_dry_run_touches_nothing(tmp_path):
+    root = str(tmp_path)
+    b = multi_hour(root)
+    before = {f.path for _, _, f in _snap(root).all_files()}
+    [rep] = enforce_retention(root, [HOST], cutoff_ns=_hour_start(12), dry_run=True)
+    assert rep.dry_run and len(rep.pruned_paths) == 3  # hours 10 (1 file) + 11 (2)
+    assert {f.path for _, _, f in _snap(root).all_files()} == before
+    for e in b.files:
+        assert os.path.exists(os.path.join(root, e["info"]["path"]))
+
+
+def test_retention_prunes_expired_catalog_first(tmp_path):
+    root = str(tmp_path)
+    b = multi_hour(root)
+    cutoff = _hour_start(12)
+    [rep] = enforce_retention(root, [HOST], cutoff_ns=cutoff)
+    assert len(rep.pruned_paths) == 3 and not rep.missing
+    # catalog: only unexpired entries remain, totals recomputed exactly
+    meta = _snap(root)
+    remaining = [f for _, _, f in meta.all_files()]
+    assert len(remaining) == 4
+    assert all(f.max_time >= cutoff for f in remaining)
+    assert meta.row_count == sum(f.row_count for f in remaining)
+    # disk: expired gone (and their empty hour dirs), survivors intact
+    for e in b.files:
+        expired = e["info"]["max_time"] < cutoff
+        assert os.path.exists(os.path.join(root, e["info"]["path"])) != expired
+    assert not os.path.isdir(os.path.join(root, HOST, "dbs", "db-0", "table-3", "2025-01-26", "10-00"))
+    # catalog <-> disk integrity holds after the prune
+    assert fsck_host(root, HOST).ok
+
+
+def test_retention_idempotent_and_straddling_kept(tmp_path):
+    root = str(tmp_path)
+    multi_hour(root)
+    # cutoff inside hour 12's data: straddling files are kept whole
+    mid_hour_12 = _hour_start(12) + 1000 * NS
+    [rep1] = enforce_retention(root, [HOST], cutoff_ns=mid_hour_12)
+    kept = {f.path for _, _, f in _snap(root).all_files()}
+    assert all("12-00" in p for p in kept) and kept  # hour-12 files survive
+    [rep2] = enforce_retention(root, [HOST], cutoff_ns=mid_hour_12)
+    assert rep2.pruned_paths == [] and {f.path for _, _, f in _snap(root).all_files()} == kept

@@ -81,3 +81,19 @@ def test_l3_ivf_topk_recall(spark, Q):
     approx = [r.vec_id for r in Q["l3_ivf_topk"](spark, SF).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.6, f"ivf top-k recall {recall:.2f} < 0.6"
+
+
+def test_l6_pack_sequences_invariants(spark, Q):
+    """L6e: chunked packing invariants — bins are contiguous from 0 per
+    source, and no bin exceeds budget + one overflow doc (the chunking
+    packer closes a bin only after it crosses the budget)."""
+    import pandas as pd
+
+    pdf = Q["l6_pack_sequences"](spark, SF).toPandas()
+    budget = 512
+    for source, g in pdf.groupby("source"):
+        bins = sorted(g["bin_id"].unique())
+        assert bins == list(range(len(bins))), f"{source}: non-contiguous bins {bins[:5]}"
+        sums = g.groupby("bin_id")["n_tokens"].sum()
+        max_doc = g["n_tokens"].max()
+        assert (sums <= budget + max_doc).all(), f"{source}: oversized bin"

@@ -461,3 +461,96 @@ def j11_nullsafe_join(spark, sf_dir):
         .select("c_custkey", "n_nationkey", "n_name")
         .orderBy("c_custkey", "n_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# J13 — LATERAL correlated subquery: per-customer top-2 orders by price.
+# Same SQL text runs through Catalyst (via the facade) and DuckDB —
+# Spark decorrelates the lateral into a ranked window under the hood.
+# --------------------------------------------------------------------------
+_J13_SQL = """
+SELECT c.c_custkey, t.o_orderkey, CAST(t.o_totalprice AS DOUBLE) AS o_totalprice
+FROM customer c,
+LATERAL (SELECT o.o_orderkey, o.o_totalprice
+         FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         LIMIT 2) t
+WHERE c.c_mktsegment = 'MACHINERY'
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+"""
+
+
+@register("j13_lateral_topn", oracle=_J13_SQL)
+def j13_lateral_topn(spark, sf_dir):
+    from kompactor_spark.sql_api import run_sql
+
+    return run_sql(spark, sf_dir, _J13_SQL)
+
+
+# --------------------------------------------------------------------------
+# M5 — data-quality gate: FK integrity + null constraints as one
+# UNION ALL rollup (the dbt-style validation pass a lake pipeline runs
+# before publishing a snapshot)
+# --------------------------------------------------------------------------
+@register(
+    "m5_integrity_checks",
+    oracle="""
+    SELECT 'events_ts_nonnull' AS check_name,
+           CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS violations FROM events
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    ORDER BY check_name
+    """,
+)
+def m5_integrity_checks(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events").agg(
+        F.count(F.when(F.col("ts").isNull(), 1)).cast("bigint").alias("violations")
+    ).select(F.lit("events_ts_nonnull").alias("check_name"), "violations")
+    li_fk = (
+        T("lineitem")
+        .join(T("orders"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("lineitem_orderkey_fk").alias("check_name"), "violations")
+    )
+    o_fk = (
+        T("orders")
+        .join(T("customer"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), "violations")
+    )
+    return ev.unionAll(li_fk).unionAll(o_fk).orderBy("check_name")
+
+
+# --------------------------------------------------------------------------
+# A13 — ordered string aggregation (listagg): nations per region as a
+# canonical comma-joined sorted string
+# --------------------------------------------------------------------------
+@register(
+    "a13_string_agg",
+    oracle="""
+    SELECT r.r_name,
+           array_to_string(list_sort(list(n.n_name)), ',') AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def a13_string_agg(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("region")
+        .join(T("nation"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )

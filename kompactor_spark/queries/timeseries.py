@@ -49,8 +49,8 @@ def x7_gap_fill(spark, sf_dir):
     T = loader(sf_dir, spark)
     ev = T("events")
     b = ev.agg(
-        ((F.min("ts") / NS_PER_HOUR).cast("long") * NS_PER_HOUR).alias("hmin"),
-        ((F.max("ts") / NS_PER_HOUR).cast("long") * NS_PER_HOUR).alias("hmax"),
+        (F.min("ts") - F.min("ts") % NS_PER_HOUR).alias("hmin"),
+        (F.max("ts") - F.max("ts") % NS_PER_HOUR).alias("hmax"),
     ).first()
     spine = (
         ev.select("event_type")
@@ -66,7 +66,7 @@ def x7_gap_fill(spark, sf_dir):
     actual = (
         ev.groupBy(
             "event_type",
-            ((F.col("ts") / NS_PER_HOUR).cast("long") * NS_PER_HOUR).alias("hour_ns"),
+            (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("hour_ns"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     )

@@ -68,9 +68,9 @@ class IngestJob:
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
         """One WAL file per (date, hour) present in the batch."""
         t = F.col(self.time_col)
-        with_bucket = df.withColumn(
-            "_hour_ns", (t / NS_PER_HOUR).cast("long") * NS_PER_HOUR
-        )
+        # subtract-modulo, not `/`: ns epochs exceed double's 2^53, and
+        # the float path can misroute boundary rows into the wrong hour
+        with_bucket = df.withColumn("_hour_ns", t - t % NS_PER_HOUR)
         buckets = [r["_hour_ns"] for r in with_bucket.select("_hour_ns").distinct().collect()]
         wal = int(batch_id) + 1
         new_infos: list[ParquetFileInfo] = []

@@ -18,11 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kompactor_spark.timeutil import NS_PER_US
+from kompactor_spark.timeutil import NS_PER_US, ns_to_timestamp
 
 
 def _with_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    return df.withColumn("event_time", F.timestamp_micros((F.col(ts_col) / NS_PER_US).cast("long")))
+    return df.withColumn("event_time", ns_to_timestamp(F.col(ts_col)))
 
 
 def _start_ns(window_col) -> F.Column:

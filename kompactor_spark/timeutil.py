@@ -21,12 +21,24 @@ NS_PER_HOUR = 60 * NS_PER_MINUTE
 NS_PER_DAY = 24 * NS_PER_HOUR
 
 
+def ns_floor_div(col: Column, divisor: int) -> Column:
+    """Exact floor-division of a ns-long column (positive epochs).
+
+    NEVER divide ns epochs with `/`: ~1.7e18 exceeds double's 2^53, so
+    the float path can misplace values within ~256 ns of a boundary
+    (reference bug B3's failure class). Decimal division is exact;
+    decimal→long cast truncates, which is floor for positive epochs.
+    """
+    return (col.cast("decimal(38,0)") / F.lit(divisor)).cast("long")
+
+
 def ns_to_timestamp(col: Column) -> Column:
     """ns-long → µs TimestampType (truncating, presentation only)."""
-    return F.timestamp_micros((col / F.lit(NS_PER_US)).cast("long"))
+    return F.timestamp_micros(ns_floor_div(col, NS_PER_US))
 
 
 def ns_bucket(col: Column, width_ns: int) -> Column:
     """Epoch-aligned tumbling bucket start (ns long). Matches DuckDB
-    time_bucket(INTERVAL ...) for positive epochs."""
-    return (F.floor(col / F.lit(width_ns)) * F.lit(width_ns)).cast("long")
+    time_bucket(INTERVAL ...) for positive epochs. Pure long arithmetic
+    (subtract-modulo) — exact at any epoch magnitude."""
+    return (col - col % F.lit(width_ns)).cast("long")

@@ -44,3 +44,27 @@ def test_compaction_missing_dirs_raise(spark, tmp_path):
     (root / "host-x").mkdir(parents=True)
     with pytest.raises(FileNotFoundError, match="required dir missing"):
         CompactionJob(spark, str(root), ["host-x"]).run()
+
+
+def test_ns_bucket_exact_at_boundaries(spark):
+    """B3-class regression: bucketing ns epochs must be exact even where
+    the double path fails (~1.7e18 > 2^53 — a float divide misroutes
+    rows within ~256 ns of an hour boundary)."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.timeutil import NS_PER_HOUR, NS_PER_US, ns_bucket, ns_floor_div
+
+    ks = [472_222, 472_223, 500_000, 2_560_000]
+    vals = [k * NS_PER_HOUR + d for k in ks for d in (-1, 0, 1, 255, -255)]
+    df = spark.createDataFrame([(v,) for v in vals], "ts long")
+    got = df.select(
+        "ts",
+        ns_bucket(F.col("ts"), NS_PER_HOUR).alias("bucket"),
+        ns_floor_div(F.col("ts"), NS_PER_US).alias("us"),
+    ).collect()
+    for r in got:
+        assert r["bucket"] == (r["ts"] // NS_PER_HOUR) * NS_PER_HOUR, r
+        assert r["us"] == r["ts"] // NS_PER_US, r
+    # the old float formula really is wrong on at least one of these
+    bad = df.select("ts", (F.col("ts") / NS_PER_HOUR).cast("long").alias("k")).collect()
+    assert any(r["k"] != r["ts"] // NS_PER_HOUR for r in bad)

@@ -115,9 +115,9 @@ class CompactionJob:
         return sorted(glob.glob(os.path.join(self.data_dir, host, "snapshots", "*.info.json")))
 
     # -- execution ---------------------------------------------------------
-    def run(self) -> list[CompactionReport]:
+    def run(self, before_hour_ns: int | None = None) -> list[CompactionReport]:
         self.validate_directories()
-        return [self._run_host(h) for h in self.hosts]
+        return [self._run_host(h, before_hour_ns=before_hour_ns) for h in self.hosts]
 
     def run_generation(self, now_ns: int | None = None) -> list[CompactionReport]:
         """K2: merge each eligible day's files (hour-compacted + stray
@@ -127,13 +127,19 @@ class CompactionJob:
         self.validate_directories()
         return [self._run_host(h, level="generation", now_ns=now_ns) for h in self.hosts]
 
-    def _run_host(self, host: str, level: str = "hour", now_ns: int | None = None) -> CompactionReport:
+    def _run_host(
+        self,
+        host: str,
+        level: str = "hour",
+        now_ns: int | None = None,
+        before_hour_ns: int | None = None,
+    ) -> CompactionReport:
         snap_paths = self.snapshot_paths(host)
         snapshots = [read_snapshot(p) for p in snap_paths]
         if level == "generation":
             plan = plan_generation(host, snapshots, self.config, now_ns=now_ns)
         else:
-            plan = plan_compaction(host, snapshots)
+            plan = plan_compaction(host, snapshots, before_hour_ns=before_hour_ns)
         report = CompactionReport(
             host=host,
             dry_run=self.dry_run,

@@ -129,10 +129,30 @@ def parse_group_key(host: str, file_path: str) -> GroupKey | None:
     return GroupKey(host=host, db_seg=db_seg, table_seg=table_seg, date=m.group(1), hour=m.group(2))
 
 
-def plan_compaction(host: str, snapshots: list[SnapshotMetadata]) -> CompactionPlan:
+def hour_start_ns(key: GroupKey) -> int:
+    """UTC start of a group's hour as an exact ns epoch (int math)."""
+    import calendar
+    import datetime
+
+    d = datetime.date.fromisoformat(key.date)
+    epoch_s = calendar.timegm(d.timetuple()) + int(key.hour) * 3600
+    return epoch_s * 1_000_000_000
+
+
+def plan_compaction(
+    host: str,
+    snapshots: list[SnapshotMetadata],
+    before_hour_ns: int | None = None,
+) -> CompactionPlan:
     """Flatten → regex-extract → group (B5 fixed) → dedup by path
     (overlapping snapshots, kompactor.ts:202-203) → drop singletons
-    (kompactor.ts:213)."""
+    (kompactor.ts:213).
+
+    ``before_hour_ns`` scopes the plan to CLOSED hours — groups whose
+    hour ends at or before the cutoff. This is the continuous-
+    compaction gate: an ingest stream compacts only hours the event
+    clock has moved past, never the hour still receiving writes.
+    """
     by_key: dict[GroupKey, dict[str, ParquetFileInfo]] = defaultdict(dict)
     for snap in snapshots:
         for _db_id, _table_id, f in snap.all_files():
@@ -142,6 +162,8 @@ def plan_compaction(host: str, snapshots: list[SnapshotMetadata]) -> CompactionP
 
     groups, skipped = [], 0
     for key in sorted(by_key, key=lambda k: (k.db_seg, k.table_seg, k.date, k.hour)):
+        if before_hour_ns is not None and hour_start_ns(key) + 3_600_000_000_000 > before_hour_ns:
+            continue  # hour still open — not counted as a skipped singleton
         files = list(by_key[key].values())
         if len(files) <= 1:
             skipped += 1

@@ -43,12 +43,23 @@ class IngestJob:
         db: int = 0,
         table: int = 0,
         time_col: str = "time",
+        auto_compact: bool = False,
+        grace_ns: int = 0,
     ):
+        """``auto_compact``: after each batch, run hour compaction for
+        hours the event clock has closed (hour end + ``grace_ns`` ≤ max
+        ingested event time) — continuous compaction: the hour still
+        receiving writes is never touched, closed hours with >1 WAL
+        file merge as soon as they seal. Idempotent like the manual
+        path (C16: re-runs fold `c_…h` outputs with any stragglers)."""
         self.data_dir = data_dir
         self.host = host
         self.db = db
         self.table = table
         self.time_col = time_col
+        self.auto_compact = auto_compact
+        self.grace_ns = int(grace_ns)
+        self._max_seen_ns: int | None = None
         os.makedirs(os.path.join(data_dir, host, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(data_dir, host, "dbs"), exist_ok=True)
 
@@ -120,6 +131,24 @@ class IngestJob:
             )
         if new_infos:
             self._update_catalog(new_infos)
+            batch_max = max(i.max_time for i in new_infos)
+            self._max_seen_ns = (
+                batch_max if self._max_seen_ns is None else max(self._max_seen_ns, batch_max)
+            )
+            if self.auto_compact:
+                self._compact_closed_hours(df.sparkSession)
+
+    def _compact_closed_hours(self, spark) -> None:
+        """Continuous compaction: merge every closed hour with >1 file.
+        The cutoff is the observed event-time high-watermark minus
+        grace — a pure driver decision off catalog metadata."""
+        from kompactor_spark.compaction.job import CompactionJob
+
+        if self._max_seen_ns is None:
+            return
+        CompactionJob(spark, self.data_dir, [self.host], time_col=self.time_col).run(
+            before_hour_ns=self._max_seen_ns - self.grace_ns
+        )
 
     def _update_catalog(self, new_infos: list[ParquetFileInfo]) -> None:
         if os.path.exists(self.snapshot_path):

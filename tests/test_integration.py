@@ -157,3 +157,37 @@ def test_ingest_batch_replay_idempotent(spark, tmp_path):
     assert len(disk_parquets(root)) == len(files_1) + len(
         {p for p in disk_parquets(root) if "0000000002" in p}
     )
+
+
+def test_ingest_auto_compacts_closed_hours(spark, tmp_path):
+    """Continuous compaction: once the event clock passes an hour (plus
+    grace), that hour's WAL files merge into one c_ file; the hour
+    still receiving writes is never compacted."""
+    import re
+
+    from kompactor_spark.streaming.ingest import IngestJob
+
+    root = str(tmp_path / "alake")
+    job = IngestJob(root, FX.HOST, db=0, table=0, time_col="ts", auto_compact=True)
+
+    # two batches inside hour A: nothing is closed yet -> no c_ files
+    job.write_batch(spark.createDataFrame(_rows(0, BASE, user=1, n=20, step_ns=60 * NS), EVENTS_SCHEMA), 0)
+    job.write_batch(spark.createDataFrame(_rows(50, BASE + 10 * NS, user=2, n=20, step_ns=60 * NS), EVENTS_SCHEMA), 1)
+    assert not [p for p in disk_parquets(root) if "/c_" in "/" + os.path.basename(p)]
+
+    # batch in hour A+1 closes hour A -> its two WAL files merge
+    job.write_batch(
+        spark.createDataFrame(_rows(100, BASE + 3700 * NS, user=3, n=10, step_ns=6 * NS), EVENTS_SCHEMA), 2
+    )
+    on_disk = sorted(disk_parquets(root))
+    compacted = [p for p in on_disk if re.search(r"c_\d{10}_\d{10}_h\d+\.parquet$", p)]
+    assert len(compacted) == 1, on_disk
+    # open hour (A+1) keeps its raw WAL file
+    assert any(re.search(r"/\d{10}\.parquet$", p) for p in on_disk)
+
+    # catalog tracks the merge exactly; rows conserved
+    from kompactor_spark.compaction.metadata import read_snapshot
+
+    snap = read_snapshot(job.snapshot_path)
+    assert snap.row_count == 50
+    assert {f.path for _, _, f in snap.all_files()} == set(on_disk)

@@ -244,3 +244,42 @@ def w6_distribution_funcs(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# W7 — share-of-total (ratio_to_report): per-nation revenue share of
+# the whole and of its region, via unbounded window sums — no self-join
+# --------------------------------------------------------------------------
+@register(
+    "w7_share_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_name, n.n_regionkey,
+             SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, n.n_regionkey)
+    SELECT n_name,
+           round(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER () AS DOUBLE), 6) AS share_total,
+           round(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE), 6) AS share_region
+    FROM nat
+    ORDER BY n_name
+    """,
+)
+def w7_share_of_total(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    nat = (
+        T("customer")
+        .join(T("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.sum(dec("c_acctbal")).alias("bal"))
+    )
+    w_all = Window.partitionBy()
+    w_reg = Window.partitionBy("n_regionkey")
+    return (
+        nat.select(
+            "n_name",
+            F.round(F.col("bal").cast("double") / F.sum("bal").over(w_all).cast("double"), 6).alias("share_total"),
+            F.round(F.col("bal").cast("double") / F.sum("bal").over(w_reg).cast("double"), 6).alias("share_region"),
+        )
+        .orderBy("n_name")
+    )

@@ -63,3 +63,19 @@ def test_retention_idempotent_and_straddling_kept(tmp_path):
     assert all("12-00" in p for p in kept) and kept  # hour-12 files survive
     [rep2] = enforce_retention(root, [HOST], cutoff_ns=mid_hour_12)
     assert rep2.pruned_paths == [] and {f.path for _, _, f in _snap(root).all_files()} == kept
+
+
+def test_cli_retention_flag(spark, tmp_path, capsys):
+    """CLI: --retention-cutoff-ns drives enforce_retention and honors
+    --dry-run."""
+    from kompactor_spark.cli import main
+
+    root = str(tmp_path)
+    multi_hour(root)
+    cutoff = _hour_start(12)
+    rc = main([root, "--hosts", HOST, "--retention-cutoff-ns", str(cutoff), "--dry-run"], spark=spark)
+    assert rc == 0 and "dry-run 3/7" in capsys.readouterr().out
+    assert len([f for _, _, f in _snap(root).all_files()]) == 7
+    rc = main([root, "--hosts", HOST, "--retention-cutoff-ns", str(cutoff)], spark=spark)
+    assert rc == 0
+    assert len([f for _, _, f in _snap(root).all_files()]) == 4

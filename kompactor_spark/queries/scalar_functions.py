@@ -366,3 +366,37 @@ def f8_casts(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# F9 — Variant-typed JSON access (Spark 4 VariantType: parse once,
+# extract typed — the modern engine path for semi-structured columns;
+# F7 covers the classic get_json_object string path). Oracle uses plain
+# json_extract; results must agree exactly.
+# --------------------------------------------------------------------------
+@register(
+    "f9_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f9_variant_json(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        T("events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("bigint").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

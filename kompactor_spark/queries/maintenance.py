@@ -154,3 +154,36 @@ def m4_funnel(spark, sf_dir):
         F.count(F.when(clicked_after, 1)).cast("bigint").alias("n_clicked_after"),
         F.count(F.when(purchased_after, 1)).cast("bigint").alias("n_purchased_after"),
     )
+
+
+# --------------------------------------------------------------------------
+# M6 — snapshot diff (CDC-style): rows added/removed between two table
+# versions via one full-outer presence join on the key — the audit op a
+# lake runs to explain a snapshot transition
+# --------------------------------------------------------------------------
+@register(
+    "m6_snapshot_diff",
+    oracle="""
+    WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+         n AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 89 <> 0)
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'removed' END AS op
+    FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+    ORDER BY o_orderkey
+    """,
+)
+def m6_snapshot_diff(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    orders = T("orders").select("o_orderkey")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).withColumnRenamed("o_orderkey", "old_key")
+    new = orders.where(F.col("o_orderkey") % 89 != 0).withColumnRenamed("o_orderkey", "new_key")
+    return (
+        old.join(new, old.old_key == new.new_key, "full")
+        .where(F.col("old_key").isNull() | F.col("new_key").isNull())
+        .select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            F.when(F.col("old_key").isNull(), "added").otherwise("removed").alias("op"),
+        )
+        .orderBy("o_orderkey")
+    )

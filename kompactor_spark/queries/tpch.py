@@ -519,3 +519,48 @@ def q19_discounted_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier: revenue view over a quarter, then the supplier(s)
+# hitting the maximum (scalar subquery over an aggregate — decorrelated
+# as an agg + broadcast max join)
+# --------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l.l_suppkey AS supplier_no,
+             SUM({_REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS total_rev
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    # total_rev is an exact DECIMAL sum, so `= MAX(...)` is a safe
+    # equality across engines (never do this on raw double sums).
+    T = loader(sf_dir, spark)
+    rev = (
+        T("lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1996-04-01 00:00:00")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        T("supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )

@@ -554,3 +554,97 @@ def a13_string_agg(spark, sf_dir):
         .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("r_name")
     )
+
+
+# --------------------------------------------------------------------------
+# A14 — predicate aggregates: count_if / bool_and / bool_or per group
+# --------------------------------------------------------------------------
+@register(
+    "a14_bool_aggs",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_huge
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def a14_bool_aggs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 100000).cast("bigint").alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# F10 — bitwise aggregate + scalar ops (bit_and/or/xor, shifts)
+# --------------------------------------------------------------------------
+@register(
+    "f10_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(CAST(l_linenumber AS BIGINT)) AS b_and,
+           bit_or(CAST(l_linenumber AS BIGINT))  AS b_or,
+           bit_xor(CAST(l_linenumber AS BIGINT)) AS b_xor,
+           CAST(max(CAST(l_linenumber AS BIGINT) << 3) AS BIGINT) AS max_shl
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def f10_bitwise(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ln = F.col("l_linenumber").cast("bigint")
+    return (
+        T("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bit_and(ln).alias("b_and"),
+            F.bit_or(ln).alias("b_or"),
+            F.bit_xor(ln).alias("b_xor"),
+            F.max(F.shiftleft(ln, 3)).cast("bigint").alias("max_shl"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# U4 — multiset set ops: EXCEPT ALL / INTERSECT ALL (bag semantics —
+# duplicates preserved, unlike U3's distinct forms)
+# --------------------------------------------------------------------------
+@register(
+    "u4_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F')
+    SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all', k, CAST(count(*) AS BIGINT)
+    FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+    ORDER BY op, k
+    """,
+)
+def u4_multiset_ops(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = T("lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+    ex = (
+        a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    it = (
+        a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionAll(it).orderBy("op", "k")

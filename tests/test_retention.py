@@ -79,3 +79,26 @@ def test_cli_retention_flag(spark, tmp_path, capsys):
     rc = main([root, "--hosts", HOST, "--retention-cutoff-ns", str(cutoff)], spark=spark)
     assert rc == 0
     assert len([f for _, _, f in _snap(root).all_files()]) == 4
+
+
+def test_retention_properties_any_cutoff(tmp_path_factory):
+    """Property (P6): for ANY cutoff, pruned ∪ kept partitions the file
+    set exactly by the max_time predicate, a re-run is a no-op, and the
+    catalog stays fsck-consistent. Driver-only — sweeps cutoffs over
+    the layout's whole time range including both boundary epochs."""
+    root = str(tmp_path_factory.mktemp("ret"))
+    multi_hour(root)
+    all_files = {f.path: f.max_time for _, _, f in _snap(root).all_files()}
+    times = sorted(set(all_files.values()))
+    cutoffs = [times[0], times[-1] + 1, (times[0] + times[-1]) // 2, times[len(times) // 2]]
+    for cutoff in cutoffs:
+        r = str(tmp_path_factory.mktemp(f"c{cutoff % 997}"))
+        multi_hour(r)
+        [rep] = enforce_retention(r, [HOST], cutoff_ns=cutoff)
+        expect_pruned = {p for p, mx in all_files.items() if mx < cutoff}
+        assert set(rep.pruned_paths) == expect_pruned
+        kept = {f.path for _, _, f in read_snapshot(os.path.join(r, HOST, "snapshots", "0001.info.json")).all_files()}
+        assert kept == set(all_files) - expect_pruned
+        assert fsck_host(r, HOST).ok
+        [rep2] = enforce_retention(r, [HOST], cutoff_ns=cutoff)
+        assert rep2.pruned_paths == []

@@ -11,7 +11,9 @@ only where built-ins cannot express the semantics.
 """
 
 from kompactor_spark.compaction import CompactionConfig, CompactionJob
+from kompactor_spark.compaction.fsck import fsck_host
 from kompactor_spark.compaction.metadata import bootstrap_snapshot
+from kompactor_spark.compaction.retention import enforce_retention
 from kompactor_spark.session import ensure_conf, get_spark
 from kompactor_spark.sql_api import run_sql
 from kompactor_spark.tables import TABLES, load_table
@@ -21,7 +23,9 @@ __all__ = [
     "CompactionJob",
     "TABLES",
     "bootstrap_snapshot",
+    "enforce_retention",
     "ensure_conf",
+    "fsck_host",
     "get_spark",
     "load_table",
     "run_sql",

@@ -1,10 +1,14 @@
-"""Classic TPC-H-shaped queries (Q3, Q5, Q10) over the driver testdata.
+"""All 22 classic TPC-H query shapes over the driver testdata.
 
 These are the workloads a reference user actually runs against a
-compacted Parquet lake; each exercises a different plan archetype:
-Q3 = filter-heavy 3-way join + top-k, Q5 = 6-way star with a cycle
-check, Q10 = wide group-by over a 4-way join. All H-checked with
-decimal-exact revenue sums and total ORDER BY.
+compacted Parquet lake; each exercises a different plan archetype
+(filter-heavy join + top-k, star joins, correlated EXISTS/NOT EXISTS,
+scalar subqueries, conditional aggregation, distinct-count bridges,
+nested semi-joins). Q2/Q4/Q9/Q11/Q12/Q13/Q16/Q20/Q21 are adapted to the
+trimmed testdata schema (no partsupp, no commit/receipt dates — see the
+section comment below) but keep the original correlation and join
+topology. All H-checked with decimal-exact money sums and total
+ORDER BY.
 """
 
 from __future__ import annotations
@@ -563,4 +567,437 @@ def q15_top_supplier(spark, sf_dir):
         .where(F.col("total_rev") == F.col("max_rev"))
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
         .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# The remaining TPC-H archetypes (Q2, Q4, Q9, Q11, Q12, Q13, Q16, Q20, Q21).
+#
+# The driver testdata trims the classic schema — there is no `partsupp`
+# table and lineitem lacks l_commitdate / l_receiptdate / l_shipmode
+# (FIXTURES.md). Each query below keeps the ORIGINAL's plan archetype
+# (the part Catalyst must get right: correlation shape, join topology,
+# agg placement) while substituting available columns:
+#   * "supply offers" are derived from lineitem (l_partkey, l_suppkey)
+#     group-bys where partsupp is required (Q2, Q11, Q16, Q20);
+#   * "lateness" is l_shipdate > o_orderdate + INTERVAL (Q4, Q12, Q21);
+#   * l_returnflag stands in for l_shipmode's low-cardinality axis (Q12).
+# Reference parity: these are workloads an InfluxDB-3 lake user runs via
+# external engines — the reference's own data plane is scan+sort+write
+# (kompactor.ts:107-111); the relational surface is our engine's extension.
+# --------------------------------------------------------------------------
+
+
+# Q2 — min-cost supplier: correlated MIN subquery over region-scoped
+# offers, decorrelated as a per-part MIN join (classic Q2 shape).
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS offer_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    roffers AS (
+      SELECT o.l_partkey, o.offer_price, s.s_acctbal, s.s_name, n.n_name
+      FROM offers o
+      JOIN supplier s ON o.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    best AS (
+      SELECT l_partkey, MIN(offer_price) AS min_price
+      FROM roffers GROUP BY l_partkey)
+    SELECT ro.s_acctbal, ro.s_name, ro.n_name, p.p_partkey, p.p_type, ro.offer_price
+    FROM part p
+    JOIN roffers ro ON ro.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = p.p_partkey AND ro.offer_price = b.min_price
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+    ORDER BY ro.s_acctbal DESC, ro.n_name, ro.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    # MIN over raw doubles is exact (no summation), so the equality join
+    # on offer_price = min_price is safe cross-engine.
+    T = loader(sf_dir, spark)
+    offers = (
+        T("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    n, r = T("nation"), T("region").where(F.col("r_name") == "EUROPE")
+    s = (
+        T("supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    roffers = offers.join(s, offers.l_suppkey == s.s_suppkey).select(
+        "l_partkey", "offer_price", "s_acctbal", "s_name", "n_name"
+    )
+    best = roffers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("offer_price").alias("min_price")
+    )
+    p = T("part").where((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        F.broadcast(p)
+        .join(roffers, roffers.l_partkey == p.p_partkey)
+        .join(
+            best,
+            (F.col("b_partkey") == p.p_partkey)
+            & (F.col("offer_price") == F.col("min_price")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "offer_price")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# Q4 — order-priority checking: correlated EXISTS (late lineitem) as a
+# left-semi join with a cross-table predicate, then a tiny group-by.
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    o = T("orders").where(
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-04-01 00:00:00")
+    )
+    li = T("lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# Q9 — product-type profit: 5-way join with a substring part filter and
+# per-(nation, year) profit. Cost term uses p_retailprice (no partsupp);
+# all money math in DECIMAL so the SUM is order-independent.
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+             - CAST(p.p_retailprice AS DECIMAL(9,2)) * CAST(0.5 AS DECIMAL(2,1))
+               * CAST(l.l_quantity AS DECIMAL(9,2))
+           ) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, date_part('year', o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = T("lineitem")
+    p = T("part").where(F.col("p_name").like("%bolt%"))
+    s, o, n = T("supplier"), T("orders"), T("nation")
+    profit = _revenue() - (
+        dec("p_retailprice", 2, 9)
+        * F.lit(0.5).cast("decimal(2,1)")
+        * dec("l_quantity", 2, 9)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# Q11 — important parts: group-by value per part for one nation's
+# suppliers, filtered against a scalar subquery (share of the global
+# total). Threshold compared in exact DECIMAL (value*1000 > total).
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value_dec AS DECIMAL(18,2)) * CAST(1000 AS DECIMAL(4,0))
+          > (SELECT SUM(value_dec) FROM val)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    s = (
+        T("supplier")
+        .join(
+            F.broadcast(T("nation").where(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        T("lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.join(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("decimal(18,2)") * F.lit(1000).cast("decimal(4,0)")
+            > F.col("total_dec")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# Q12 — ship-class priority counts: join + conditional aggregation.
+# l_returnflag is the low-cardinality axis (no l_shipmode in testdata);
+# "late" lines ship >30 days after the order date.
+@register(
+    "q12_late_lines_by_class",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY ship_class
+    """,
+)
+def q12_late_lines_by_class(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = T("lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+        & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+    )
+    o = T("orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# Q13 — customer distribution: left outer join with an ON-clause filter,
+# per-customer count, then a histogram over the counts.
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("customer")
+    o = T("orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# Q16 — supplier counts per part attribute: distinct-count over a
+# bridge join (lineitem stands in for partsupp) with a NOT IN
+# supplier blacklist (anti-join).
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 15, 23, 29, 36)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    p = T("part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 29, 36)
+    )
+    bad = T("supplier").where(F.col("s_acctbal") < 1000).select("s_suppkey")
+    return (
+        T("lineitem")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# Q20 — part promotion: nested IN subqueries (part-name semi-join inside
+# a grouped HAVING semi-join inside a supplier semi-join).
+@register(
+    "q20_part_promotion",
+    oracle="""
+    SELECT s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2)))
+               > CAST(50 AS DECIMAL(18,2)))
+    ORDER BY s.s_name
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    red = T("part").where(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (
+        T("lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1997-01-01 00:00:00")
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .where(F.col("qty") > F.lit(50).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    n = T("nation").where(F.col("n_name") == "NATION_3")
+    return (
+        T("supplier")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+# Q21 — suppliers who kept orders waiting: EXISTS (another supplier on
+# the order) + NOT EXISTS (another LATE supplier), decorrelated in Spark
+# as one per-order aggregate (distinct suppliers + late-supplier set)
+# instead of two correlated scans — one shuffle on l_orderkey.
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name = 'NATION_4'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    o = (
+        T("orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = (
+        T("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+    )
+    per_order = l.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supps"),
+    )
+    l1 = (
+        l.where(F.col("late"))
+        .drop("o_orderkey", "o_orderdate", "l_shipdate", "late")
+        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        .where((F.col("nsupp") > 1) & (F.size("late_supps") == 1))
+    )
+    n = T("nation").where(F.col("n_name") == "NATION_4")
+    s = T("supplier").join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
     )

@@ -158,3 +158,32 @@ def test_q17_decorrelated_no_cartesian(spark, Q):
     join on partkey — no nested-loop re-execution per row."""
     p = plan(spark, Q["q17_small_qty_revenue"](spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q21_decorrelation_stays_hash_joins(spark, Q):
+    """Q21: EXISTS + NOT EXISTS are decorrelated into ONE per-order
+    aggregate joined back on l_orderkey — never a per-row nested-loop
+    re-scan of lineitem. At 100 TB the difference is one shuffle of
+    lineitem vs O(rows) rescans."""
+    p = plan(spark, Q["q21_waiting_suppliers"](spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # the order-correlated join keys stay l_orderkey/po_orderkey
+    assert "po_orderkey" in p
+
+
+def test_q16_blacklist_is_broadcast_anti_join(spark, Q):
+    """Q16: the NOT IN supplier blacklist becomes a broadcast LeftAnti
+    hash join — the lineitem fact is never shuffled to test membership."""
+    p = plan(spark, Q["q16_supplier_part_counts"](spark, SF))
+    assert "LeftAnti, BuildRight" in p, p
+
+
+def test_q13_on_clause_filter_pushed_to_scan(spark, Q):
+    """Q13: the outer-join ON-clause predicate on o_orderpriority is
+    pushed down to the orders Parquet scan (scan-level row skipping),
+    not evaluated post-join."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = Q["q13_customer_distribution"](spark, SF)._jdf.queryExecution().explainString(mode)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p.split("PushedFilters:")[1].split("]")[0] \
+        or any("Not(EqualTo(o_orderpriority,1-URGENT))" in seg.split("]")[0]
+               for seg in p.split("PushedFilters:")[1:])

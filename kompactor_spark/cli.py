@@ -8,6 +8,9 @@ the planned-but-dead generation level (D4/D8) is reachable via
 Usage:
     python -m kompactor_spark <data-dir> --hosts host-a,host-b
         [--dry-run] [--verbose] [--generation] [--now-ns N]
+    python -m kompactor_spark <data-dir> --hosts host-a
+        --ingest-source /path/to/files [--auto-compact] [--grace-ns N]
+        [--ingest-format parquet|json|csv] [--db N] [--table N]
 """
 
 from __future__ import annotations
@@ -68,6 +71,40 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="concurrent compaction groups (driver threads; Spark overlaps their stages)",
     )
+    p.add_argument(
+        "--ingest-source",
+        default=None,
+        help="stream-ingest this directory (availableNow file source) into the "
+        "<host>/dbs WAL layout + live catalog instead of compacting; requires "
+        "exactly one --hosts entry",
+    )
+    p.add_argument(
+        "--ingest-format",
+        default="parquet",
+        choices=["parquet", "json", "csv"],
+        help="file format of --ingest-source (schema inferred from existing files)",
+    )
+    p.add_argument(
+        "--auto-compact",
+        action="store_true",
+        help="with --ingest-source: after each batch, hour-compact hours the event "
+        "clock has closed (continuous compaction; the hot hour is never touched)",
+    )
+    p.add_argument(
+        "--grace-ns",
+        type=int,
+        default=0,
+        help="with --auto-compact: extra event-time lag before an hour counts as closed",
+    )
+    p.add_argument("--checkpoint", default=None, help="streaming checkpoint dir (ingest mode)")
+    p.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=None,
+        help="ingest mode: cap source files per micro-batch (batch = one WAL file per hour)",
+    )
+    p.add_argument("--db", type=int, default=0, help="target db id (ingest mode)")
+    p.add_argument("--table", type=int, default=0, help="target table id (ingest mode)")
     return p
 
 
@@ -105,6 +142,42 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 dry_run=args.dry_run,
             ):
                 print(rep.summary())
+            return 0
+        if args.ingest_source is not None:
+            import os
+
+            from kompactor_spark.compaction.metadata import read_snapshot
+            from kompactor_spark.streaming.ingest import IngestJob
+
+            hosts = [h for h in args.hosts.split(",") if h]
+            if len(hosts) != 1:
+                print("--ingest-source requires exactly one --hosts entry", file=sys.stderr)
+                return 2
+            # Pin the schema from the files already present — a streaming
+            # file source must not re-infer per batch.
+            schema = getattr(spark.read, args.ingest_format)(args.ingest_source).schema
+            reader = spark.readStream.schema(schema).format(args.ingest_format)
+            if args.max_files_per_trigger is not None:
+                reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+            stream = reader.load(args.ingest_source)
+            job = IngestJob(
+                args.data_dir,
+                hosts[0],
+                db=args.db,
+                table=args.table,
+                time_col=args.time_col,
+                auto_compact=args.auto_compact,
+                grace_ns=args.grace_ns,
+            )
+            ckpt = args.checkpoint or os.path.join(
+                args.data_dir, hosts[0], ".checkpoints", f"db-{args.db}-table-{args.table}"
+            )
+            q = job.attach(stream, ckpt)
+            q.awaitTermination()
+            snap = read_snapshot(job.snapshot_path)
+            n_files = sum(1 for _ in snap.all_files())
+            print(f"{hosts[0]}: ingested -> {snap.row_count} rows in {n_files} files "
+                  f"(auto-compact {'on' if args.auto_compact else 'off'})")
             return 0
         if args.bootstrap:
             import os

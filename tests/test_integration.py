@@ -191,3 +191,57 @@ def test_ingest_auto_compacts_closed_hours(spark, tmp_path):
     snap = read_snapshot(job.snapshot_path)
     assert snap.row_count == 50
     assert {f.path for _, _, f in snap.all_files()} == set(on_disk)
+
+
+def test_cli_ingest_auto_compact(spark, tmp_path):
+    """CLI ingest mode: --ingest-source streams a directory into the WAL
+    layout with --auto-compact merging event-time-closed hours."""
+    import re
+
+    from kompactor_spark.cli import main as cli_main
+    from kompactor_spark.compaction.metadata import read_snapshot
+
+    src = str(tmp_path / "csrc")
+    batches = [
+        _rows(0, BASE, user=1, n=20, step_ns=60 * NS),
+        _rows(50, BASE + 10 * NS, user=2, n=20, step_ns=60 * NS),
+        _rows(100, BASE + 3700 * NS, user=3, n=10, step_ns=6 * NS),
+    ]
+    _write_batches(spark, src, batches)
+
+    root = str(tmp_path / "clake")
+    rc = cli_main(
+        [
+            root,
+            "--hosts",
+            FX.HOST,
+            "--ingest-source",
+            os.path.join(src, "*"),
+            "--time-col",
+            "ts",
+            "--auto-compact",
+            "--max-files-per-trigger",
+            "1",
+            "--checkpoint",
+            str(tmp_path / "cckpt"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    on_disk = sorted(disk_parquets(root))
+    assert on_disk, "nothing ingested"
+    snap = read_snapshot(os.path.join(root, FX.HOST, "snapshots", "0001.info.json"))
+    assert snap.row_count == 50
+    assert {f.path for _, _, f in snap.all_files()} == set(on_disk)
+    # hour A closed by the hour-A+1 batch -> compacted output exists
+    assert any(re.search(r"c_\d{10}_\d{10}_h\d+\.parquet$", p) for p in on_disk)
+
+
+def test_cli_ingest_requires_single_host(spark, tmp_path):
+    from kompactor_spark.cli import main as cli_main
+
+    rc = cli_main(
+        [str(tmp_path), "--hosts", "a,b", "--ingest-source", str(tmp_path)],
+        spark=spark,
+    )
+    assert rc == 2

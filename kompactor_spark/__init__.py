@@ -14,6 +14,7 @@ from kompactor_spark.compaction import CompactionConfig, CompactionJob
 from kompactor_spark.compaction.fsck import fsck_host
 from kompactor_spark.compaction.metadata import bootstrap_snapshot
 from kompactor_spark.compaction.retention import enforce_retention
+from kompactor_spark import functions as chsql  # ClickHouse-compat surface (R5)
 from kompactor_spark.session import ensure_conf, get_spark
 from kompactor_spark.sql_api import run_sql
 from kompactor_spark.tables import TABLES, load_table
@@ -23,6 +24,7 @@ __all__ = [
     "CompactionJob",
     "TABLES",
     "bootstrap_snapshot",
+    "chsql",
     "enforce_retention",
     "ensure_conf",
     "fsck_host",

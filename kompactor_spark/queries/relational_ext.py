@@ -648,3 +648,44 @@ def u4_multiset_ops(spark, sf_dir):
         .select(F.lit("intersect_all").alias("op"), "k", "n")
     )
     return ex.unionAll(it).orderBy("op", "k")
+
+
+# --------------------------------------------------------------------------
+# A15 — exact per-group mode (most frequent value) with a deterministic
+# tiebreak. Engines' built-in mode() breaks ties arbitrarily, so the
+# contract form is count + argmax window: one shuffle for the count,
+# one partition-local window — no second pass over the data.
+# --------------------------------------------------------------------------
+@register(
+    "a15_exact_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM counted)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+)
+def a15_exact_mode(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    counted = (
+        T("orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt")
+        .orderBy("o_orderstatus")
+    )

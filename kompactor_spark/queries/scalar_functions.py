@@ -400,3 +400,52 @@ def f9_variant_json(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# R5 — ClickHouse-compat scalar surface (kompactor.ts:154-157 loads the
+# chsql DuckDB extension and never calls it; we implement the surface
+# for real). Exercises kompactor_spark.functions: toYYYYMM /
+# toStartOfHour / toUnixTimestamp / multiIf — all JVM-side expressions
+# over ns-longs.
+# --------------------------------------------------------------------------
+@register(
+    "r5_chsql_compat",
+    oracle="""
+    SELECT CAST(date_part('year', ts) * 100 + date_part('month', ts) AS INT) AS yyyymm,
+           CASE WHEN value > 100 THEN 'high'
+                WHEN value > 25  THEN 'mid'
+                ELSE 'low' END AS sev,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN((epoch_ns(ts) // 3600000000000) * 3600000000000) AS first_hour_ns,
+           MAX(epoch_ns(ts) // 1000000000) AS last_unix_s
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY yyyymm, sev
+    """,
+)
+def r5_chsql_compat(spark, sf_dir):
+    from kompactor_spark import functions as ch
+
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    sev = ch.multiIf(
+        F.col("value") > 100, F.lit("high"),
+        F.col("value") > 25, F.lit("mid"),
+        F.lit("low"),
+    )
+    return (
+        ev.select(
+            ch.toYYYYMM("ts").alias("yyyymm"),
+            sev.alias("sev"),
+            ch.toStartOfHour("ts").alias("hour_ns"),
+            ch.toUnixTimestamp("ts").alias("unix_s"),
+        )
+        .groupBy("yyyymm", "sev")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("hour_ns").alias("first_hour_ns"),
+            F.max("unix_s").alias("last_unix_s"),
+        )
+        .orderBy("yyyymm", "sev")
+    )

@@ -248,3 +248,61 @@ def x11_counter_rate(spark, sf_dir):
         .select("user_id", "event_id", "ts_us", "rate_per_s")
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X12 — hierarchical time rollup: one pass produces day, month, year,
+# and grand-total aggregates via ROLLUP(y, m, d) — the continuous-
+# aggregate ladder a time-series store materializes (hour→day→month
+# generations, reference D4/D8 intent at query level). Partial
+# aggregation makes the multi-level pass one shuffle, not three.
+# --------------------------------------------------------------------------
+@register(
+    "x12_time_rollup_hierarchy",
+    oracle="""
+    SELECT CAST(date_part('year', ts) AS INT) AS y,
+           CAST(date_part('month', ts) AS INT) AS m,
+           CAST(date_part('day', ts) AS INT) AS d,
+           CAST(GROUPING(date_part('year', ts)) AS INTEGER) AS g_y,
+           CAST(GROUPING(date_part('month', ts)) AS INTEGER) AS g_m,
+           CAST(GROUPING(date_part('day', ts)) AS INTEGER) AS g_d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (date_part('year', ts), date_part('month', ts), date_part('day', ts))
+    ORDER BY g_y, g_m, g_d,
+             y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
+    """,
+)
+def x12_time_rollup_hierarchy(spark, sf_dir):
+    # events.ts is an ns-long; both engines see identical µs instants
+    # (DuckDB truncates Parquet ns→µs, `ts div 1000` truncates the same
+    # way), so calendar parts agree exactly.
+    T = loader(sf_dir, spark)
+    ev = T("events").withColumn(
+        "ts_us", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+    )
+    return (
+        ev.select(
+            F.year("ts_us").alias("y"),
+            F.month("ts_us").alias("m"),
+            F.dayofmonth("ts_us").alias("d"),
+            "value",
+        )
+        .rollup("y", "m", "d")
+        .agg(
+            F.grouping("y").cast("int").alias("g_y"),
+            F.grouping("m").cast("int").alias("g_m"),
+            F.grouping("d").cast("int").alias("g_d"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy(
+            "g_y",
+            "g_m",
+            "g_d",
+            F.col("y").asc_nulls_first(),
+            F.col("m").asc_nulls_first(),
+            F.col("d").asc_nulls_first(),
+        )
+    )

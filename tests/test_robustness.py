@@ -68,3 +68,34 @@ def test_ns_bucket_exact_at_boundaries(spark):
     # the old float formula really is wrong on at least one of these
     bad = df.select("ts", (F.col("ts") / NS_PER_HOUR).cast("long").alias("k")).collect()
     assert any(r["k"] != r["ts"] // NS_PER_HOUR for r in bad)
+
+
+def test_multiif_arity_validation():
+    import pytest as _pytest
+
+    from kompactor_spark import chsql
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError):
+        chsql.multiIf(F.lit(True), F.lit(1))  # no default
+    with _pytest.raises(ValueError):
+        chsql.multiIf(F.lit(1))  # too few args
+
+
+def test_chsql_buckets_exact_at_ns_boundaries(spark):
+    """toStartOfHour / toUnixTimestamp on epochs near 2^60: exact long
+    math, no float drift (B3 class)."""
+    from kompactor_spark import chsql
+
+    ns = 1_740_000_000_123_456_789  # ~2025, sub-second ns tail
+    df = spark.range(1).select(F.lit(ns).cast("long").alias("ts"))
+    row = df.select(
+        chsql.toStartOfHour("ts").alias("h"),
+        chsql.toStartOfSecond("ts").alias("s"),
+        chsql.toUnixTimestamp("ts").alias("u"),
+        chsql.intDiv("ts", 1000).alias("us"),
+    ).first()
+    assert row.h == ns - ns % 3_600_000_000_000
+    assert row.s == ns - ns % 1_000_000_000
+    assert row.u == ns // 1_000_000_000
+    assert row.us == ns // 1000

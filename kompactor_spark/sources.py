@@ -91,3 +91,115 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+# --------------------------------------------------------------------------
+# InfluxDB line protocol (the reference's upstream wire format — its
+# Parquet lake is written by InfluxDB 3 from exactly these lines;
+# README.md:74-106 shows the tags/fields/time model). Parse and render
+# entirely with built-in JVM expressions — no Python in the row path,
+# so a 100 TB text backlog parses at scan speed.
+#
+# Supported grammar (the common case, v1):
+#   measurement[,tag=value...] field=value[,field=value...] [ts_ns]
+# Field literals: 1.5 (float), 42i (int), "str", true/false. Escaped
+# separators (`\ `, `\,`) are NOT handled in v1 — lines with them are
+# surfaced in the `malformed` column rather than silently misparsed.
+# --------------------------------------------------------------------------
+
+# fields segment admits spaces inside double-quoted string values
+_LP_LINE = r'^([^ ]+) ((?:[^ "]|"[^"]*")+)( (\d+))?$'
+
+
+def read_line_protocol(spark, path: str) -> DataFrame:
+    """Text file(s) of line protocol → DataFrame
+    (measurement string, tags map<str,str>, fields map<str,str>,
+    time long-ns nullable, malformed string nullable).
+
+    Field values stay as raw strings in the map (`"42i"`, `"1.5"`,
+    `"\"x\""`); use the lp_field_* helpers for typed access.
+    """
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    head = F.regexp_extract("value", _LP_LINE, 1)
+    fieldstr = F.regexp_extract("value", _LP_LINE, 2)
+    tsstr = F.regexp_extract("value", _LP_LINE, 4)
+    well_formed = (head != "") & (fieldstr != "") & ~F.col("value").contains("\\")
+    comma, eq = F.lit(","), F.lit("=")
+    tagstr = F.regexp_replace(head, "^[^,]*,?", "")
+    return raw.select(
+        F.when(well_formed, F.split(head, ",").getItem(0)).alias("measurement"),
+        F.when(well_formed & (tagstr != ""), F.str_to_map(tagstr, comma, eq))
+        .otherwise(F.when(well_formed, F.expr("map()")))
+        .alias("tags"),
+        F.when(well_formed, F.str_to_map(fieldstr, comma, eq)).alias("fields"),
+        F.when(well_formed & (tsstr != ""), tsstr.cast("long")).alias("time"),
+        F.when(~well_formed, F.col("value")).alias("malformed"),
+    )
+
+
+def lp_field_double(fields, name: str):
+    """fields map → double field value (no 'i' suffix, no quotes)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(fields, name).cast("double")
+
+
+def lp_field_long(fields, name: str):
+    """fields map → integer field ('42i' → 42)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(F.element_at(fields, name), "i$", "").cast("long")
+
+
+def lp_field_string(fields, name: str):
+    """fields map → string field with surrounding quotes stripped."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(F.element_at(fields, name), '^"|"$', "")
+
+
+def lp_field_bool(fields, name: str):
+    from pyspark.sql import functions as F
+
+    return F.lower(F.element_at(fields, name)).isin("t", "true")
+
+
+def to_line_protocol(
+    df: DataFrame,
+    measurement: str,
+    tag_cols: list[str],
+    field_cols: dict[str, str],
+    time_col: str,
+) -> DataFrame:
+    """Render rows as line protocol (single `value` string column).
+
+    ``field_cols`` maps column name → kind ('float' | 'int' | 'str' |
+    'bool'); floats render with %.6f so the text round-trips to the
+    same double on re-parse. Write with df.write.text(path).
+    """
+    from pyspark.sql import functions as F
+
+    head = F.concat_ws(
+        ",",
+        F.lit(measurement),
+        *[F.concat_ws("=", F.lit(t), F.col(t).cast("string")) for t in tag_cols],
+    )
+    parts = []
+    for name, kind in field_cols.items():
+        if kind == "float":
+            val = F.format_string("%.6f", F.col(name).cast("double"))
+        elif kind == "int":
+            val = F.concat(F.col(name).cast("long").cast("string"), F.lit("i"))
+        elif kind == "str":
+            val = F.concat(F.lit('"'), F.col(name).cast("string"), F.lit('"'))
+        elif kind == "bool":
+            val = F.when(F.col(name), F.lit("true")).otherwise(F.lit("false"))
+        else:
+            raise ValueError(f"unknown field kind {kind!r} for {name!r}")
+        parts.append(F.concat_ws("=", F.lit(name), val))
+    body = F.concat_ws(",", *parts)
+    return df.select(
+        F.concat_ws(" ", head, body, F.col(time_col).cast("long").cast("string")).alias("value")
+    )

@@ -133,3 +133,89 @@ def test_cli_fsck(spark, tmp_path, capsys):
     json.dump(meta, open(snap_path, "w"))
     assert main([root, "--hosts", FX.HOST, "--fsck"], spark=spark) == 2
     assert "stat mismatches" in capsys.readouterr().out
+
+
+def test_line_protocol_roundtrip(spark, tmp_path):
+    """events → rendered line protocol → text file → parse → identical
+    (measurement, tags, typed fields, ns time). All built-in
+    expressions — the text path must not lose ns precision or field
+    types (SURVEY §1.1: the reference lake IS materialized line
+    protocol)."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.sources import (
+        lp_field_double,
+        lp_field_long,
+        lp_field_string,
+        read_line_protocol,
+        to_line_protocol,
+    )
+    from kompactor_spark.tables import loader
+
+    T = loader("/root/testdata/sf0.001", spark)
+    ev = T("events").select("event_id", "ts", "user_id", "event_type", "value").limit(500)
+
+    lines = to_line_protocol(
+        ev,
+        measurement="events",
+        tag_cols=["event_type"],
+        field_cols={"event_id": "int", "user_id": "int", "value": "float"},
+        time_col="ts",
+    )
+    out = str(tmp_path / "lp")
+    lines.coalesce(1).write.text(out)
+
+    parsed = read_line_protocol(spark, out)
+    assert parsed.where(F.col("malformed").isNotNull()).count() == 0
+    back = parsed.select(
+        lp_field_long(F.col("fields"), "event_id").alias("event_id"),
+        F.col("time").alias("ts"),
+        lp_field_long(F.col("fields"), "user_id").alias("user_id"),
+        F.element_at("tags", "event_type").alias("event_type"),
+        lp_field_double(F.col("fields"), "value").alias("value"),
+        F.col("measurement"),
+    )
+    assert back.where(F.col("measurement") != "events").count() == 0
+    a = ev.orderBy("event_id").collect()
+    b = back.drop("measurement").orderBy("event_id").collect()
+    assert len(a) == len(b) == 500
+    for ra, rb in zip(a, b):
+        assert ra.event_id == rb.event_id and ra.ts == rb.ts
+        assert ra.user_id == rb.user_id and ra.event_type == rb.event_type
+        assert abs(ra.value - rb.value) < 5e-7  # %.6f text precision
+
+
+def test_line_protocol_grammar_cases(spark, tmp_path):
+    """Tagless lines, string/bool fields, missing timestamp, escaped
+    separators (surfaced as malformed, never misparsed)."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.sources import lp_field_bool, lp_field_string, read_line_protocol
+
+    src = tmp_path / "cases.lp"
+    src.write_text(
+        'cpu,host=h1,region=eu usage=0.5,ok=true 1740000000123456789\n'
+        'mem free=42i\n'
+        'disk,mount=/data used="almost full" 1740000000000000000\n'
+        'bad\\ measurement value=1 123\n'
+        '\n'
+    )
+    df = read_line_protocol(spark, str(src))
+    rows = {r.measurement: r for r in df.collect() if r.measurement}
+    assert rows["cpu"].tags == {"host": "h1", "region": "eu"}
+    assert rows["cpu"].time == 1740000000123456789
+    assert rows["mem"].tags == {} and rows["mem"].time is None
+    assert rows["mem"].fields == {"free": "42i"}
+    assert rows["disk"].fields["used"] == '"almost full"'
+    from kompactor_spark.sources import lp_field_string
+    disk_used = (
+        df.where(F.col("measurement") == "disk")
+        .select(lp_field_string(F.col("fields"), "used").alias("s"))
+        .first()
+    )
+    assert disk_used.s == "almost full"
+    assert df.select(lp_field_bool(F.col("fields"), "ok")).where(F.col("measurement") == "cpu") is not None
+    cpu_ok = df.where(F.col("measurement") == "cpu").select(lp_field_bool(F.col("fields"), "ok").alias("b")).first()
+    assert cpu_ok.b is True
+    malformed = [r.malformed for r in df.collect() if r.malformed]
+    assert len(malformed) == 1 and "bad\\" in malformed[0]

@@ -732,3 +732,41 @@ def l6_pack_sequences(spark, sf_dir):
         .select("source", "doc_id", "n_tokens", "bin_id")
         .orderBy("source", "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L6f — decontamination: flag corpus documents that contain an exact
+# probe (prefix) of any benchmark/eval document. The real-world shape:
+# the benchmark set is tiny and broadcast; the corpus is the 100 TB
+# side, scanned once — Spark compiles the containment theta-join to a
+# BroadcastNestedLoopJoin, which is exactly right here (probe set ≪
+# corpus; no equi-key exists for substring containment). doc_id % 97
+# is the deterministic stand-in for "is a benchmark doc".
+# --------------------------------------------------------------------------
+@register(
+    "l6_decontaminate",
+    oracle="""
+    SELECT d.doc_id, CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_probes_hit
+    FROM documents d
+    JOIN (SELECT doc_id, substr(text, 1, 12) AS prefix
+          FROM documents WHERE doc_id % 97 = 0) b
+      ON contains(d.text, b.prefix)
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def l6_decontaminate(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    bench = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("b_doc_id"), F.substring("text", 1, 12).alias("prefix"))
+    )
+    return (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), F.col("text").contains(F.col("prefix")))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("b_doc_id").alias("n_probes_hit"))
+        .orderBy("doc_id")
+    )

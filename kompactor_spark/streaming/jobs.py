@@ -160,3 +160,16 @@ def error_signup_join(
     return e.join(s, cond, "inner").select(
         "err_id", F.col("e_user").alias("user_id"), "signup_id", "err_ts", "signup_ts"
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id", how: str = "left") -> DataFrame:
+    """X13 — stream-static enrichment join.
+
+    The static side is broadcast into every micro-batch; the join is
+    stateless (no watermark, no state store), so it composes with any
+    downstream windowed aggregate. At scale this is the canonical
+    dimension-enrichment shape: Spark re-resolves the static relation
+    per micro-batch, so a slowly-changing dim picks up updates without
+    restarting the query.
+    """
+    return events.join(F.broadcast(dim), key, how)

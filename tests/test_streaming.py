@@ -240,3 +240,42 @@ def test_x9_stream_stream_join_matches_batch(spark, tmp_path):
     cols = ["err_id", "user_id", "signup_id", "err_ts", "signup_ts"]
     assert _canon(streamed, cols) == _canon(batch, cols)
     assert streamed.count() > 0
+
+
+def test_x13_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """X13: stream-static broadcast join, incremental == batch; the
+    static dim is joined fresh into every micro-batch, statelessly."""
+    p = str(tmp_path / "en_src")
+    batches = [
+        _rows(0, BASE, user=1, n=3, step_ns=600 * NS),
+        _rows(10, BASE + 1800 * NS, user=2, n=3, step_ns=600 * NS),
+        _rows(20, BASE + 3600 * NS, user=3, n=2, step_ns=600 * NS),
+    ]
+    _write_batches(spark, p, batches)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic"), (4, "gold")], ["user_id", "tier"]
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(p, "*"))
+    )
+    q = (
+        J.enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("x13")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x13"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM x13")
+
+    batch = J.enrich_stream(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(p, "*")), dim)
+    cols = ["event_id", "user_id", "tier"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+    assert streamed.count() == 8
+    # left semantics: user 3 has no dim row -> tier NULL, rows kept
+    assert streamed.where(F.col("user_id") == 3).where(F.col("tier").isNull()).count() == 2

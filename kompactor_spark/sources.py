@@ -203,3 +203,15 @@ def to_line_protocol(
     return df.select(
         F.concat_ws(" ", head, body, F.col(time_col).cast("long").cast("string")).alias("value")
     )
+
+
+def read_parquet_tolerant(spark, *paths: str) -> DataFrame:
+    """Parquet scan that skips corrupt files instead of failing the job.
+
+    Operational reality at 100 TB: a petabyte-scale lake always has a
+    few truncated/corrupt objects (killed writers, partial uploads —
+    the reference's own crash gap B7 produces them). A nightly report
+    over 100k files must not die at file 99,998; pair this with
+    `compaction.fsck` which pinpoints the bad files for repair.
+    """
+    return spark.read.option("ignoreCorruptFiles", "true").parquet(*paths)

@@ -99,3 +99,21 @@ def test_chsql_buckets_exact_at_ns_boundaries(spark):
     assert row.s == ns - ns % 1_000_000_000
     assert row.u == ns // 1_000_000_000
     assert row.us == ns // 1000
+
+
+def test_read_parquet_tolerant_skips_corrupt_files(spark, tmp_path):
+    """A garbage .parquet next to good files must not kill the scan in
+    tolerant mode (and must kill it in strict mode, so corruption is
+    never silently skippable by default)."""
+    from pyspark.sql import Row
+
+    from kompactor_spark.sources import read_parquet_tolerant
+
+    d = str(tmp_path / "lake")
+    spark.createDataFrame([Row(a=1), Row(a=2)]).coalesce(1).write.parquet(d)
+    with open(f"{d}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(d).count()  # strict default: fail loudly
+    assert read_parquet_tolerant(spark, d).count() == 2

@@ -87,3 +87,81 @@ def z2_salted_join(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Z3 — shuffle-hash-join hint: for a mid-size build side that's too big
+# to broadcast but cheap to hash, SHUFFLE_HASH skips the sort both
+# SortMergeJoin sides would pay. The plan test pins ShuffledHashJoin —
+# at 100 TB this is the difference between 2 sorts of the fact and 0.
+# --------------------------------------------------------------------------
+@register(
+    "z3_shuffle_hash_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def z3_shuffle_hash_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    o = T("orders").hint("shuffle_hash")
+    li = T("lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# A16 — exact moments: count / mean / variance via DECIMAL power sums
+# (sum, sum of squares are exact and order-independent; the only double
+# ops are the two final divisions) — the cross-engine-deterministic way
+# to compute second moments, vs raw stddev_samp whose float summation
+# order differs per engine/partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "a16_exact_moments",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
+           ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1), 6) AS var_value
+    FROM sums
+    ORDER BY event_type
+    """,
+)
+def a16_exact_moments(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    v = F.col("value").cast("decimal(18,6)")
+    sums = (
+        T("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(s1d / F.col("n"), 6).alias("mean_value"),
+        F.round((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1), 6).alias("var_value"),
+    ).orderBy("event_type")

@@ -187,3 +187,11 @@ def test_q13_on_clause_filter_pushed_to_scan(spark, Q):
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p.split("PushedFilters:")[1].split("]")[0] \
         or any("Not(EqualTo(o_orderpriority,1-URGENT))" in seg.split("]")[0]
                for seg in p.split("PushedFilters:")[1:])
+
+
+def test_z3_shuffle_hash_join_hint(spark, Q):
+    """Z3: the SHUFFLE_HASH hint compiles to ShuffledHashJoin — no sort
+    of either side (vs SortMergeJoin's two), while still partitioning
+    both sides by the key."""
+    p = plan(spark, Q["z3_shuffle_hash_join"](spark, SF))
+    assert "ShuffledHashJoin" in p, p

@@ -81,8 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--ingest-format",
         default="parquet",
-        choices=["parquet", "json", "csv"],
-        help="file format of --ingest-source (schema inferred from existing files)",
+        choices=["parquet", "json", "csv", "lineprotocol"],
+        help="file format of --ingest-source (schema inferred from existing files; "
+        "'lineprotocol' parses InfluxDB line protocol text into "
+        "measurement/tags/fields/time columns, dropping malformed lines)",
     )
     p.add_argument(
         "--auto-compact",
@@ -153,13 +155,28 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             if len(hosts) != 1:
                 print("--ingest-source requires exactly one --hosts entry", file=sys.stderr)
                 return 2
-            # Pin the schema from the files already present — a streaming
-            # file source must not re-infer per batch.
-            schema = getattr(spark.read, args.ingest_format)(args.ingest_source).schema
-            reader = spark.readStream.schema(schema).format(args.ingest_format)
-            if args.max_files_per_trigger is not None:
-                reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
-            stream = reader.load(args.ingest_source)
+            if args.ingest_format == "lineprotocol":
+                from kompactor_spark.sources import parse_line_protocol
+
+                reader = spark.readStream
+                if args.max_files_per_trigger is not None:
+                    reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+                parsed = parse_line_protocol(reader.text(args.ingest_source))
+                # timestamped, well-formed lines only; the time column is
+                # ns-long as the WAL layout requires
+                stream = (
+                    parsed.where("malformed IS NULL AND time IS NOT NULL")
+                    .drop("malformed")
+                    .withColumnRenamed("time", args.time_col)
+                )
+            else:
+                # Pin the schema from the files already present — a streaming
+                # file source must not re-infer per batch.
+                schema = getattr(spark.read, args.ingest_format)(args.ingest_source).schema
+                reader = spark.readStream.schema(schema).format(args.ingest_format)
+                if args.max_files_per_trigger is not None:
+                    reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+                stream = reader.load(args.ingest_source)
             job = IngestJob(
                 args.data_dir,
                 hosts[0],

@@ -111,17 +111,17 @@ def write_bucketed(
 _LP_LINE = r'^([^ ]+) ((?:[^ "]|"[^"]*")+)( (\d+))?$'
 
 
-def read_line_protocol(spark, path: str) -> DataFrame:
-    """Text file(s) of line protocol → DataFrame
-    (measurement string, tags map<str,str>, fields map<str,str>,
-    time long-ns nullable, malformed string nullable).
+def parse_line_protocol(raw: DataFrame) -> DataFrame:
+    """Parse a `value: string` DataFrame (batch OR streaming) of line
+    protocol into (measurement string, tags map<str,str>, fields
+    map<str,str>, time long-ns nullable, malformed string nullable).
 
     Field values stay as raw strings in the map (`"42i"`, `"1.5"`,
     `"\"x\""`); use the lp_field_* helpers for typed access.
     """
     from pyspark.sql import functions as F
 
-    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    raw = raw.where(F.length(F.trim("value")) > 0)
     head = F.regexp_extract("value", _LP_LINE, 1)
     fieldstr = F.regexp_extract("value", _LP_LINE, 2)
     tsstr = F.regexp_extract("value", _LP_LINE, 4)
@@ -137,6 +137,11 @@ def read_line_protocol(spark, path: str) -> DataFrame:
         F.when(well_formed & (tsstr != ""), tsstr.cast("long")).alias("time"),
         F.when(~well_formed, F.col("value")).alias("malformed"),
     )
+
+
+def read_line_protocol(spark, path: str) -> DataFrame:
+    """Text file(s) of line protocol → parsed DataFrame (batch)."""
+    return parse_line_protocol(spark.read.text(path))
 
 
 def lp_field_double(fields, name: str):

@@ -245,3 +245,46 @@ def test_cli_ingest_requires_single_host(spark, tmp_path):
         spark=spark,
     )
     assert rc == 2
+
+
+def test_cli_ingest_line_protocol(spark, tmp_path):
+    """Line-protocol text → streaming ingest → WAL parquet layout with
+    map-typed tags/fields and ns-long time; malformed lines dropped."""
+    src = tmp_path / "lpsrc"
+    src.mkdir()
+    base = BASE
+    lines = []
+    for i in range(30):
+        lines.append(f"cpu,host=h{i % 3} usage={i / 10:.1f},n={i}i {base + i * 60 * NS}")
+    lines.append("bad\\ line usage=1 123")  # surfaced as malformed -> dropped
+    lines.append(f"cpu,host=h9 usage=9.9 {base + 3700 * NS}")  # next hour
+    (src / "w0.lp").write_text("\n".join(lines) + "\n")
+
+    from kompactor_spark.cli import main as cli_main
+
+    root = str(tmp_path / "lplake")
+    rc = cli_main(
+        [
+            root,
+            "--hosts",
+            FX.HOST,
+            "--ingest-source",
+            str(src),
+            "--ingest-format",
+            "lineprotocol",
+            "--checkpoint",
+            str(tmp_path / "lpckpt"),
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    files = disk_parquets(root)
+    assert files, "no WAL files written"
+    back = spark.read.parquet(*[os.path.join(root, "") + f if not f.startswith("/") else f for f in files])
+    assert back.count() == 31  # 30 hour-A + 1 hour-B, malformed dropped
+    row = back.where(F.col("tags.host") == "h9").first()
+    assert row.measurement == "cpu" and row.fields["usage"] == "9.9"
+    from kompactor_spark.compaction.metadata import read_snapshot
+
+    snap = read_snapshot(os.path.join(root, FX.HOST, "snapshots", "0001.info.json"))
+    assert snap.row_count == 31

@@ -201,8 +201,13 @@ def l3_lsh_topk(spark, sf_dir):
     emb = T("embeddings")
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     return (
+        # 8 tables × probe-2: measured recall 1.0 at sf0.001/0.01/0.1
+        # (these embeddings are near-random — LSH's adversarial case;
+        # the OR-union probes ~70% of candidates here, but on real
+        # clustered embeddings the same config prunes hard. IVF
+        # (l3_ivf_topk) is the preferred scale path either way.)
         S.lsh_topk_multitable(
-            emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=8, n_tables=4, hamming_probe=2
+            emb.where(F.col("vec_id") != 0), qvec, k=10, n_bits=8, n_tables=8, hamming_probe=2
         )
         .select("vec_id", F.round("cosine", 6).alias("cosine"))
     )

@@ -41,7 +41,7 @@ def test_l3_lsh_topk_recall(spark, Q):
     exact = [r.vec_id for r in Q["l3_cosine_topk"](spark, SF).collect()]
     approx = [r.vec_id for r in Q["l3_lsh_topk"](spark, SF).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-    assert recall >= 0.7, f"lsh top-k recall {recall:.2f} < 0.7"
+    assert recall >= 0.9, f"lsh top-k recall {recall:.2f} < 0.9"
 
 
 def test_l6_stratified_sample_rates(spark, Q):

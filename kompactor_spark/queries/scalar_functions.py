@@ -449,3 +449,41 @@ def r5_chsql_compat(spark, sf_dir):
         )
         .orderBy("yyyymm", "sev")
     )
+
+
+# --------------------------------------------------------------------------
+# F2c — calendar month arithmetic: clamped month addition (Jan 31 + 1mo
+# = Feb 29), month-end, month-start. Engines agree on the clamping
+# rule, so these are H-checkable; months_between is deliberately
+# EXCLUDED (Spark is fractional-by-day, DuckDB datediff counts
+# boundary crossings — not the same function).
+# --------------------------------------------------------------------------
+@register(
+    "f2_month_arithmetic",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month_start
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate), last_day(o_orderdate)
+    ORDER BY month_start
+    """,
+)
+def f2_month_arithmetic(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mstart"),
+            F.last_day("o_orderdate").alias("mend"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .select(
+            F.date_format("mstart", "yyyy-MM-dd").alias("month_start"),
+            "n_orders",
+            F.date_format("mend", "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months("mstart", 1), "yyyy-MM-dd").alias("next_month_start"),
+        )
+        .orderBy("month_start")
+    )

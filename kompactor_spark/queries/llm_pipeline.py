@@ -775,3 +775,50 @@ def l6_decontaminate(spark, sf_dir):
         .agg(F.countDistinct("b_doc_id").alias("n_probes_hit"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L4g — bigram frequency: n-gram construction entirely in higher-order
+# array expressions (transform over an index sequence), then
+# explode+count — no Python in the row path, so n-gram stats over a
+# 100 TB corpus stay at scan+shuffle cost. (Spark `sequence(a,b)` is
+# DESCENDING when a>b, so short docs are guarded explicitly.)
+# --------------------------------------------------------------------------
+@register(
+    "l4_bigram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def l4_bigram_freq(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    toks = T("documents").select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -23,3 +23,18 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(query)
+
+
+def observed(df, name: str, *metrics):
+    """Attach named in-flight metrics to a DataFrame (Spark Observation).
+
+    Returns (df_with_observation, observation). The metrics are computed
+    DURING the job's one pass — no second scan — and read from
+    ``observation.get`` after any action. This is how a 100 TB pipeline
+    job reports row counts / null rates / value bounds without paying an
+    extra pass: attach, run the write, then assert the data contract.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

@@ -117,3 +117,24 @@ def test_read_parquet_tolerant_skips_corrupt_files(spark, tmp_path):
     with pytest.raises(Exception):
         spark.read.parquet(d).count()  # strict default: fail loudly
     assert read_parquet_tolerant(spark, d).count() == 2
+
+
+def test_observed_metrics_single_pass(spark):
+    """Observation metrics ride the job's only pass — data-contract
+    checks (row count, null rate, bounds) without a second scan."""
+    from kompactor_spark.sql_api import observed
+    from kompactor_spark.tables import loader
+
+    li = loader("/root/testdata/sf0.001", spark)("lineitem")
+    df, obs = observed(
+        li,
+        "contract",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").isNull().cast("int")).alias("null_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    written = df.where(F.col("l_quantity") > 0).count()  # the single action
+    m = obs.get
+    assert m["rows"] == 6000 and m["null_qty"] == 0
+    assert m["max_qty"] <= 50.0
+    assert written == 6000

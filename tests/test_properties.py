@@ -109,3 +109,93 @@ def _all_parquets(root):
         os.path.relpath(p, root)
         for p in glob.glob(os.path.join(root, FX.HOST, "dbs", "**", "*.parquet"), recursive=True)
     ]
+
+
+# --------------------------------------------------------------------------
+# Line-protocol round-trip property: for ANY safe-alphabet measurement/
+# tags/fields and any ns timestamp, render → parse is the identity.
+# --------------------------------------------------------------------------
+_ident = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=12).filter(
+    lambda s: not s[0].isdigit()
+)
+_safe_str = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ_-.:/", min_size=0, max_size=30
+)
+
+
+@st.composite
+def lp_rows_st(draw):
+    tag_names = draw(st.lists(_ident, min_size=0, max_size=3, unique=True))
+    n = draw(st.integers(1, 8))
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "tags": {t: draw(_ident) for t in tag_names},
+                "f_float": draw(st.floats(-1e6, 1e6, allow_nan=False, width=64)),
+                "f_int": draw(st.integers(-(2**40), 2**40)),
+                "f_str": draw(_safe_str),
+                "time": draw(st.integers(1, 2**62)),
+            }
+        )
+    return tag_names, rows
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=lp_rows_st())
+def test_line_protocol_roundtrip_property(spark, data):
+    from pyspark.sql import Row
+
+    from kompactor_spark.sources import (
+        lp_field_double,
+        lp_field_long,
+        lp_field_string,
+        parse_line_protocol,
+        to_line_protocol,
+    )
+
+    tag_names, rows = data
+    df = spark.createDataFrame(
+        [
+            Row(
+                **{t: r["tags"][t] for t in tag_names},
+                f_float=r["f_float"],
+                f_int=r["f_int"],
+                f_str=r["f_str"],
+                time=r["time"],
+            )
+            for r in rows
+        ]
+    )
+    rendered = to_line_protocol(
+        df,
+        measurement="m",
+        tag_cols=tag_names,
+        field_cols={"f_float": "float", "f_int": "int", "f_str": "str"},
+        time_col="time",
+    )
+    parsed = parse_line_protocol(rendered)
+    from pyspark.sql import functions as F
+
+    assert parsed.where(F.col("malformed").isNotNull()).count() == 0
+    back = parsed.select(
+        "time",
+        lp_field_long(F.col("fields"), "f_int").alias("f_int"),
+        lp_field_double(F.col("fields"), "f_float").alias("f_float"),
+        lp_field_string(F.col("fields"), "f_str").alias("f_str"),
+        *[F.element_at("tags", t).alias(t) for t in tag_names],
+    ).orderBy("time", "f_int")
+    orig = df.select("time", "f_int", "f_float", "f_str", *tag_names).orderBy("time", "f_int")
+    a, b = orig.collect(), back.collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.time == rb.time and ra.f_int == rb.f_int
+        assert ra.f_str == rb.f_str
+        assert abs(ra.f_float - rb.f_float) <= max(1e-6, abs(ra.f_float) * 0)
+        for t in tag_names:
+            assert ra[t] == rb[t]

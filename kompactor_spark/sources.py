@@ -100,15 +100,42 @@ def write_bucketed(
 # entirely with built-in JVM expressions — no Python in the row path,
 # so a 100 TB text backlog parses at scan speed.
 #
-# Supported grammar (the common case, v1):
+# Supported grammar (v2 — full escape handling):
 #   measurement[,tag=value...] field=value[,field=value...] [ts_ns]
-# Field literals: 1.5 (float), 42i (int), "str", true/false. Escaped
-# separators (`\ `, `\,`) are NOT handled in v1 — lines with them are
-# surfaced in the `malformed` column rather than silently misparsed.
+# Field literals: 1.5 (float), 42i (int), "str", true/false.
+# Escapes: `\,` `\=` `\ ` `\\` in measurement / tag keys+values /
+# field keys (InfluxDB wire escaping); `\"` and `\\` inside quoted
+# string field values. Lines that still don't tokenize (unterminated
+# quote, missing fields, tag without `=`) are surfaced in the
+# `malformed` column rather than silently misparsed.
+#
+# All parsing is escape-PAIR aware: tokens are *extracted* with
+# `(?:[^sep\\]|\\.)+`-style regexes rather than split on separators,
+# so `a\\,b` (escaped backslash, then a real comma) tokenizes
+# correctly — a naive `(?<!\\),` split cannot, and Java regex rejects
+# the unbounded lookbehind that would fix it.
 # --------------------------------------------------------------------------
 
-# fields segment admits spaces inside double-quoted string values
-_LP_LINE = r'^([^ ]+) ((?:[^ "]|"[^"]*")+)( (\d+))?$'
+# line = head SP fields [SP ts]; head admits escaped chars, fields
+# segment admits spaces/commas inside double-quoted string values and
+# escape pairs anywhere
+_LP_LINE = r'^((?:[^ \\]|\\.)+) ((?:[^ "\\]|\\.|"(?:[^"\\]|\\.)*")+)( (\d+))?$'
+# one comma-delimited token of the head (measurement or tag=value)
+_LP_HEAD_TOK = r"(?:[^,\\]|\\.)+"
+# one comma-delimited field token; quoted values swallow , = " and space
+_LP_FIELD_TOK = r'(?:[^,"\\]|\\.|"(?:[^"\\]|\\.)*")+'
+# key is everything before the first unescaped `=`
+_LP_KEY = r"^((?:[^=\\]|\\.)+)="
+_LP_VAL = r"^(?:[^=\\]|\\.)+=(.*)$"
+# token contains a non-empty key followed by `=` (validity probe)
+_LP_KV_OK = r"^(?:[^=\\]|\\.)+=."
+
+
+def _lp_unescape(col):
+    """Collapse every escape pair `\\x` → `x` (JVM regexp, one pass)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, r"\\(.)", r"$1")
 
 
 def parse_line_protocol(raw: DataFrame) -> DataFrame:
@@ -116,8 +143,10 @@ def parse_line_protocol(raw: DataFrame) -> DataFrame:
     protocol into (measurement string, tags map<str,str>, fields
     map<str,str>, time long-ns nullable, malformed string nullable).
 
-    Field values stay as raw strings in the map (`"42i"`, `"1.5"`,
-    `"\"x\""`); use the lp_field_* helpers for typed access.
+    Measurement, tag keys/values, and field keys are unescaped in the
+    output. Field values stay as raw strings in the map (`"42i"`,
+    `"1.5"`, `"\"x\""`); use the lp_field_* helpers for typed access
+    (lp_field_string unescapes `\\"` / `\\\\` inside quoted values).
     """
     from pyspark.sql import functions as F
 
@@ -125,15 +154,30 @@ def parse_line_protocol(raw: DataFrame) -> DataFrame:
     head = F.regexp_extract("value", _LP_LINE, 1)
     fieldstr = F.regexp_extract("value", _LP_LINE, 2)
     tsstr = F.regexp_extract("value", _LP_LINE, 4)
-    well_formed = (head != "") & (fieldstr != "") & ~F.col("value").contains("\\")
-    comma, eq = F.lit(","), F.lit("=")
-    tagstr = F.regexp_replace(head, "^[^,]*,?", "")
+    head_toks = F.regexp_extract_all(head, F.lit(_LP_HEAD_TOK), 0)
+    tag_toks = F.slice(head_toks, 2, F.greatest(F.size(head_toks) - 1, F.lit(0)))
+    field_toks = F.regexp_extract_all(fieldstr, F.lit(_LP_FIELD_TOK), 0)
+
+    def _kv(tok, unescape_value):
+        val = F.regexp_extract(tok, _LP_VAL, 1)
+        return F.struct(
+            _lp_unescape(F.regexp_extract(tok, _LP_KEY, 1)).alias("key"),
+            (_lp_unescape(val) if unescape_value else val).alias("value"),
+        )
+
+    well_formed = (
+        (head != "")
+        & (fieldstr != "")
+        & (F.size(field_toks) > 0)
+        & F.forall(field_toks, lambda t: t.rlike(_LP_KV_OK))
+        & F.forall(tag_toks, lambda t: t.rlike(_LP_KV_OK))
+    )
     return raw.select(
-        F.when(well_formed, F.split(head, ",").getItem(0)).alias("measurement"),
-        F.when(well_formed & (tagstr != ""), F.str_to_map(tagstr, comma, eq))
-        .otherwise(F.when(well_formed, F.expr("map()")))
+        F.when(well_formed, _lp_unescape(head_toks.getItem(0))).alias("measurement"),
+        F.when(well_formed, F.map_from_entries(F.transform(tag_toks, lambda t: _kv(t, True))))
         .alias("tags"),
-        F.when(well_formed, F.str_to_map(fieldstr, comma, eq)).alias("fields"),
+        F.when(well_formed, F.map_from_entries(F.transform(field_toks, lambda t: _kv(t, False))))
+        .alias("fields"),
         F.when(well_formed & (tsstr != ""), tsstr.cast("long")).alias("time"),
         F.when(~well_formed, F.col("value")).alias("malformed"),
     )
@@ -159,10 +203,11 @@ def lp_field_long(fields, name: str):
 
 
 def lp_field_string(fields, name: str):
-    """fields map → string field with surrounding quotes stripped."""
+    """fields map → string field: outer quotes stripped, then inner
+    escape pairs (`\\"`, `\\\\`) collapsed."""
     from pyspark.sql import functions as F
 
-    return F.regexp_replace(F.element_at(fields, name), '^"|"$', "")
+    return _lp_unescape(F.regexp_replace(F.element_at(fields, name), '^"|"$', ""))
 
 
 def lp_field_bool(fields, name: str):
@@ -182,14 +227,25 @@ def to_line_protocol(
 
     ``field_cols`` maps column name → kind ('float' | 'int' | 'str' |
     'bool'); floats render with %.6f so the text round-trips to the
-    same double on re-parse. Write with df.write.text(path).
+    same double on re-parse. Separators in measurement / tag values /
+    names are escaped (`\\,` `\\=` `\\ ` `\\\\`), quotes+backslashes in
+    str values too, so render→parse is the identity on arbitrary
+    text. Write with df.write.text(path).
     """
+    import re
+
     from pyspark.sql import functions as F
+
+    def _esc_lit(s: str) -> str:
+        return re.sub(r"([,= \\])", r"\\\1", s)
+
+    def _esc_col(c):
+        return F.regexp_replace(c.cast("string"), r"([,= \\])", r"\\$1")
 
     head = F.concat_ws(
         ",",
-        F.lit(measurement),
-        *[F.concat_ws("=", F.lit(t), F.col(t).cast("string")) for t in tag_cols],
+        F.lit(_esc_lit(measurement)),
+        *[F.concat_ws("=", F.lit(_esc_lit(t)), _esc_col(F.col(t))) for t in tag_cols],
     )
     parts = []
     for name, kind in field_cols.items():
@@ -198,12 +254,13 @@ def to_line_protocol(
         elif kind == "int":
             val = F.concat(F.col(name).cast("long").cast("string"), F.lit("i"))
         elif kind == "str":
-            val = F.concat(F.lit('"'), F.col(name).cast("string"), F.lit('"'))
+            quoted_body = F.regexp_replace(F.col(name).cast("string"), r'(["\\])', r"\\$1")
+            val = F.concat(F.lit('"'), quoted_body, F.lit('"'))
         elif kind == "bool":
             val = F.when(F.col(name), F.lit("true")).otherwise(F.lit("false"))
         else:
             raise ValueError(f"unknown field kind {kind!r} for {name!r}")
-        parts.append(F.concat_ws("=", F.lit(name), val))
+        parts.append(F.concat_ws("=", F.lit(_esc_lit(name)), val))
     body = F.concat_ws(",", *parts)
     return df.select(
         F.concat_ws(" ", head, body, F.col(time_col).cast("long").cast("string")).alias("value")

@@ -187,7 +187,8 @@ def test_line_protocol_roundtrip(spark, tmp_path):
 
 def test_line_protocol_grammar_cases(spark, tmp_path):
     """Tagless lines, string/bool fields, missing timestamp, escaped
-    separators (surfaced as malformed, never misparsed)."""
+    separators (parsed per the wire grammar), genuinely-bad lines
+    surfaced as malformed (never misparsed)."""
     from pyspark.sql import functions as F
 
     from kompactor_spark.sources import lp_field_bool, lp_field_string, read_line_protocol
@@ -197,7 +198,9 @@ def test_line_protocol_grammar_cases(spark, tmp_path):
         'cpu,host=h1,region=eu usage=0.5,ok=true 1740000000123456789\n'
         'mem free=42i\n'
         'disk,mount=/data used="almost full" 1740000000000000000\n'
-        'bad\\ measurement value=1 123\n'
+        'sys\\ load,dc=us\\,east q\\=len=3i,msg="he said \\"hi\\"" 123\n'
+        'unterminated s="oops 5\n'
+        'noequals,tagonly v=1\n'
         '\n'
     )
     df = read_line_protocol(spark, str(src))
@@ -207,15 +210,23 @@ def test_line_protocol_grammar_cases(spark, tmp_path):
     assert rows["mem"].tags == {} and rows["mem"].time is None
     assert rows["mem"].fields == {"free": "42i"}
     assert rows["disk"].fields["used"] == '"almost full"'
-    from kompactor_spark.sources import lp_field_string
+    # escaped space in measurement, escaped comma in tag value,
+    # escaped = in field key, escaped quotes inside string value
+    assert rows["sys load"].tags == {"dc": "us,east"}
+    assert rows["sys load"].fields["q=len"] == "3i"
+    said = (
+        df.where(F.col("measurement") == "sys load")
+        .select(lp_field_string(F.col("fields"), "msg").alias("s"))
+        .first()
+    )
+    assert said.s == 'he said "hi"'
     disk_used = (
         df.where(F.col("measurement") == "disk")
         .select(lp_field_string(F.col("fields"), "used").alias("s"))
         .first()
     )
     assert disk_used.s == "almost full"
-    assert df.select(lp_field_bool(F.col("fields"), "ok")).where(F.col("measurement") == "cpu") is not None
     cpu_ok = df.where(F.col("measurement") == "cpu").select(lp_field_bool(F.col("fields"), "ok").alias("b")).first()
     assert cpu_ok.b is True
-    malformed = [r.malformed for r in df.collect() if r.malformed]
-    assert len(malformed) == 1 and "bad\\" in malformed[0]
+    malformed = sorted(r.malformed for r in df.collect() if r.malformed)
+    assert malformed == ['noequals,tagonly v=1', 'unterminated s="oops 5']

@@ -256,7 +256,7 @@ def test_cli_ingest_line_protocol(spark, tmp_path):
     lines = []
     for i in range(30):
         lines.append(f"cpu,host=h{i % 3} usage={i / 10:.1f},n={i}i {base + i * 60 * NS}")
-    lines.append("bad\\ line usage=1 123")  # surfaced as malformed -> dropped
+    lines.append('bad line usage="unterminated 123')  # malformed -> dropped
     lines.append(f"cpu,host=h9 usage=9.9 {base + 3700 * NS}")  # next hour
     (src / "w0.lp").write_text("\n".join(lines) + "\n")
 

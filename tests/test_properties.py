@@ -112,14 +112,18 @@ def _all_parquets(root):
 
 
 # --------------------------------------------------------------------------
-# Line-protocol round-trip property: for ANY safe-alphabet measurement/
-# tags/fields and any ns timestamp, render → parse is the identity.
+# Line-protocol round-trip property: for ANY measurement/tags/fields —
+# including separators that need wire escaping (`,` `=` space, quotes
+# and backslashes in string fields) — and any ns timestamp,
+# render → parse is the identity.
 # --------------------------------------------------------------------------
 _ident = st.text(alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=12).filter(
     lambda s: not s[0].isdigit()
 )
+# tag values may contain every char the wire grammar must escape
+_tagval = st.text(alphabet="abcdefghijklmnopqrstuvwxyz,= \\", min_size=1, max_size=16)
 _safe_str = st.text(
-    alphabet="abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ_-.:/", min_size=0, max_size=30
+    alphabet='abcdefghijklmnopqrstuvwxyz "\\,= _-.:/', min_size=0, max_size=30
 )
 
 
@@ -131,7 +135,7 @@ def lp_rows_st(draw):
     for i in range(n):
         rows.append(
             {
-                "tags": {t: draw(_ident) for t in tag_names},
+                "tags": {t: draw(_tagval) for t in tag_names},
                 "f_float": draw(st.floats(-1e6, 1e6, allow_nan=False, width=64)),
                 "f_int": draw(st.integers(-(2**40), 2**40)),
                 "f_str": draw(_safe_str),

@@ -822,3 +822,130 @@ def l4_bigram_freq(spark, sf_dir):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# L4h — repeated-3-gram fraction (C4/Gopher-style intra-doc repetition
+# quality rule: high duplicate-n-gram share ⇒ boilerplate/spam).
+# Entirely array expressions inside whole-stage codegen — per-doc work,
+# no shuffle at all until the final presentation sort, so the scan
+# parallelism IS the job parallelism at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "l4_repeated_ngrams",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ts) - 2),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gr
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      WHERE len(ts) >= 3)
+    SELECT doc_id,
+           CAST(len(gr) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(gr)) AS BIGINT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr), 6)
+             AS dup_frac
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def l4_repeated_ngrams(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ts = F.split("text", " ")
+    docs = T("documents").select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
+    # element_at is 1-based; sequence ascends because size >= 3 is pre-filtered
+    grams = F.expr(
+        "transform(sequence(1, size(ts) - 2), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(grams).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4i — BM25 ranked retrieval for a fixed term query (Okapi BM25,
+# k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5) + 1)). Per-term tf is
+# computed with array `filter` inside the scan (NO explode/shuffle for
+# the 100 TB side); N/df/avgdl form a single 1-row global aggregate
+# broadcast back. Score is a fixed-order expression over the three
+# term contributions, so float summation order is deterministic and
+# both engines produce bit-identical doubles before rounding.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("join", "window", "scan")
+
+
+@register(
+    "l4_bm25",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS DOUBLE) AS tf_join,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS DOUBLE) AS tf_window,
+             CAST(len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS DOUBLE) AS tf_scan
+      FROM documents),
+    g AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join,
+             CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window,
+             CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan
+      FROM d)
+    SELECT doc_id,
+           round(
+             ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+               * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0)
+               * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+               * (tf_scan * 2.2) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+           6) AS bm25
+    FROM d CROSS JOIN g
+    WHERE tf_join + tf_window + tf_scan > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def l4_bm25(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    # unfiltered split mirrors the oracle's string_split exactly (dl
+    # counts empty tokens the same way on both sides)
+    ts = F.split("text", " ")
+
+    def _tf(term):  # single-arg lambda: a 2-arg lambda would become (elem, index)
+        return F.size(F.filter(ts, lambda x: x == F.lit(term))).cast("double")
+
+    cols = [F.size(ts).cast("double").alias("dl")] + [
+        _tf(t).alias(f"tf_{t}") for t in _BM25_TERMS
+    ]
+    d = T("documents").select("doc_id", *cols)
+    g = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+    score = None
+    for t in _BM25_TERMS:
+        idf = F.log((F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1.0)
+        part = idf * (F.col(f"tf_{t}") * 2.2) / (F.col(f"tf_{t}") + norm)
+        score = part if score is None else score + part
+    return (
+        d.join(F.broadcast(g))
+        .where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -8,6 +8,7 @@ implemented (D1-D4/D8: size cutoffs, 70/30 split, generation level).
 
 from kompactor_spark.compaction.job import CompactionJob
 from kompactor_spark.compaction.metadata import ParquetFileInfo, SnapshotMetadata
+from kompactor_spark.compaction.readers import files_as_of, read_table, snapshot_ids
 from kompactor_spark.compaction.planner import (
     CompactionConfig,
     CompactionPlan,
@@ -23,6 +24,9 @@ __all__ = [
     "ParquetFileInfo",
     "SnapshotMetadata",
     "compute_split_cuts",
+    "files_as_of",
+    "read_table",
+    "snapshot_ids",
     "plan_compaction",
     "plan_generation",
 ]

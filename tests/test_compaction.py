@@ -310,3 +310,47 @@ def test_output_is_zstd(spark, tmp_path):
     md = pq.ParquetFile(os.path.join(root, out_rel)).metadata
     codecs = {md.row_group(rg).column(0).compression for rg in range(md.num_row_groups)}
     assert codecs == {"ZSTD"}
+
+
+# --------------------------------------------------------------------------
+# Catalog-scoped reads: time travel + stats-based file skipping
+# --------------------------------------------------------------------------
+def test_catalog_read_time_travel_and_skipping(spark, tmp_path):
+    from kompactor_spark.compaction.readers import files_as_of, read_table, snapshot_ids
+
+    root = str(tmp_path)
+    b = FX.LayoutBuilder(root)
+    h10 = (FX.BASE_NS // (3600 * FX.NS) + 10) * 3600 * FX.NS
+    h12 = (FX.BASE_NS // (3600 * FX.NS) + 12) * 3600 * FX.NS
+    for i in range(2):
+        b.add_parquet(0, 3, "2025-01-26", 10, f"{i + 1:010d}.parquet",
+                      FX.make_rows(40, h10 + i * 5 * FX.NS, 2000 * FX.NS, seed=i))
+    b.add_parquet(0, 4, "2025-01-26", 10, "0000000099.parquet",
+                  FX.make_rows(10, h10, 1000 * FX.NS, seed=9))
+    b.write_snapshot("0001.info.json")
+    later = [b.add_parquet(0, 3, "2025-01-26", 12, "0000000010.parquet",
+                           FX.make_rows(25, h12, 2000 * FX.NS, seed=5))]
+    b.write_snapshot("0002.info.json", entries=later)
+
+    assert snapshot_ids(root, FX.HOST) == [1, 2]
+    # time travel: snapshot 1 predates the hour-12 file
+    assert len(files_as_of(root, FX.HOST, db=0, table=3, as_of=1)) == 2
+    assert len(files_as_of(root, FX.HOST, db=0, table=3)) == 3
+    assert read_table(spark, root, FX.HOST, 0, 3, as_of=1).count() == 80
+    assert read_table(spark, root, FX.HOST, 0, 3).count() == 105
+    # table filter: table 4 is its own manifest
+    assert read_table(spark, root, FX.HOST, 0, 4).count() == 10
+
+    # file skipping: an hour-12 range prunes the manifest to ONE file
+    # on catalog stats alone, and the residual row filter keeps exactness
+    pruned = files_as_of(root, FX.HOST, db=0, table=3,
+                         min_time_ns=h12, max_time_ns=h12 + 3600 * FX.NS)
+    assert len(pruned) == 1 and "/12-00/" in pruned[0].path
+    got = read_table(spark, root, FX.HOST, 0, 3,
+                     min_time_ns=h12, max_time_ns=h12 + 3600 * FX.NS).count()
+    full = (read_table(spark, root, FX.HOST, 0, 3)
+            .where(f"time >= {h12} and time <= {h12 + 3600 * FX.NS}").count())
+    assert got == full == 25
+
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, FX.HOST, 0, 3, as_of=0)

@@ -949,3 +949,26 @@ def l4_bm25(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# A17 — mergeable distinct-count sketches (Apache DataSketches HLL via
+# hll_sketch_agg / hll_union_agg). Unlike approx_count_distinct, the
+# per-group sketches are REUSABLE: materialize one sketch per source
+# (or per day, per partition...) once, then answer any union of groups
+# by merging KB-sized binaries — the pattern that turns a 100 TB
+# re-scan into a driver-side merge. Sketch bytes are engine-specific →
+# T-check vs exact (tests/test_tolerance.py), no hash oracle.
+# --------------------------------------------------------------------------
+@register("a17_hll_sketch_merge")
+def a17_hll_sketch_merge(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("text", 14).alias("sk")
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("approx_nd_texts")
+    )
+    exact = docs.agg(F.countDistinct("text").cast("bigint").alias("exact_nd_texts"))
+    return merged.join(F.broadcast(exact))

@@ -97,3 +97,10 @@ def test_l6_pack_sequences_invariants(spark, Q):
         sums = g.groupby("bin_id")["n_tokens"].sum()
         max_doc = g["n_tokens"].max()
         assert (sums <= budget + max_doc).all(), f"{source}: oversized bin"
+
+
+def test_a17_hll_sketch_merge_tolerance(spark, Q):
+    """A17: union-merged per-source HLL sketches estimate global
+    distinct texts within ±5% of exact (lgConfigK=14)."""
+    r = Q["a17_hll_sketch_merge"](spark, SF).first()
+    assert abs(r.approx_nd_texts - r.exact_nd_texts) <= 0.05 * r.exact_nd_texts

@@ -1,0 +1,60 @@
+"""Binned point-in-interval join (scalable range join).
+
+A point-in-interval predicate has no equi-key, so Catalyst can only
+plan it as BroadcastNestedLoopJoin / CartesianProduct — O(points ×
+intervals) work that is fine at 60k rows and fatal at 100 TB. The
+standard fix (used by Databricks' range-join binning and Flink's
+interval join) is to quantize time into fixed buckets:
+
+- each point belongs to exactly ONE bucket;
+- each interval is exploded to the few buckets it overlaps
+  (``(len / bucket_ns) + 1`` rows — bounded when interval length is);
+- the join becomes an EQUI-join on bucket id, shuffle-partitioned and
+  AQE-skew-splittable like any other, with the exact range predicate
+  kept as a cheap residual filter.
+
+Pair uniqueness is structural: a point matches an interval in at most
+one bucket (the point's own), so no post-join dedup is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kompactor_spark.timeutil import ns_floor_div
+
+_BUCKET = "__range_bucket"
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_ns: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point (ns-long ``point_ts``) to every interval with
+    ``start_col <= point_ts <= end_col`` (ns longs, inclusive).
+
+    ``bucket_ns`` trades shuffle fan-out for residual selectivity:
+    pick it near the TYPICAL interval length so intervals explode to
+    ~2 buckets. Column names must be disjoint between the two inputs.
+    """
+    p = points.withColumn(_BUCKET, ns_floor_div(F.col(point_ts), bucket_ns))
+    i = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                ns_floor_div(F.col(start_col), bucket_ns),
+                ns_floor_div(F.col(end_col), bucket_ns),
+            )
+        ),
+    )
+    cond = (
+        (p[_BUCKET] == i[_BUCKET])
+        & (p[point_ts] >= i[start_col])
+        & (p[point_ts] <= i[end_col])
+    )
+    return p.join(i, cond, how).drop(_BUCKET)

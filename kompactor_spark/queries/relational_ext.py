@@ -689,3 +689,40 @@ def a15_exact_mode(spark, sf_dir):
         .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "cnt")
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# J14 — binned interval join: every event inside any 30-minute incident
+# window opened by an error event. No equi-key exists, so the naive
+# plan is a BroadcastNestedLoopJoin (quadratic); binning each interval
+# to its covered hour buckets turns it into a plain equi-join on
+# bucket id with a residual range filter (operators/rangejoin.py) —
+# shuffle-partitioned, AQE-skew-splittable, linear in inputs.
+# --------------------------------------------------------------------------
+@register(
+    "j14_binned_interval_join",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id AS incident_id, ts AS t0, ts + INTERVAL 30 MINUTE AS t1
+      FROM events WHERE event_type = 'error')
+    SELECT e.event_id, i.incident_id
+    FROM events e JOIN inc i ON e.ts >= i.t0 AND e.ts <= i.t1
+    ORDER BY event_id, incident_id
+    """,
+)
+def j14_binned_interval_join(spark, sf_dir):
+    from kompactor_spark.operators.rangejoin import binned_interval_join
+
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    points = ev.select("event_id", F.col("ts").alias("pts"))
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + 30 * 60 * 1_000_000_000).alias("t1"),
+    )
+    return (
+        binned_interval_join(points, incidents, "pts", "t0", "t1", bucket_ns=3600 * 1_000_000_000)
+        .select("event_id", "incident_id")
+        .orderBy("event_id", "incident_id")
+    )

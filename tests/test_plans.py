@@ -195,3 +195,14 @@ def test_z3_shuffle_hash_join_hint(spark, Q):
     both sides by the key."""
     p = plan(spark, Q["z3_shuffle_hash_join"](spark, SF))
     assert "ShuffledHashJoin" in p, p
+
+
+def test_j14_range_join_is_equi_not_nested_loop(spark, Q):
+    """J14: the point-in-interval join compiles to an EQUI hash join on
+    the time-bucket key with the range predicate as residual — never a
+    BroadcastNestedLoopJoin/CartesianProduct. At 100 TB the equi form
+    shuffles linearly and AQE can split skewed buckets; the nested-loop
+    form is quadratic."""
+    p = plan(spark, Q["j14_binned_interval_join"](spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "__range_bucket" in p and "HashJoin" in p

@@ -206,3 +206,55 @@ def test_j14_range_join_is_equi_not_nested_loop(spark, Q):
     p = plan(spark, Q["j14_binned_interval_join"](spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "__range_bucket" in p and "HashJoin" in p
+
+
+def test_z4_runtime_bloom_filter_join(spark):
+    """Z4: Catalyst injects a runtime bloom filter built from the
+    selective (filtered) dim side and applies bloom_filter_might_contain
+    on the fact scan — rows that cannot join are dropped BEFORE the
+    shuffle. Default thresholds (10 GB application side) target real
+    clusters, so the test lowers them to demonstrate the rewrite at
+    test scale; at 100 TB the defaults fire on their own."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan(spark, j)
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+        # and the result is still correct under the rewrite
+        rows = {r.o_orderpriority: r.n for r in j.collect()}
+        li2 = spark.read.parquet(f"{SF}/lineitem.parquet")
+        expected = (
+            li2.join(
+                spark.read.parquet(f"{SF}/orders.parquet"),
+                li2.l_orderkey == F.col("o_orderkey"),
+            )
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert rows == {"1-URGENT": expected}
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)

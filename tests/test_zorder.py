@@ -1,0 +1,88 @@
+"""Z-order clustering: Morton interleave correctness + the actual
+payoff — parquet footer min/max stats prune files on EVERY z-ordered
+dimension, not just the sort-leading one."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from kompactor_spark.operators.zorder import interleave_bits, zorder_layout, zvalue
+from kompactor_spark.tables import loader
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interleave_bits_unit(spark):
+    df = spark.createDataFrame([(3, 0), (0, 3), (2, 1)], "a int, b int")
+    got = [
+        r.z
+        for r in df.select(
+            interleave_bits([F.col("a"), F.col("b")], bits=2).alias("z")
+        ).collect()
+    ]
+    # bit j of col c -> position j*2 + c: a=0b11 -> 0b0101, b=0b11 -> 0b1010,
+    # (a=0b10, b=0b01) -> a1@pos2, b0@pos1 -> 0b0110
+    assert got == [0b0101, 0b1010, 0b0110]
+
+
+def _file_stats(path_glob, cols):
+    out = []
+    for p in sorted(glob.glob(path_glob)):
+        md = pq.read_metadata(p)
+        mins, maxs = {}, {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    s = col.statistics
+                    mins[name] = min(mins.get(name, s.min), s.min)
+                    maxs[name] = max(maxs.get(name, s.max), s.max)
+        if mins:
+            out.append({c: (mins[c], maxs[c]) for c in cols})
+    return out
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Files written z-ordered by (user_id, ts) each cover a compact
+    rectangle: a point predicate on user_id AND a range predicate on
+    ts both skip files on footer stats. A ts-sorted layout can only
+    skip on ts — every file spans all users."""
+    ev = loader(SF, spark)("events").select("event_id", "user_id", "ts")
+    n_files = 8
+
+    zdir = str(tmp_path / "zorder")
+    zorder_layout(ev, ["user_id", "ts"], num_files=n_files).write.parquet(zdir)
+    tdir = str(tmp_path / "tsorted")
+    ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts").write.parquet(tdir)
+
+    zstats = _file_stats(f"{zdir}/*.parquet", ["user_id", "ts"])
+    tstats = _file_stats(f"{tdir}/*.parquet", ["user_id", "ts"])
+    assert len(zstats) == n_files and len(tstats) == n_files
+
+    mid_user = ev.agg(F.expr("percentile(user_id, 0.5)")).first()[0]
+    lo_ts, hi_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+    day_lo = lo_ts + (hi_ts - lo_ts) // 2
+    day_hi = day_lo + (hi_ts - lo_ts) // 8
+
+    def files_hit(stats, col, lo, hi):
+        return sum(1 for s in stats if not (s[col][1] < lo or s[col][0] > hi))
+
+    # ts predicates prune in BOTH layouts
+    assert files_hit(zstats, "ts", day_lo, day_hi) < n_files
+    assert files_hit(tstats, "ts", day_lo, day_hi) < n_files
+    # user predicate: z-order prunes, time-sort cannot
+    z_user_hits = files_hit(zstats, "user_id", mid_user, mid_user)
+    t_user_hits = files_hit(tstats, "user_id", mid_user, mid_user)
+    assert t_user_hits == n_files, "ts-sorted files each span all users"
+    assert z_user_hits < n_files, f"z-order must prune on user_id, hit {z_user_hits}"
+
+    # layout is a reshuffle, never a row transform
+    assert zvalue(ev, ["user_id", "ts"]).count() == ev.count()
+    back = spark.read.parquet(zdir)
+    assert back.count() == ev.count()
+    assert back.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]

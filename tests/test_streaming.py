@@ -279,3 +279,56 @@ def test_x13_stream_static_enrichment_matches_batch(spark, tmp_path):
     assert streamed.count() == 8
     # left semantics: user 3 has no dim row -> tier NULL, rows kept
     assert streamed.where(F.col("user_id") == 3).where(F.col("tier").isNull()).count() == 2
+
+
+def test_x14_streaming_upsert_keyed_sink(spark, tmp_path):
+    """X14: foreachBatch keyed MERGE sink — after two micro-batches
+    with overlapping keys the live table equals the one-shot
+    latest-per-key over all input; a checkpointed re-run applies
+    nothing new (exactly-once)."""
+    import os
+
+    from kompactor_spark.streaming.jobs import read_upsert_table, streaming_upsert
+
+    src = str(tmp_path / "src")
+    _write_batches(
+        spark,
+        src,
+        [
+            [
+                (1, BASE + 10 * NS, 1, "signup", 1.0, "{}"),
+                (2, BASE + 20 * NS, 2, "signup", 2.0, "{}"),
+                (3, BASE + 30 * NS, 2, "purchase", 3.0, "{}"),  # same key, later
+            ],
+            [
+                (4, BASE + 40 * NS, 2, "error", 4.0, "{}"),  # update key 2
+                (5, BASE + 50 * NS, 3, "signup", 5.0, "{}"),  # insert key 3
+            ],
+        ],
+    )
+    target = str(tmp_path / "keyed")
+    os.makedirs(target)
+
+    def run():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = streaming_upsert(
+            stream, target, keys=["user_id"], order_col="ts",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    live = read_upsert_table(spark, target)
+    got = {r.user_id: (r.event_id, r.event_type, r.value) for r in live.collect()}
+    assert got == {1: (1, "signup", 1.0), 2: (4, "error", 4.0), 3: (5, "signup", 5.0)}
+
+    with open(os.path.join(target, "_LATEST"), encoding="utf-8") as fh:
+        v_before = fh.read()
+    run()  # restart from checkpoint: no new files -> no new version
+    with open(os.path.join(target, "_LATEST"), encoding="utf-8") as fh:
+        assert fh.read() == v_before
+    assert read_upsert_table(spark, target).count() == 3

@@ -203,3 +203,46 @@ def test_line_protocol_roundtrip_property(spark, data):
         assert abs(ra.f_float - rb.f_float) <= max(1e-6, abs(ra.f_float) * 0)
         for t in tag_names:
             assert ra[t] == rb[t]
+
+
+# --------------------------------------------------------------------------
+# Binned interval join ≡ naive theta join, for ANY points/intervals and
+# a bucket width that does NOT divide the timestamps evenly (boundary
+# cases: zero-length intervals, interval ends exactly on bucket edges,
+# points on interval endpoints).
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_binned_interval_join_matches_naive(spark, data):
+    from kompactor_spark.operators.rangejoin import binned_interval_join
+
+    pts = data.draw(st.lists(st.integers(0, 1000), min_size=1, max_size=25))
+    ivs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 1000), st.integers(0, 130)), min_size=1, max_size=12
+        )
+    )
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)], "pid long, pts long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(ivs)], "iid long, t0 long, t1 long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in binned_interval_join(
+            points, intervals, "pts", "t0", "t1", bucket_ns=64
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (s, ln) in enumerate(ivs)
+        if s <= t <= s + ln
+    }
+    assert got == expected

@@ -36,6 +36,9 @@ HEADLINE = [
     "l3_cosine_topk",       # Q-simsearch
     "l4_token_freq",        # Q-tokens
     "j8_asof_join",         # asof temporal join (no DuckDB twin metric)
+    "j14_binned_interval_join",  # Q-rangejoin (1.4M pairs at sf0.1)
+    "l4_bm25",              # Q-bm25
+    "l4_repeated_ngrams",   # Q-ngramdup
 ]
 RUNS = 3
 

@@ -179,3 +179,71 @@ def ivf_topk(
         .drop("_v", "_cell")
     )
     return brute_force_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> None:
+    """Materialize the IVF index `ivf_topk` only simulates inline:
+    vectors are written as parquet PARTITIONED BY their coarse-quantizer
+    cell, and the k-means centroids land in a KB-sized JSON sidecar.
+
+    This is the 100 TB shape: the fit runs once (on a sample at real
+    scale), assignments are paid once at build time, and every
+    subsequent query is a partition-pruned scan of n_probe cells —
+    Spark never lists, opens, or decodes the other cells' files.
+    """
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    assembled = df.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell", maxIter=max_iter
+    ).fit(assembled)
+    assigned = model.transform(assembled).drop("_v")
+    assigned.write.partitionBy("_cell").mode("overwrite").parquet(
+        os.path.join(index_dir, "cells")
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    tmp = os.path.join(index_dir, "centroids.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"n_clusters": n_clusters, "seed": seed, "centroids": centroids}, fh)
+    os.replace(tmp, os.path.join(index_dir, "centroids.json"))
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a materialized IVF index: probe-cell selection happens on
+    the driver over the tiny centroid sidecar; the scan carries a
+    partition filter on `_cell`, so only the probed cells' files are
+    read (assert with `df.inputFiles()` — see tests)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json"), encoding="utf-8") as fh:
+        meta = json.load(fh)
+    q = np.asarray(query_vec, dtype=float)
+    qn = float(np.linalg.norm(q))
+    sims = [
+        float(np.dot(c, q) / (np.linalg.norm(c) * qn + 1e-12)) for c in meta["centroids"]
+    ]
+    probe = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:n_probe]
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    candidates = cells.where(F.col("_cell").isin([int(c) for c in probe])).drop("_cell")
+    return brute_force_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)

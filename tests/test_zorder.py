@@ -86,3 +86,33 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     back = spark.read.parquet(zdir)
     assert back.count() == ev.count()
     assert back.select(F.sum("event_id")).first()[0] == ev.select(F.sum("event_id")).first()[0]
+
+
+def test_ivf_materialized_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index reads ONLY the probed cells'
+    partition directories (driver-side centroid probe → partition
+    filter), and recall vs exact brute force stays high."""
+    from kompactor_spark.operators.simsearch import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = loader("/root/testdata/sf0.01", spark)("embeddings")  # 200 vectors; sf0.001's 20 are degenerate for 16 cells
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    corpus = emb.where(F.col("vec_id") != 0)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(corpus, idx, n_clusters=8, seed=42)
+
+    got = ivf_index_topk(spark, idx, qvec, k=10, n_probe=4)
+    # the cell predicate must be a PARTITION filter (pruned before I/O,
+    # directory-level), not a post-scan row filter
+    p = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert scan and "_cell" in scan[0], p
+    assert len(spark.read.parquet(f"{idx}/cells").inputFiles()) >= 8
+    truth = {r.vec_id for r in brute_force_topk(corpus, qvec, k=10).collect()}
+    hits = {r.vec_id for r in got.collect()}
+    recall = len(truth & hits) / len(truth)
+    assert recall >= 0.6, f"recall {recall}"

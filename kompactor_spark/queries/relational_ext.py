@@ -726,3 +726,43 @@ def j14_binned_interval_join(spark, sf_dir):
         .select("event_id", "incident_id")
         .orderBy("event_id", "incident_id")
     )
+
+
+# --------------------------------------------------------------------------
+# A9c — exact DISCRETE percentiles (percentile_disc: the value at row
+# max(1, ceil(q*n)) of the group's sort — always an actual data point,
+# unlike A9's interpolating quantile_cont). One window pass computes
+# row_number + group size, one aggregate picks the target rows; the
+# window partitioning is reused by the groupBy (same key, no second
+# exchange).
+# --------------------------------------------------------------------------
+@register(
+    "a9c_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(l_quantity, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_disc(l_quantity, 0.9) AS DOUBLE) AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a9c_percentile_disc(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = T("lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def pick(p):
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        return F.min(F.when(F.col("rn") == target, F.col("q")))
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(pick(0.25).alias("p25"), pick(0.5).alias("p50"), pick(0.9).alias("p90"))
+        .orderBy("l_returnflag")
+    )

@@ -138,3 +138,47 @@ def test_observed_metrics_single_pass(spark):
     assert m["rows"] == 6000 and m["null_qty"] == 0
     assert m["max_qty"] <= 50.0
     assert written == 6000
+
+
+def test_csv_json_permissive_corrupt_record_capture(spark, tmp_path):
+    """S13: malformed CSV/JSON rows land in _corrupt_record instead of
+    killing the scan or silently coercing — the text-format twin of
+    read_parquet_tolerant. At 100 TB a landing zone always contains a
+    few mangled rows; the contract is: good rows parse, bad rows are
+    quarantine-able, nothing is dropped silently."""
+    import pyspark.sql.types as T
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("1,alice,3.5\n2,bob,oops\n3,carol,9.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(str(csv)).cache()
+    try:
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert {r.id for r in good.collect()} == {1, 3}
+        assert [r._corrupt_record for r in bad.collect()] == ["2,bob,oops"]
+    finally:
+        df.unpersist()
+
+    jl = tmp_path / "in.jsonl"
+    jl.write_text('{"id": 1, "v": 2.0}\n{"id": 2, "v": broken\n{"id": 3, "v": 4.0}\n')
+    jschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    jdf = spark.read.schema(jschema).json(str(jl)).cache()
+    try:
+        assert {r.id for r in jdf.where(F.col("_corrupt_record").isNull()).collect()} == {1, 3}
+        assert jdf.where(F.col("_corrupt_record").isNotNull()).count() == 1
+    finally:
+        jdf.unpersist()

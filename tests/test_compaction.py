@@ -354,3 +354,23 @@ def test_catalog_read_time_travel_and_skipping(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_table(spark, root, FX.HOST, 0, 3, as_of=0)
+
+
+def test_catalog_read_consistent_through_compaction(spark, tmp_path):
+    """K3 × K1: a catalog-scoped read returns the same row multiset
+    before and after the hour pass rewrites files + snapshots (the
+    manifest follows the rewrite; no stale or dangling paths)."""
+    from kompactor_spark.compaction.readers import files_as_of, read_table
+
+    root = str(tmp_path)
+    FX.basic_hour(root)
+
+    def snapshot_rows():
+        df = read_table(spark, root, FX.HOST, 0, 3)
+        return sorted((r.time, r.f_int, r.f_str) for r in df.collect())
+
+    before_rows = snapshot_rows()
+    n_before = len(files_as_of(root, FX.HOST, db=0, table=3))
+    run_job(spark, root)
+    assert len(files_as_of(root, FX.HOST, db=0, table=3)) < n_before  # merged
+    assert snapshot_rows() == before_rows

@@ -972,3 +972,58 @@ def a17_hll_sketch_merge(spark, sf_dir):
     )
     exact = docs.agg(F.countDistinct("text").cast("bigint").alias("exact_nd_texts"))
     return merged.join(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# A18 — mergeable quantile sketches (Apache DataSketches KLL). Same
+# rollup-reuse story as A17 but for distributions: one KLL per group
+# materialized once, any union of groups answered by merging the
+# KB-sized sketches and querying quantiles — no re-scan, no exact
+# percentile's full sort. Sketch bytes are engine-specific → T-check.
+# --------------------------------------------------------------------------
+@register("a18_kll_quantile_merge")
+def a18_kll_quantile_merge(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+        .agg(F.kll_merge_agg_double("sk").alias("sk"))
+        .select(
+            *[
+                F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"kll_p{int(q*100)}")
+                for q in (0.25, 0.5, 0.9)
+            ]
+        )
+    )
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"exact_p{int(q*100)}")
+            for q in (0.25, 0.5, 0.9)
+        ]
+    )
+    return merged.join(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# A19 — set-expression sketches (Apache DataSketches Theta). Unlike
+# HLL, Theta sketches support INTERSECTION and DIFFERENCE — "how many
+# distinct users both signed up AND purchased" normally needs a
+# distinct-distinct join of two 100 TB scans; with per-segment theta
+# sketches it is a driver-side merge of KB binaries. T-check vs the
+# exact intersect.
+# --------------------------------------------------------------------------
+@register("a19_theta_set_sketch")
+def a19_theta_set_sketch(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    sk = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    est = (
+        sk.where(F.col("event_type").isin("signup", "purchase"))
+        .agg(F.theta_intersection_agg("sk").alias("both"))
+        .select(F.theta_sketch_estimate("both").cast("bigint").alias("approx_both_users"))
+    )
+    s = ev.where(F.col("event_type") == "signup").select("user_id")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = s.intersect(p).agg(F.count(F.lit(1)).cast("bigint").alias("exact_both_users"))
+    return est.join(F.broadcast(exact))

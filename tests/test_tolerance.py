@@ -104,3 +104,23 @@ def test_a17_hll_sketch_merge_tolerance(spark, Q):
     distinct texts within ±5% of exact (lgConfigK=14)."""
     r = Q["a17_hll_sketch_merge"](spark, SF).first()
     assert abs(r.approx_nd_texts - r.exact_nd_texts) <= 0.05 * r.exact_nd_texts
+
+
+def test_a18_kll_quantile_merge_tolerance(spark, Q):
+    """A18: merged per-group KLL sketches answer global quantiles
+    within 2% RELATIVE RANK of exact (KLL's guarantee is on rank, not
+    value; with ~10k points the value error at these quantiles is
+    small, so a 5%-of-value band is a safe observed bound)."""
+    r = Q["a18_kll_quantile_merge"](spark, SF).first()
+    for q in (25, 50, 90):
+        kll, exact = r[f"kll_p{q}"], r[f"exact_p{q}"]
+        assert abs(kll - exact) <= 0.05 * abs(exact) + 1e-9, (q, kll, exact)
+
+
+def test_a19_theta_set_sketch_tolerance(spark, Q):
+    """A19: theta-sketch intersection estimate within ±5% of the exact
+    distinct-user intersection (exact in the sub-sampling regime)."""
+    r = Q["a19_theta_set_sketch"](spark, SF).first()
+    assert abs(r.approx_both_users - r.exact_both_users) <= max(
+        1, 0.05 * r.exact_both_users
+    ), (r.approx_both_users, r.exact_both_users)

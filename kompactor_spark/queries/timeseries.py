@@ -306,3 +306,20 @@ def x12_time_rollup_hierarchy(spark, sf_dir):
             F.col("d").asc_nulls_first(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X15 — sketch-carrying rollup reuse (continuous-aggregate pattern):
+# day-level counts/sums/distincts/medians derived ENTIRELY from the
+# hourly rollup — the raw table is scanned once to build it, never at
+# query time. Sums re-add exactly; HLL/KLL sketches merge with bounded
+# error (asserted vs direct computation in tests/test_rollup.py).
+# Sketch estimates are engine-specific → rows-only check.
+# --------------------------------------------------------------------------
+@register("x15_sketch_rollup")
+def x15_sketch_rollup(spark, sf_dir):
+    from kompactor_spark.operators.rollup import NS_PER_HOUR, hourly_rollup, reaggregate
+
+    T = loader(sf_dir, spark)
+    day = reaggregate(hourly_rollup(T("events")), 24 * NS_PER_HOUR)
+    return day.orderBy("bucket_ns", "key")

@@ -107,6 +107,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--db", type=int, default=0, help="target db id (ingest mode)")
     p.add_argument("--table", type=int, default=0, help="target table id (ingest mode)")
+    p.add_argument(
+        "--export-zorder",
+        default=None,
+        metavar="DEST",
+        help="export the (--db, --table) table as a Z-ORDERED parquet copy at "
+        "DEST for multi-dimension analytics (the catalog's own files stay "
+        "time-sorted; this is a derived layout, not a catalog rewrite)",
+    )
+    p.add_argument(
+        "--zorder-cols",
+        default="time",
+        help="comma-separated dimensions for --export-zorder (default: time)",
+    )
+    p.add_argument(
+        "--zorder-files",
+        type=int,
+        default=8,
+        help="output file count for --export-zorder (default: 8)",
+    )
     return p
 
 
@@ -144,6 +163,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 dry_run=args.dry_run,
             ):
                 print(rep.summary())
+            return 0
+        if args.export_zorder is not None:
+            from kompactor_spark.compaction.readers import read_table
+            from kompactor_spark.operators.zorder import zorder_layout
+
+            hosts = [h for h in args.hosts.split(",") if h]
+            if len(hosts) != 1:
+                print("--export-zorder requires exactly one --hosts entry", file=sys.stderr)
+                return 2
+            df = read_table(spark, args.data_dir, hosts[0], args.db, args.table)
+            cols = [c for c in args.zorder_cols.split(",") if c]
+            zorder_layout(df, cols, num_files=args.zorder_files).write.mode(
+                "overwrite"
+            ).parquet(args.export_zorder)
+            n = spark.read.parquet(args.export_zorder).count()
+            print(
+                f"{hosts[0]}: z-ordered export db={args.db} table={args.table} "
+                f"by {cols} -> {args.export_zorder} ({n} rows, {args.zorder_files} files)"
+            )
             return 0
         if args.ingest_source is not None:
             import os

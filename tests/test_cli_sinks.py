@@ -230,3 +230,30 @@ def test_line_protocol_grammar_cases(spark, tmp_path):
     assert cpu_ok.b is True
     malformed = sorted(r.malformed for r in df.collect() if r.malformed)
     assert malformed == ['noequals,tagonly v=1', 'unterminated s="oops 5']
+
+
+def test_cli_export_zorder(spark, tmp_path):
+    """CLI --export-zorder: catalog-scoped read → z-ordered parquet copy
+    with conserved rows; the catalog's own layout is untouched."""
+    import glob as _glob
+
+    from tests import fixtures_compaction as FXC
+    from kompactor_spark.cli import main as cli_main
+
+    root = str(tmp_path / "lake")
+    FXC.basic_hour(root)
+    before = set(_glob.glob(f"{root}/{FXC.HOST}/dbs/**/*.parquet", recursive=True))
+    dest = str(tmp_path / "zexport")
+    rc = cli_main(
+        [
+            root, "--hosts", FXC.HOST, "--db", "0", "--table", "3",
+            "--export-zorder", dest, "--zorder-cols", "f_int,time",
+            "--zorder-files", "4",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    out = spark.read.parquet(dest)
+    assert out.count() == 150  # 3 files x 50 rows in the fixture
+    assert len(_glob.glob(f"{dest}/*.parquet")) == 4
+    assert set(_glob.glob(f"{root}/{FXC.HOST}/dbs/**/*.parquet", recursive=True)) == before

@@ -127,3 +127,114 @@ def ifNull(c: Column | str, default) -> Column:
 def intDiv(a: Column | str, b: int) -> Column:
     """Exact integer division on longs (never the float `/` path)."""
     return ns_floor_div(_col(a).cast("long"), int(b))
+
+
+def intDivOrZero(a: Column | str, b: int) -> Column:
+    """intDiv that yields 0 instead of failing on b == 0."""
+    if int(b) == 0:
+        return F.lit(0).cast("long")
+    return intDiv(a, b)
+
+
+# -- strings (chsql string surface over Spark builtins) --
+
+
+def empty(c: Column | str) -> Column:
+    return F.length(_col(c)) == 0
+
+
+def notEmpty(c: Column | str) -> Column:
+    return F.length(_col(c)) > 0
+
+
+def lcase(c: Column | str) -> Column:
+    return F.lower(_col(c))
+
+
+def ucase(c: Column | str) -> Column:
+    return F.upper(_col(c))
+
+
+def leftPad(c: Column | str, length: int, pad: str = " ") -> Column:
+    return F.lpad(_col(c), length, pad)
+
+
+def rightPad(c: Column | str, length: int, pad: str = " ") -> Column:
+    return F.rpad(_col(c), length, pad)
+
+
+def match(c: Column | str, pattern: str) -> Column:
+    """ClickHouse match(haystack, re2_pattern) — regex containment."""
+    return _col(c).rlike(pattern)
+
+
+def splitByChar(sep: str, c: Column | str) -> Column:
+    """ClickHouse argument order: separator first. Splits on the LITERAL
+    character (escaped before hitting Spark's regex-based split)."""
+    import re as _re
+
+    return F.split(_col(c), _re.escape(sep))
+
+
+def arrayJoin(c: Column | str) -> Column:
+    """ClickHouse arrayJoin ≡ explode (one output row per element)."""
+    return F.explode(_col(c))
+
+
+# -- JSON extraction (chsql JSONExtract* over get_json_object) --
+
+
+def JSONExtractString(c: Column | str, key: str) -> Column:
+    return F.get_json_object(_col(c), f"$.{key}")
+
+
+def JSONExtractInt(c: Column | str, key: str) -> Column:
+    return F.get_json_object(_col(c), f"$.{key}").cast("long")
+
+
+def JSONExtractFloat(c: Column | str, key: str) -> Column:
+    return F.get_json_object(_col(c), f"$.{key}").cast("double")
+
+
+# -- casts (chsql toX wrappers; saturating semantics NOT emulated —
+#    out-of-range casts yield NULL per Spark ANSI-off, never wrap) --
+
+
+def toString(c: Column | str) -> Column:
+    return _col(c).cast("string")
+
+
+def toInt32(c: Column | str) -> Column:
+    return _col(c).cast("int")
+
+
+def toInt64(c: Column | str) -> Column:
+    return _col(c).cast("long")
+
+
+def toFloat64(c: Column | str) -> Column:
+    return _col(c).cast("double")
+
+
+# -- IPv4 (chsql network helpers as pure integer/string expressions) --
+
+
+def IPv4NumToString(c: Column | str) -> Column:
+    v = _col(c).cast("long")
+    return F.concat_ws(
+        ".",
+        F.shiftright(v, 24).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(v, 16).bitwiseAND(F.lit(255)).cast("string"),
+        F.shiftright(v, 8).bitwiseAND(F.lit(255)).cast("string"),
+        v.bitwiseAND(F.lit(255)).cast("string"),
+    )
+
+
+def IPv4StringToNum(c: Column | str) -> Column:
+    parts = F.split(_col(c), r"\.")
+    return (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )

@@ -487,3 +487,43 @@ def f2_month_arithmetic(spark, sf_dir):
         )
         .orderBy("month_start")
     )
+
+
+# --------------------------------------------------------------------------
+# R5b — chsql string/JSON/network surface: match (re2 containment),
+# case/pad, JSONExtract* over the props column, IPv4 num↔string as pure
+# integer expressions (round-trip asserted in-row). All JVM-side.
+# --------------------------------------------------------------------------
+@register(
+    "r5b_chsql_strings",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS etype_uc,
+           lpad(event_type, 10, '.') AS etype_pad,
+           regexp_matches(event_type, '^(signup|error)$') AS is_se,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(event_id // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST(event_id // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(event_id // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(event_id % 256 AS VARCHAR) AS ip,
+           CAST(event_id AS BIGINT) AS ip_roundtrip
+    FROM events
+    WHERE event_id % 7 = 0
+    ORDER BY event_id
+    """,
+)
+def r5b_chsql_strings(spark, sf_dir):
+    from kompactor_spark import functions as ch
+
+    T = loader(sf_dir, spark)
+    ev = T("events").where(F.col("event_id") % 7 == 0)
+    ip = ch.IPv4NumToString("event_id")
+    return ev.select(
+        "event_id",
+        ch.ucase("event_type").alias("etype_uc"),
+        ch.leftPad("event_type", 10, ".").alias("etype_pad"),
+        ch.match("event_type", "^(signup|error)$").alias("is_se"),
+        ch.JSONExtractInt("props", "k").alias("k"),
+        ip.alias("ip"),
+        ch.IPv4StringToNum(ip).alias("ip_roundtrip"),
+    ).orderBy("event_id")

@@ -1027,3 +1027,78 @@ def a19_theta_set_sketch(spark, sf_dir):
     p = ev.where(F.col("event_type") == "purchase").select("user_id")
     exact = s.intersect(p).agg(F.count(F.lit(1)).cast("bigint").alias("exact_both_users"))
     return est.join(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# L6g — composite quality gate (C4/Gopher-style): length, word-shape,
+# and intra-doc repetition rules evaluated in one scan-side pass, with
+# the FIRST failing rule as a reason code (auditable filtering — at
+# 100 TB you need to know *why* 30% of the corpus dropped, per rule,
+# which is exactly the groupBy(reason) rollup this emits).
+# --------------------------------------------------------------------------
+@register(
+    "l6_quality_filter",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_word_len,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2]))) AS DOUBLE)
+                   / (len(string_split(text, ' ')) - 2)
+             ELSE 0.0 END AS dup_frac
+      FROM documents),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN mean_word_len > 12 THEN 'words_too_long'
+                  WHEN dup_frac > 0.6 THEN 'too_repetitive'
+                  ELSE 'ok' END AS reason
+      FROM m)
+    SELECT reason, CAST(count(*) AS BIGINT) AS n_docs
+    FROM r GROUP BY reason ORDER BY reason
+    """,
+)
+def l6_quality_filter(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ts = F.split("text", " ")
+    grams = F.expr(
+        "transform(sequence(1, size(ts) - 2), "
+        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"
+    )
+    m = T("documents").select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(ts)
+        ).alias("mean_word_len"),
+        ts.alias("ts"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        F.when(
+            F.col("n_tokens") >= 3,
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / (F.col("n_tokens") - 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("mean_word_len") > 12, "words_too_long")
+        .when(F.col("dup_frac") > 0.6, "too_repetitive")
+        .otherwise("ok")
+    )
+    return (
+        m.select(reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("reason")
+    )

@@ -1102,3 +1102,32 @@ def l6_quality_filter(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("reason")
     )
+
+
+# --------------------------------------------------------------------------
+# A19b — Theta-sketch DIFFERENCE: distinct users who signed up but
+# never made a LARGE purchase (value > 150), from per-segment sketches
+# — the set expression (A ∖ B) that HLL cannot answer. T-check vs the
+# exact set subtract.
+# --------------------------------------------------------------------------
+@register("a19b_theta_difference")
+def a19b_theta_difference(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    a = ev.where(F.col("event_type") == "signup")
+    b = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 150))
+    est = (
+        a.agg(F.theta_sketch_agg("user_id").alias("sk_a"))
+        .join(F.broadcast(b.agg(F.theta_sketch_agg("user_id").alias("sk_b"))))
+        .select(
+            F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b"))
+            .cast("bigint")
+            .alias("approx_signup_only")
+        )
+    )
+    exact = (
+        a.select("user_id").distinct()
+        .subtract(b.select("user_id").distinct())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_signup_only"))
+    )
+    return est.join(F.broadcast(exact))

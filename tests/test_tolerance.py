@@ -124,3 +124,12 @@ def test_a19_theta_set_sketch_tolerance(spark, Q):
     assert abs(r.approx_both_users - r.exact_both_users) <= max(
         1, 0.05 * r.exact_both_users
     ), (r.approx_both_users, r.exact_both_users)
+
+
+def test_a19b_theta_difference_tolerance(spark, Q):
+    """A19b: theta difference estimate within ±5% of exact
+    signup-minus-purchase distinct users."""
+    r = Q["a19b_theta_difference"](spark, SF).first()
+    assert abs(r.approx_signup_only - r.exact_signup_only) <= max(
+        1, 0.05 * r.exact_signup_only
+    ), (r.approx_signup_only, r.exact_signup_only)

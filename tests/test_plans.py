@@ -258,3 +258,44 @@ def test_z4_runtime_bloom_filter_join(spark):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_z6_aqe_skew_join_split(spark):
+    """Z6: AQE splits a skewed shuffle partition at runtime — the
+    executed SortMergeJoin is marked skew=true when one key carries
+    ~95% of rows (thresholds scaled to test data; the production
+    defaults express the same ratios). Counter-case: when the join is
+    followed by an agg on the SAME key, Spark correctly declines to
+    split (splitting would force a re-shuffle for the agg) — pinning
+    that too, since it is why skew tuning must look at the WHOLE plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    keep = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+
+        split = left.join(right, "k").agg(F.sum("v").alias("s"))
+        split.collect()  # AQE marks skew only in the EXECUTED plan
+        p = split._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, p
+
+        reuse = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        reuse.collect()
+        p2 = reuse._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" not in p2, "split would have forced a re-shuffle"
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)

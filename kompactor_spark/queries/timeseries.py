@@ -323,3 +323,49 @@ def x15_sketch_rollup(spark, sf_dir):
     T = loader(sf_dir, spark)
     day = reaggregate(hourly_rollup(T("events")), 24 * NS_PER_HOUR)
     return day.orderBy("bucket_ns", "key")
+
+
+# --------------------------------------------------------------------------
+# W8 — user journey paths: each user's first five event types in time
+# order as a '>'-joined path, plus the count of journeys sharing that
+# prefix. One shuffle on user_id (groupBy with an ordered struct
+# collect — no window pass needed), then a tiny path-level rollup:
+# the classic product-analytics "top paths" report.
+# --------------------------------------------------------------------------
+@register(
+    "w8_journey_paths",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+      FROM events GROUP BY user_id)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM j GROUP BY path ORDER BY n_users DESC, path LIMIT 15
+    """,
+)
+def w8_journey_paths(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    j = (
+        T("events")
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        lambda s: s.getField("event_type"),
+                    ),
+                    1,
+                    5,
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(15)
+    )
+    return j

@@ -369,3 +369,37 @@ def w8_journey_paths(spark, sf_dir):
         .limit(15)
     )
     return j
+
+
+# --------------------------------------------------------------------------
+# W9 — event-type transition matrix: per-user lag(event_type) over time
+# order, then global (prev → next) counts — the Markov-edge rollup
+# behind funnel discovery. One shuffle for the window, partial-agg'd
+# count after.
+# --------------------------------------------------------------------------
+@register(
+    "w9_event_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM t WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def w9_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T("events")
+        .select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )

@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--db", type=int, default=0, help="target db id (ingest mode)")
     p.add_argument("--table", type=int, default=0, help="target table id (ingest mode)")
     p.add_argument(
+        "--expire-snapshots",
+        action="store_true",
+        help="fold each host's snapshot history into one manifest "
+        "(catalog GC; moves the as_of time-travel horizon to now)",
+    )
+    p.add_argument(
         "--export-zorder",
         default=None,
         metavar="DEST",
@@ -163,6 +169,15 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 dry_run=args.dry_run,
             ):
                 print(rep.summary())
+            return 0
+        if args.expire_snapshots:
+            from kompactor_spark.compaction.readers import expire_snapshots
+
+            for host in args.hosts.split(","):
+                if not host:
+                    continue
+                rep = expire_snapshots(args.data_dir, host)
+                print(f"{host}: snapshots merged={rep['merged']} kept={rep['kept']}")
             return 0
         if args.export_zorder is not None:
             from kompactor_spark.compaction.readers import read_table

@@ -110,3 +110,60 @@ def read_table(
     if max_time_ns is not None:
         df = df.where(F.col("time") <= max_time_ns)
     return df
+
+
+def expire_snapshots(data_dir: str, host: str) -> dict:
+    """Fold the host's snapshot history into ONE manifest file
+    (Iceberg-style expire-snapshots, the catalog-GC companion to
+    `read_table(as_of=...)`).
+
+    Every snapshot file holds a subset of the CURRENT file set
+    (compaction/retention rewrite all snapshots in place), so the fold
+    is a pure union-dedup by path — state is unchanged, only history
+    granularity is lost: after expiry, ``as_of`` older than the merged
+    snapshot raises, which IS the documented time-travel horizon.
+
+    Crash-safe ordering: the merged snapshot is written (atomically)
+    BEFORE the old ones are unlinked; at any intermediate point the
+    union over remaining snapshot files is identical, so readers and
+    fsck never see a torn catalog.
+
+    Driver-side O(#files) JSON work — at 100 TB this keeps the
+    per-read catalog parse bounded no matter how many ingest batches
+    have committed snapshots.
+    """
+    from kompactor_spark.compaction.metadata import (
+        SnapshotMetadata,
+        read_snapshot,
+        write_snapshot_atomic,
+    )
+
+    snap_dir = os.path.join(data_dir, host, "snapshots")
+    paths = sorted(glob.glob(os.path.join(snap_dir, "*.info.json")))
+    if len(paths) <= 1:
+        return {"merged": 0, "kept": len(paths)}
+    by_path: dict = {}
+    writer_id = host
+    for sp in paths:
+        snap = read_snapshot(sp)
+        writer_id = snap.writer_id
+        for db_id, table_id, f in snap.all_files():
+            by_path[f.path] = (db_id, table_id, f)
+    dbs: dict = {}
+    for db_id, table_id, f in by_path.values():
+        dbs.setdefault(db_id, {}).setdefault(table_id, []).append(f)
+    merged = SnapshotMetadata(
+        writer_id=writer_id,
+        parquet_size_bytes=0,
+        row_count=0,
+        min_time=0,
+        max_time=0,
+        databases=[(d, t) for d, t in sorted(dbs.items())],
+    )
+    merged.recompute_totals()
+    new_id = max(int(os.path.basename(p).split(".")[0]) for p in paths) + 1
+    out = os.path.join(snap_dir, f"{new_id:04d}.info.json")
+    write_snapshot_atomic(merged, out)
+    for sp in paths:
+        os.remove(sp)
+    return {"merged": len(paths), "kept": 1, "snapshot": out}

@@ -257,3 +257,19 @@ def test_cli_export_zorder(spark, tmp_path):
     assert out.count() == 150  # 3 files x 50 rows in the fixture
     assert len(_glob.glob(f"{dest}/*.parquet")) == 4
     assert set(_glob.glob(f"{root}/{FXC.HOST}/dbs/**/*.parquet", recursive=True)) == before
+
+
+def test_cli_expire_snapshots(spark, tmp_path, capsys):
+    from tests import fixtures_compaction as FXC
+
+    root = str(tmp_path / "gc")
+    b = FXC.LayoutBuilder(root)
+    h = (FXC.BASE_NS // (3600 * FXC.NS)) * 3600 * FXC.NS
+    e1 = [b.add_parquet(0, 3, "2025-01-26", 14, "0000000001.parquet",
+                        FXC.make_rows(10, h, 1000 * FXC.NS, seed=1))]
+    b.write_snapshot("0001.info.json", e1)
+    e2 = [b.add_parquet(0, 3, "2025-01-26", 14, "0000000002.parquet",
+                        FXC.make_rows(10, h + 5 * FXC.NS, 1000 * FXC.NS, seed=2))]
+    b.write_snapshot("0002.info.json", e2)
+    assert main([root, "--hosts", FXC.HOST, "--expire-snapshots"], spark=spark) == 0
+    assert "merged=2 kept=1" in capsys.readouterr().out

@@ -374,3 +374,38 @@ def test_catalog_read_consistent_through_compaction(spark, tmp_path):
     run_job(spark, root)
     assert len(files_as_of(root, FX.HOST, db=0, table=3)) < n_before  # merged
     assert snapshot_rows() == before_rows
+
+
+def test_expire_snapshots_folds_history(spark, tmp_path):
+    """Snapshot expiry folds N snapshot files into one with an
+    identical file manifest (state preserved, history horizon moved);
+    fsck stays clean and pre-expiry as_of now raises."""
+    from kompactor_spark.compaction.fsck import fsck_host
+    from kompactor_spark.compaction.readers import (
+        expire_snapshots,
+        files_as_of,
+        read_table,
+        snapshot_ids,
+    )
+
+    root = str(tmp_path)
+    b = FX.LayoutBuilder(root)
+    h10 = (FX.BASE_NS // (3600 * FX.NS) + 10) * 3600 * FX.NS
+    e1 = [b.add_parquet(0, 3, "2025-01-26", 10, "0000000001.parquet",
+                        FX.make_rows(30, h10, 2000 * FX.NS, seed=1))]
+    b.write_snapshot("0001.info.json", e1)
+    e2 = [b.add_parquet(0, 3, "2025-01-26", 11, "0000000002.parquet",
+                        FX.make_rows(20, h10 + 3600 * FX.NS, 2000 * FX.NS, seed=2))]
+    b.write_snapshot("0002.info.json", e2)
+
+    before = {f.path for f in files_as_of(root, FX.HOST)}
+    rep = expire_snapshots(root, FX.HOST)
+    assert rep["merged"] == 2 and rep["kept"] == 1
+    assert snapshot_ids(root, FX.HOST) == [3]
+    assert {f.path for f in files_as_of(root, FX.HOST)} == before
+    assert read_table(spark, root, FX.HOST, 0, 3).count() == 50
+    assert fsck_host(root, FX.HOST).ok
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, FX.HOST, 0, 3, as_of=2)  # horizon moved
+    # idempotent second call is a no-op
+    assert expire_snapshots(root, FX.HOST) == {"merged": 0, "kept": 1}

@@ -345,13 +345,18 @@ def l4_fingerprint(spark, sf_dir):
     oracle="""
     SELECT vec_id, label,
            CAST(len(embedding) AS BIGINT) AS dim,
-           list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4), x -> round(x, 6)) AS head4
+           array_to_string(
+             list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
+                            x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+             ',') AS head4
     FROM embeddings
     WHERE label % 2 = 0
     ORDER BY vec_id
     """,
 )
 def l5_multimodal_roundtrip(spark, sf_dir):
+    # head4 serialized to a canonical decimal CSV (driver canonicalizer
+    # cannot hash ndarray cells — round-1 driver-ERR).
     from kompactor_spark.sources import scratch_path
 
     T = loader(sf_dir, spark)
@@ -363,8 +368,12 @@ def l5_multimodal_roundtrip(spark, sf_dir):
         "vec_id",
         "label",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.transform(
-            F.slice(F.col("embedding").cast("array<double>"), 1, 4), lambda x: F.round(x, 6)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("embedding").cast("array<double>"), 1, 4),
+                lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string"),
+            ),
         ).alias("head4"),
     ).orderBy("vec_id")
 
@@ -381,7 +390,18 @@ def l5_media_features(spark, sf_dir):
     media = synthesize_media(T("embeddings").select("vec_id"), "vec_id", kind="image")
     return (
         extract_features(media)
-        .select("media_id", "kind", "n_bytes", F.transform("feature", lambda x: F.round(x, 4)).alias("feature"))
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            # canonical CSV string — driver canonicalizer can't hash ndarray cells
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature", lambda x: F.round(x, 4).cast("decimal(18,4)").cast("string")
+                ),
+            ).alias("feature"),
+        )
         .orderBy("media_id")
     )
 
@@ -402,8 +422,8 @@ def l5_media_features(spark, sf_dir):
       FROM documents
     ),
     ranked AS (
-      SELECT *, SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM scored
     )
     SELECT doc_id, lang, n_tokens, quality, cum_tokens

@@ -603,7 +603,10 @@ def a5_having(spark, sf_dir):
     "a7_list_agg",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_quantity)) AS quantities,
+           array_to_string(
+             list_transform(list_sort(list(l_quantity)),
+                            x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)),
+             ',') AS quantities,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_orderkey <= 500
@@ -612,13 +615,22 @@ def a5_having(spark, sf_dir):
     """,
 )
 def a7_list_agg(spark, sf_dir):
+    # Array results are serialized to a canonical CSV string: the driver's
+    # canonicalizer sorts result columns through pandas and cannot hash
+    # ndarray cells (round-1 driver-ERR). Same decimal formatting both sides.
     T = loader(sf_dir, spark)
     return (
         T("lineitem")
         .where(F.col("l_orderkey") <= 500)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_quantity")).alias("quantities"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("l_quantity")),
+                    lambda x: x.cast("decimal(12,2)").cast("string"),
+                ),
+            ).alias("quantities"),
             F.count("*").cast("bigint").alias("n_items"),
         )
         .orderBy("l_orderkey")

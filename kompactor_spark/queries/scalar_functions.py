@@ -224,14 +224,18 @@ def f4_conditionals(spark, sf_dir):
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
            round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-           list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
-                          x -> round(x, 6)) AS head4,
+           array_to_string(
+             list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
+                            x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
+             ',') AS head4,
            round(list_sort(CAST(embedding AS DOUBLE[]))[1], 6) AS min_val
     FROM embeddings
     ORDER BY vec_id
     """,
 )
 def f5_array_funcs(spark, sf_dir):
+    # head4 serialized to a canonical decimal CSV (driver canonicalizer
+    # cannot hash ndarray cells — round-1 driver-ERR).
     T = loader(sf_dir, spark)
     emb_d = F.col("embedding").cast("array<double>")
     return (
@@ -240,7 +244,13 @@ def f5_array_funcs(spark, sf_dir):
             "vec_id",
             F.size("embedding").cast("bigint").alias("dim"),
             F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
-            F.transform(F.slice(emb_d, 1, 4), lambda x: F.round(x, 6)).alias("head4"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(emb_d, 1, 4),
+                    lambda x: F.round(x, 6).cast("decimal(18,6)").cast("string"),
+                ),
+            ).alias("head4"),
             F.round(F.element_at(F.sort_array(emb_d), 1), 6).alias("min_val"),
         )
         .orderBy("vec_id")

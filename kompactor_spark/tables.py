@@ -63,8 +63,31 @@ UNIQUE_KEYS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    ensure_conf(spark)  # nanosAsLong required for events.ts (ns parquet)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ensure_conf(spark)  # UTC session tz + nanosAsLong (ns parquet builds)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_time(df)
+    return df
+
+
+def normalize_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Pin the engine's time policy: ``events.ts`` is int64 epoch-ns.
+
+    The driver's parquet has shipped two physical encodings of the same
+    logical instants: TIMESTAMP(NANOS) (read as long via nanosAsLong) and
+    TIMESTAMP(MICROS) (read as timestamp_ntz). Normalize both to epoch-ns
+    longs — identical to DuckDB's ``epoch_ns(ts)`` (naive = UTC; session
+    tz is pinned UTC by ensure_conf, so the NTZ→instant cast is exact).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (TimestampNTZType, TimestampType)):
+        df = df.withColumn(
+            col, (F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    return df
 
 
 def loader(sf_dir: str, spark: SparkSession):

@@ -2,20 +2,105 @@
 
 Opaque media as `binary` columns + typed metadata structs; decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas
-functions over mapInPandas. The media codec libraries are NOT in this
-container, so the decode kernels are stubbed (NotImplementedError or a
-clearly-marked deterministic fake) — the Spark-side contract (schema,
-batch shape, partitioning) is real and tested.
+kernels over mapInPandas.
+
+The decode path is REAL: a dependency-free 24-bit BMP codec
+(struct/numpy only — encode, parse, nearest-neighbor resample), so the
+full pipeline payload-bytes → pixel array → features/resize/re-encode
+runs end-to-end in this container. Synthesized media payloads are
+genuine BMP files derived deterministically from the row id. Heavier
+codecs (JPEG/PNG/ffmpeg) follow the same kernel contract — decode() on
+payload bytes inside an Arrow batch — and would slot into _decode()
+unchanged; payloads that are not BMP fall back to byte-statistics
+features rather than failing the batch.
+
+Scale shape: one mapInPandas pass, no shuffle; per-batch memory is
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch × payload
+size, so 100 TB of media shards across executors with no driver
+involvement.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Pure-numpy 24-bit BMP codec (BITMAPINFOHEADER, bottom-up, BGR,
+# rows padded to 4 bytes) — the standard uncompressed Windows bitmap.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB array → BMP file bytes."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"expected H*W*3 RGB array, got shape {pixels.shape}")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4-byte boundary
+    image_size = row_size * h
+    file_size = 54 + image_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = pixels[:, :, ::-1]  # RGB → BGR
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows[::-1].tobytes()  # bottom-up row order
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP file bytes → H×W×3 uint8 RGB array. Raises ValueError on
+    anything that is not a 24-bit uncompressed BITMAPINFOHEADER BMP."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: hdr={hdr_size} bpp={bpp} comp={compression}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=data_offset)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def bmp_file_size(payload: bytes, offset: int = 0) -> int:
+    """Declared file size from a BMP header at `offset` (for splitting
+    concatenated BMP streams — video = concatenated frame bitmaps)."""
+    if payload[offset : offset + 2] != b"BM":
+        raise ValueError("not a BMP header")
+    return struct.unpack_from("<I", payload, offset + 2)[0]
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure index arithmetic — deterministic)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return pixels[ys][:, xs]
+
+
+def synth_pixels(media_id: int, width: int = 8, height: int = 8) -> np.ndarray:
+    """Deterministic per-id test image: linear-congruential byte pattern."""
+    n = width * height * 3
+    seed = (media_id * 2654435761 + 12345) & 0xFFFFFFFF
+    idx = np.arange(n, dtype=np.uint64)
+    vals = (seed + idx * 1103515245 + (idx**2) * 12820163) % 256
+    return vals.astype(np.uint8).reshape(height, width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side schemas + operators
+# ---------------------------------------------------------------------------
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -45,58 +130,98 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+_IMG_W, _IMG_H = 8, 8
+_FRAME_MS = 250  # synthetic video: one 8×8 frame per 250 ms
+
 
 def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFrame:
-    """Deterministic fake media: payload = md5-seeded bytes from the id.
-    Stands in for real encoded media so the plumbing is exercised."""
-    payload = F.unbase64(F.base64(F.encode(F.md5(F.col(id_col).cast("string")), "utf-8")))
-    return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.lit(kind).alias("kind"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit("application/x-fake").alias("mime"),
-            F.lit(64).cast("int").alias("width"),
-            F.lit(64).cast("int").alias("height"),
-            F.lit(1000).cast("long").alias("duration_ms"),
-        ).alias("meta"),
-    )
+    """Deterministic real media from row ids: images are genuine 24-bit
+    BMP files; 'video' payloads are 4 concatenated BMP frames (frame f =
+    pixels of id*1000+f); 'audio' is a raw PCM-ish byte ramp."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for mid in ids:
+                if kind == "image":
+                    payloads.append(encode_bmp(synth_pixels(int(mid), _IMG_W, _IMG_H)))
+                elif kind == "video":
+                    payloads.append(
+                        b"".join(
+                            encode_bmp(synth_pixels(int(mid) * 1000 + f, _IMG_W, _IMG_H))
+                            for f in range(4)
+                        )
+                    )
+                else:  # audio: deterministic byte ramp
+                    seed = int(mid) % 251
+                    payloads.append(bytes((seed + i) % 256 for i in range(256)))
+            mime = {"image": "image/bmp", "video": "video/x-bmp-frames"}.get(
+                kind, "audio/x-raw"
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": kind,
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": mime,
+                            "width": _IMG_W,
+                            "height": _IMG_H,
+                            "duration_ms": 4 * _FRAME_MS if kind == "video" else 1000,
+                        }
+                    ]
+                    * len(ids),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
-def _decode_real(payload: bytes, kind: str):  # pragma: no cover - stub
-    """Real decode hook. Requires PIL/ffmpeg-class libs (absent here)."""
-    raise NotImplementedError("media codecs not available in this environment; use fake_features")
+def _image_features(img: np.ndarray) -> list[float]:
+    """Decoded-pixel features: dims + per-channel means + global std."""
+    means = img.reshape(-1, 3).mean(axis=0)
+    return [
+        float(img.shape[1]),
+        float(img.shape[0]),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(img.astype(np.float64).std()),
+    ]
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024, use_fake: bool = True) -> DataFrame:
+def _byte_features(b: bytes) -> list[float]:
+    """Fallback for non-BMP payloads (audio / foreign formats)."""
+    n = max(len(b), 1)
+    arr = np.frombuffer(b, dtype=np.uint8) if b else np.zeros(1, dtype=np.uint8)
+    return [-1.0, -1.0, float(arr.mean()), float(arr.min()), float(arr.max()), float(arr.std())]
+
+
+def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 
-    Fake kernel: 4-dim feature from payload byte statistics —
-    deterministic so tests can assert exact values. Real kernel would
-    decode via _decode_real; same schema either way.
+    BMP payloads are DECODED (real pixel parse) and featurized as
+    [width, height, mean_r, mean_g, mean_b, std]; non-BMP payloads get
+    byte-statistics features with the same 6-dim schema.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake:  # pragma: no cover
-                _decode_real(None, "")
-            feats = []
+            feats, sizes = [], []
             for p in pdf["payload"]:
                 b = bytes(p) if p is not None else b""
-                n = max(len(b), 1)
-                feats.append(
-                    [
-                        float(len(b)),
-                        float(sum(b) % 256),
-                        float(b[0] if b else 0),
-                        float(sum(b) / n),
-                    ]
-                )
+                sizes.append(len(b))
+                try:
+                    feats.append(_image_features(decode_bmp(b)))
+                except ValueError:
+                    feats.append(_byte_features(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "n_bytes": sizes,
                     "feature": feats,
                 }
             )
@@ -114,28 +239,23 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(media: DataFrame, width: int, height: int, use_fake: bool = True) -> DataFrame:
-    """Resize kernel over mapInPandas. The fake kernel re-encodes the
-    payload to a deterministic (width*height)-byte tiling of the input
-    bytes; the real kernel would decode+resample via _decode_real with
-    the identical schema and batch shape."""
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real resize: decode BMP → nearest-neighbor resample → re-encode
+    BMP, per Arrow batch. Output payloads are themselves valid BMPs."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
         for pdf in batches:
-            if not use_fake:  # pragma: no cover
-                _decode_real(None, "image")
             out = []
             for p in pdf["payload"]:
-                b = bytes(p) if p is not None else b"\x00"
-                reps = (target // len(b)) + 1
-                out.append((b * reps)[:target])
+                b = bytes(p) if p is not None else b""
+                img = decode_bmp(b)  # non-BMP input is a hard error: resize needs pixels
+                out.append(encode_bmp(resize_nearest(img, width, height)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": out,
-                    "width": [width] * len(pdf),
-                    "height": [height] * len(pdf),
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
                 }
             )
 
@@ -151,25 +271,42 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def sample_frames(media: DataFrame, every_ms: int = 250, use_fake: bool = True) -> DataFrame:
-    """Frame sampling (1→N rows per video) over mapInPandas. Fake
-    kernel: one frame per every_ms of meta.duration_ms, frame bytes =
-    payload slice — deterministic row explosion with the real
-    operator's schema and fan-out shape."""
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Frame sampling (1→N rows) over mapInPandas: the payload is a
+    concatenated-BMP stream (each header declares its size — real
+    container parse), sampled every `every_ms` of meta.duration_ms."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake:  # pragma: no cover
-                _decode_real(None, "video")
             ids, idxs, frames = [], [], []
             for mid, p, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 b = bytes(p) if p is not None else b""
+                # split the concatenated-BMP stream by declared sizes
+                offsets = []
+                pos = 0
+                while pos + 54 <= len(b) and b[pos : pos + 2] == b"BM":
+                    size = bmp_file_size(b, pos)
+                    if size <= 0 or pos + size > len(b):
+                        break
+                    offsets.append((pos, size))
+                    pos += size
                 dur = int(meta["duration_ms"]) if meta is not None else 0
-                n_frames = max(dur // every_ms, 1)
-                for i in range(n_frames):
+                n_avail = len(offsets)
+                if n_avail == 0:
+                    continue
+                frame_ms = max(dur // n_avail, 1)
+                step = max(every_ms // frame_ms, 1)
+                for out_i, src_i in enumerate(range(0, n_avail, step)):
+                    off, size = offsets[src_i]
                     ids.append(mid)
-                    idxs.append(i)
-                    frames.append(b[i % max(len(b), 1) :] + b[: i % max(len(b), 1)])
-            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+                    idxs.append(out_i)
+                    frames.append(b[off : off + size])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

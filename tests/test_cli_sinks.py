@@ -80,9 +80,13 @@ def test_multimodal_resize_and_frames(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(8)
     media = synthesize_media(docs, "doc_id", kind="video")
 
+    from kompactor_spark.operators.multimodal import decode_bmp
+
     resized = resize_images(media, 16, 16).collect()
     assert len(resized) == 8
-    assert all(len(r.payload) == 256 and (r.width, r.height) == (16, 16) for r in resized)
+    assert all((r.width, r.height) == (16, 16) for r in resized)
+    # output payloads are themselves valid BMPs with the target dims
+    assert all(decode_bmp(bytes(r.payload)).shape == (16, 16, 3) for r in resized)
 
     frames = sample_frames(media, every_ms=250)
     per = frames.groupBy("media_id").count().collect()

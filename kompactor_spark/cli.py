@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--time-col", default="time", help="time column name (default: time)")
     p.add_argument(
+        "--time-window-hours",
+        type=int,
+        default=24,
+        help="generation pass: days whose end is newer than this many hours before "
+        "--now-ns are still 'hot' and skipped (reference timeWindowHours, declared "
+        "but unwired there; default 24)",
+    )
+    p.add_argument(
         "--fsck",
         action="store_true",
         help="check catalog <-> disk integrity (footer stats vs snapshot entries) and exit; "
@@ -267,7 +275,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             spark,
             args.data_dir,
             [h for h in args.hosts.split(",") if h],
-            config=CompactionConfig(),
+            config=CompactionConfig(time_window_hours=args.time_window_hours),
             dry_run=args.dry_run,
             time_col=args.time_col,
             parallelism=args.parallelism,

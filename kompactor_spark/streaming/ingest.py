@@ -77,58 +77,68 @@ class IngestJob:
         )
 
     def write_batch(self, df: DataFrame, batch_id: int) -> None:
-        """One WAL file per (date, hour) present in the batch."""
+        """One WAL file per (date, hour) present in the batch.
+
+        Single Spark job per micro-batch: dynamic ``partitionBy`` on the
+        hour bucket writes every hour's (sorted, zstd) file in one pass;
+        the driver then discovers the hours from the staged DIRECTORY
+        NAMES and takes row-count/min/max from the Parquet FOOTERS — no
+        ``collect()`` of data and no per-hour job loop (the previous
+        shape was 2·hours+1 jobs per batch and a driver round-trip)."""
         t = F.col(self.time_col)
         # subtract-modulo, not `/`: ns epochs exceed double's 2^53, and
         # the float path can misroute boundary rows into the wrong hour
-        with_bucket = df.withColumn("_hour_ns", t - t % NS_PER_HOUR)
-        buckets = [r["_hour_ns"] for r in with_bucket.select("_hour_ns").distinct().collect()]
+        with_bucket = df.withColumn("_hour_ns", (t - t % NS_PER_HOUR).cast("long"))
+        staging_root = os.path.join(
+            self.data_dir, self.host, f"_ingest_staging_{int(batch_id)}"
+        )
+        shutil.rmtree(staging_root, ignore_errors=True)
+        (
+            # repartition on the bucket → each hour lands wholly in one
+            # task → exactly one file per hour; the within-task sort
+            # keys (bucket, time) so every output file is time-sorted
+            with_bucket.repartition("_hour_ns")
+            .sortWithinPartitions("_hour_ns", self.time_col)
+            .write.partitionBy("_hour_ns")
+            .mode("overwrite")
+            .option("compression", "zstd")
+            .parquet(staging_root)
+        )
         wal = int(batch_id) + 1
         new_infos: list[ParquetFileInfo] = []
-        for hour_ns in sorted(buckets):
-            import datetime
+        try:
+            for part_dir in sorted(glob.glob(os.path.join(staging_root, "_hour_ns=*"))):
+                hour_ns = int(os.path.basename(part_dir).split("=", 1)[1])
+                import datetime
 
-            dt = datetime.datetime.fromtimestamp(hour_ns / 1e9, tz=datetime.timezone.utc)
-            rel = os.path.join(
-                self.host,
-                "dbs",
-                f"db-{self.db}",
-                f"table-{self.table}",
-                dt.strftime("%Y-%m-%d"),
-                f"{dt.hour:02d}-00",
-                f"{wal:010d}.parquet",
-            )
-            abs_path = os.path.join(self.data_dir, rel)
-            staging = abs_path + ".staging"
-            shutil.rmtree(staging, ignore_errors=True)
-            part = with_bucket.where(F.col("_hour_ns") == hour_ns).drop("_hour_ns")
-            (
-                part.coalesce(1)
-                .sortWithinPartitions(self.time_col)
-                .write.mode("overwrite")
-                .option("compression", "zstd")
-                .parquet(staging)
-            )
-            (written,) = glob.glob(os.path.join(staging, "part-*.parquet"))
-            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-            os.replace(written, abs_path)
-            shutil.rmtree(staging, ignore_errors=True)
-            stats = part.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(self.time_col).alias("mn"),
-                F.max(self.time_col).alias("mx"),
-            ).first()
-            new_infos.append(
-                ParquetFileInfo(
-                    id=0,  # assigned under the catalog update below
-                    path=rel,
-                    size_bytes=os.path.getsize(abs_path),
-                    row_count=int(stats["n"]),
-                    chunk_time=int(stats["mn"]),
-                    min_time=int(stats["mn"]),
-                    max_time=int(stats["mx"]),
+                dt = datetime.datetime.fromtimestamp(hour_ns / 1e9, tz=datetime.timezone.utc)
+                rel = os.path.join(
+                    self.host,
+                    "dbs",
+                    f"db-{self.db}",
+                    f"table-{self.table}",
+                    dt.strftime("%Y-%m-%d"),
+                    f"{dt.hour:02d}-00",
+                    f"{wal:010d}.parquet",
                 )
-            )
+                abs_path = os.path.join(self.data_dir, rel)
+                (written,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+                n_rows, mn, mx = self._footer_stats(written)
+                os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+                os.replace(written, abs_path)
+                new_infos.append(
+                    ParquetFileInfo(
+                        id=0,  # assigned under the catalog update below
+                        path=rel,
+                        size_bytes=os.path.getsize(abs_path),
+                        row_count=n_rows,
+                        chunk_time=mn,
+                        min_time=mn,
+                        max_time=mx,
+                    )
+                )
+        finally:
+            shutil.rmtree(staging_root, ignore_errors=True)
         if new_infos:
             self._update_catalog(new_infos)
             batch_max = max(i.max_time for i in new_infos)
@@ -137,6 +147,33 @@ class IngestJob:
             )
             if self.auto_compact:
                 self._compact_closed_hours(df.sparkSession)
+
+    def _footer_stats(self, parquet_path: str) -> tuple[int, int, int]:
+        """(row_count, min_time, max_time) from Parquet footer metadata —
+        a metadata read, never a data scan. Falls back to a single-file
+        column read only if a writer omitted column statistics."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(parquet_path)
+        md = pf.metadata
+        col_idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == self.time_col
+        )
+        mins: list[int] = []
+        maxs: list[int] = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                mins, maxs = [], []
+                break
+            mins.append(int(st.min))
+            maxs.append(int(st.max))
+        if mins:
+            return md.num_rows, min(mins), max(maxs)
+        col = pf.read(columns=[self.time_col]).column(self.time_col)
+        import pyarrow.compute as pc
+
+        return md.num_rows, int(pc.min(col).as_py()), int(pc.max(col).as_py())
 
     def _compact_closed_hours(self, spark) -> None:
         """Continuous compaction: merge every closed hour with >1 file.

@@ -409,3 +409,30 @@ def test_expire_snapshots_folds_history(spark, tmp_path):
         read_table(spark, root, FX.HOST, 0, 3, as_of=2)  # horizon moved
     # idempotent second call is a no-op
     assert expire_snapshots(root, FX.HOST) == {"merged": 0, "kept": 1}
+
+
+def test_cli_time_window_hours(spark, tmp_path, capsys):
+    """--time-window-hours reaches generation planning (reference D4:
+    timeWindowHours was declared but unwired in kompactor.ts:29,41)."""
+    from kompactor_spark.cli import main
+
+    root = str(tmp_path / "genwin")
+    FX.multi_hour(root)
+    run_job(spark, root)
+    snaps = [read_snapshot(p) for p in glob.glob(os.path.join(root, FX.HOST, "snapshots", "*.info.json"))]
+    max_t = max(f.max_time for s in snaps for _, _, f in s.all_files())
+    now = max_t + 3 * 3600 * FX.NS  # 3 h after the newest row
+
+    # default 24 h window: the day is still hot -> nothing compacts
+    rc = main([root, "--hosts", FX.HOST, "--generation", "--now-ns", str(now)], spark=spark)
+    assert rc == 0
+    assert "compacted 0/0 groups" in capsys.readouterr().out
+
+    # 2 h window: the same day is now cold -> generation merge runs
+    rc = main(
+        [root, "--hosts", FX.HOST, "--generation", "--now-ns", str(now),
+         "--time-window-hours", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "compacted 1/1 groups" in capsys.readouterr().out

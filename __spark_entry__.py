@@ -96,6 +96,7 @@ _PRIORITY = [
     "q20_part_promotion",
     "q22_sales_opportunity",
     "l2_minhash_lsh",
+    "l2_minhash_banded",
     "l2_simhash_pairs",
     "l3_lsh_topk",
     "l3_ivf_topk",

@@ -117,6 +117,109 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    rows_per_band: int = 2,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Hand-rolled MinHash band-bucket near-dup pairs — the explicit
+    100 TB dedup shape (vs the pyspark.ml wrapper in minhash_lsh_pairs).
+
+    Single pass, all JVM expressions, deterministic given ``seed``:
+
+    1. signatures: k universal-hash minima per doc —
+       ``sig_i = min over shingles of (a_i * xxhash64(sh) + b_i) mod P``
+       (P = 2^31-1; operands pre-reduced mod P so the multiply never
+       overflows a long under ANSI mode).
+    2. banding: k/r bands of r rows; band key = (band_idx, joined sig
+       slice). explode → one row per (doc, band).
+    3. bucket join with EXPLICIT skew control: buckets larger than
+       ``max_bucket_size`` (degenerate floods — boilerplate docs, empty
+       shingle sets) are dropped before the self-join, bounding any
+       bucket's pair blowup at max_bucket_size² instead of letting one
+       hot bucket produce billions of candidate rows.
+    4. exact verify: candidates' true shingle Jaccard via
+       array_intersect sizes — output precision is exact; banding only
+       bounds recall (P[candidate] = 1-(1-j^r)^(k/r): ≥0.99 at j=τ=0.5
+       with k=32, r=2).
+
+    Probability tuning and the band-bucket layout follow the standard
+    MinHash-LSH construction (Broder; MMDS ch.3).
+    """
+    P = 2147483647  # 2^31 - 1 (Mersenne prime)
+    rnd = __import__("random").Random(seed)
+    coeffs = [(rnd.randrange(1, P), rnd.randrange(0, P)) for _ in range(num_hashes)]
+    num_bands = num_hashes // rows_per_band
+
+    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    hs = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
+
+    def _perm(a, b):
+        # closure factory: PySpark reads lambda arity from the signature,
+        # so the coefficients must not appear as (defaulted) parameters
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(P))
+
+    sig_cols = [
+        F.array_min(F.transform(hs, _perm(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    signed = docs.select("id", "sh", *sig_cols)
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(f"s{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_sig"),
+            )
+            for bi in range(num_bands)
+        ]
+    )
+    exploded = signed.select("id", F.explode(bands).alias("band")).select(
+        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
+    )
+
+    hot = (
+        exploded.groupBy("band_idx", "band_sig")
+        .count()
+        .where(F.col("count") > max_bucket_size)
+        .select("band_idx", "band_sig")
+    )
+    cool = exploded.join(F.broadcast(hot), ["band_idx", "band_sig"], "left_anti")
+
+    a, b = cool.alias("a"), cool.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash per document, md5-derived, fully JVM-side.
 

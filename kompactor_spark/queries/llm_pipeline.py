@@ -86,6 +86,25 @@ def l2_minhash_lsh(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L2b2 — hand-rolled MinHash band-bucket near-dup: explicit banding +
+# bounded bucket size + exact-Jaccard verify (operators/dedup.py
+# minhash_band_pairs — the explicit 100 TB dedup shape). Deterministic
+# given the pinned seed, but banding recall < 1 by construction →
+# rows-only check + recall/precision bounds in tests/test_tolerance.py.
+# --------------------------------------------------------------------------
+@register("l2_minhash_banded")
+def l2_minhash_banded(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.minhash_band_pairs(
+            T("documents"), jaccard_threshold=0.12, num_hashes=32, rows_per_band=1
+        )
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2e — dedup clusters: connected components over near-dup pairs
 # (iterative min-label propagation; oracle = DuckDB recursive CTE)
 # --------------------------------------------------------------------------
@@ -947,28 +966,41 @@ def l4_bm25(spark, sf_dir):
     cols = [F.size(ts).cast("double").alias("dl")] + [
         _tf(t).alias(f"tf_{t}") for t in _BM25_TERMS
     ]
-    d = T("documents").select("doc_id", *cols)
-    g = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).cast("double").alias(f"df_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
-    norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
-    score = None
-    for t in _BM25_TERMS:
-        idf = F.log((F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1.0)
-        part = idf * (F.col(f"tf_{t}") * 2.2) / (F.col(f"tf_{t}") + norm)
-        score = part if score is None else score + part
-    return (
-        d.join(F.broadcast(g))
-        .where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
-        .select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
+    # Tokenize the text scan ONCE: persist the narrow per-doc projection
+    # (doc_id + 4 doubles — tiny next to the text it came from), take the
+    # 1-row corpus stats as driver scalars, and score straight off the
+    # cache — no second tokenize pass and no join. At 100 TB the cache is
+    # rows x ~40 B (spills to disk if needed); the stats collect is one
+    # aggregated row, not data.
+    d = T("documents").select("doc_id", *cols).persist()
+    try:
+        g = d.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+                .cast("double")
+                .alias(f"df_{t}")
+                for t in _BM25_TERMS
+            ],
+        ).first()
+        n, avgdl = F.lit(float(g["n"])), F.lit(float(g["avgdl"]))
+        norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+        score = None
+        for t in _BM25_TERMS:
+            df_t = F.lit(float(g[f"df_{t}"]))
+            idf = F.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+            part = idf * (F.col(f"tf_{t}") * 2.2) / (F.col(f"tf_{t}") + norm)
+            score = part if score is None else score + part
+        return (
+            d.where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+            .select("doc_id", F.round(score, 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(20)
+        )
+    except Exception:
+        d.unpersist()
+        raise
 
 
 # --------------------------------------------------------------------------

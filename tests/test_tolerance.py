@@ -35,6 +35,20 @@ def test_l2_minhash_lsh_recall(spark, Q):
     assert recall >= 0.8, f"minhash recall {recall:.2f} < 0.8 ({len(truth)} truth pairs)"
 
 
+def test_l2_minhash_banded_recall_precision(spark, Q):
+    """L2b2: the hand-rolled band-bucket MinHash is exact-verified, so
+    every emitted pair must appear in the exact-Jaccard truth with the
+    SAME jaccard value (precision 1.0); banding must recover >=90% of
+    truth pairs (1-(1-j)^32 >= 0.98 at j=tau=0.12; observed: 100%)."""
+    truth = {(r.id_a, r.id_b): r.jaccard for r in Q["l2_jaccard_pairs"](spark, SF).collect()}
+    got = {(r.id_a, r.id_b): r.jaccard for r in Q["l2_minhash_banded"](spark, SF).collect()}
+    assert truth, "fixture must contain near-dup pairs"
+    for pair, j in got.items():
+        assert pair in truth and truth[pair] == j, f"false positive {pair}"
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"banded minhash recall {recall:.2f} < 0.9 ({len(truth)} truth pairs)"
+
+
 def test_l3_lsh_topk_recall(spark, Q):
     """L3b: multi-table LSH top-10 recovers >=70% of the exact top-10
     (observed: 100% at sf0.01 with bits=8, tables=4, probe<=2)."""

@@ -1,0 +1,133 @@
+"""sf1 benchmark: engine vs DuckDB on the compute-heavy headline queries.
+
+VERDICT r01 #7: the sf0.1 ratios are dominated by Spark's ~0.2 s/job
+local-mode floor; this publishes one larger scale point where real work
+dominates. Data = deterministic 10x replication of the driver's sf0.1
+testdata (read-only) into benchdata/sf1:
+
+- lineitem/orders: keys shifted by rep*10M (join integrity preserved;
+  dims unchanged, so the star join fans out exactly 10x)
+- events: event_id shifted; ts shifted by rep*(range+1h) so event-time
+  DENSITY stays constant (interval-join output scales 10x, not 100x)
+- documents: doc_id shifted by rep*1M (corpus 10x)
+- dims (region..part, customer, supplier, embeddings): copied as-is
+
+Protocol mirrors BASELINE.md §2: DuckDB 4 threads in-memory, engine on
+local[$SPARK_GRAFT_CPUS]; 1 warm-up + median of 3, full action.
+Writes BENCH_SF1.json (one JSON line, BENCH format + per-engine pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1")
+REPS = 10
+QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
+           "l4_bm25", "l4_repeated_ngrams", "l4_token_freq"]
+RUNS = 3
+
+
+def generate() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+
+    def src(t):
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    copies = {
+        "lineitem": f"""
+            SELECT l_orderkey + rep*10000000 AS l_orderkey, l_partkey, l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')} CROSS JOIN range({REPS}) t(rep)""",
+        "orders": f"""
+            SELECT o_orderkey + rep*10000000 AS o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')} CROSS JOIN range({REPS}) t(rep)""",
+        "events": f"""
+            WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM {src('events')})
+            SELECT event_id + rep*10000000 AS event_id,
+                   ts + rep * (mx - mn + INTERVAL 1 HOUR) AS ts,
+                   user_id, event_type, value, props
+            FROM {src('events')} CROSS JOIN range({REPS}) t(rep) CROSS JOIN b""",
+        "documents": f"""
+            SELECT doc_id + rep*1000000 AS doc_id, text, lang, source, n_chars
+            FROM {src('documents')} CROSS JOIN range({REPS}) t(rep)""",
+    }
+    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+        copies[t] = f"SELECT * FROM {src(t)}"
+    for t, sql in copies.items():
+        out = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(out):
+            con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")
+            print(f"generated {t}", file=sys.stderr)
+    con.close()
+
+
+def median_time(fn) -> float:
+    fn()  # warm-up
+    return statistics.median([_timed(fn) for _ in range(RUNS)])
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    generate()
+
+    from kompactor_spark.queries import all_oracles, all_queries
+    from kompactor_spark.session import get_spark
+
+    spark = get_spark("bench-sf1")
+    qs, oracles = all_queries(), all_oracles()
+    tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+    results = {}
+    for name in QUERIES:
+        eng = median_time(lambda: qs[name](spark, DST).count())
+
+        con = duckdb.connect()
+        con.execute("SET threads=4")
+        for t in tables:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')")
+        duck = median_time(lambda: con.execute(oracles[name]).df())
+        con.close()
+
+        results[name] = {
+            "engine_sec": round(eng, 4),
+            "duckdb_sec": round(duck, 4),
+            "ratio": round(eng / duck, 2),
+        }
+        print(f"{name}: engine {eng:.3f}s duckdb {duck:.3f}s ratio {eng/duck:.2f}x",
+              file=sys.stderr)
+
+    line = {
+        "metric": "sf1_engine_vs_duckdb_median_sec",
+        "value": round(sum(r["engine_sec"] for r in results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": 1.0,
+        "protocol": "BASELINE.md §2: duckdb threads=4 in-memory; 1 warm-up + median of 3",
+    }
+    out_path = os.path.join(os.path.dirname(DST), "..", "BENCH_SF1.json")
+    with open(os.path.abspath(out_path), "w") as fh:
+        json.dump(line, fh, indent=1)
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

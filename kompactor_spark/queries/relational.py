@@ -381,7 +381,12 @@ def j9_star_join(spark, sf_dir):
     r, n, c, o, l = T("region"), T("nation"), T("customer"), T("orders"), T("lineitem")
     revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        # fact⋈fact (lineitem⋈orders) shuffles hash-partitioned on the
+        # key — the 100 TB discipline (broadcast only true dims). Also
+        # measured faster than broadcasting orders at sf1: the driver-side
+        # broadcast build serializes while SHUFFLE_HASH builds per-task
+        # maps in parallel and stays AQE-skew-splittable (BENCH_SF1).
+        l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -102,6 +102,7 @@ _PRIORITY = [
     "l3_ivf_topk",
     "l5_media_features",
     "l6_stratified_sample",
+    "l6_train_val_split",
     "a9b_approx_percentiles",
     "a17_hll_sketch_merge",
     "a18_kll_quantile_merge",

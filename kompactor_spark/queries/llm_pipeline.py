@@ -533,6 +533,39 @@ def l6_stratified_sample(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L6h — deterministic train/val/test split: assignment by a content-free
+# hash of the row KEY (md5 hex compares identically in Spark and DuckDB,
+# so the split is portable, reproducible, retry- and partitioning-
+# independent — rand() is none of those). Thresholds are hex prefixes:
+# 'f8' ≈ 96.9 % train, 'fc' ≈ +1.6 % val, rest ≈ 1.6 % test. The same
+# shape scales to any ratio (compare more hex digits for finer grain);
+# one narrow projection, no shuffle before the (bench-only) sort.
+# --------------------------------------------------------------------------
+@register(
+    "l6_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'f8' THEN 'train'
+                WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'fc' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def l6_train_val_split(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    return (
+        T("documents")
+        .select(
+            "doc_id",
+            F.when(h < "f8", "train").when(h < "fc", "val").otherwise("test").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2f — edit-distance near-dup pairs: levenshtein over shingle-blocked
 # candidates (never all-pairs; the candidate set comes from the same
 # inverted index as L2, then the expensive metric runs on candidates

@@ -41,3 +41,8 @@ def test_star_join_row_total(spark, Q):
     r = Q["j9_star_join"](spark, SF)
     rows = r.collect()
     assert sum(x.n_items for x in rows) == 600_000  # every lineitem accounted for
+
+
+def test_minhash_banded_at_scale(spark, Q):
+    n = Q["l2_minhash_banded"](spark, SF).count()
+    assert 0 < n < 100_000

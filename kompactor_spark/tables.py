@@ -67,6 +67,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_time(df)
+    elif name in ("orders", "lineitem"):
+        df = _normalize_date_cols(df)
+    return df
+
+
+def _normalize_date_cols(df: DataFrame) -> DataFrame:
+    """Pin o_orderdate/l_shipdate to timestamp_ntz. The driver's parquet
+    has already changed physical time encodings once between rounds
+    (events.ts nanos→micros); if these ship as DATE some round, widen
+    them so every query keeps seeing the pinned schema."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DateType
+
+    for c in ("o_orderdate", "l_shipdate"):
+        if c in df.columns and isinstance(df.schema[c].dataType, DateType):
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     return df
 
 

@@ -109,6 +109,7 @@ _PRIORITY = [
     "a19_theta_set_sketch",
     "a19b_theta_difference",
     "x15_sketch_rollup",
+    "x16_m4_downsample",
 ]
 
 

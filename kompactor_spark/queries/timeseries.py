@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kompactor_spark.queries import register
 from kompactor_spark.tables import loader
+from kompactor_spark.timeutil import ns_bucket
 
 NS_PER_HOUR = 3_600_000_000_000
 
@@ -402,4 +403,48 @@ def w9_event_transitions(spark, sf_dir):
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("prev_type", "next_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X16 — M4 downsampling: per time bucket keep {min, max, first, last}
+# of the series (+ their timestamps) — the canonical lossless-plot
+# downsample every time-series store ships (InfluxDB/Grafana "M4").
+# One groupBy with arg_min/arg_max-style aggregates: a single shuffle,
+# map-side partial agg, output = 4 points per bucket regardless of
+# input density. events.ts is unique at every sf (asserted by the
+# oracle equivalence itself: arg_min over a duplicated ts would be
+# nondeterministic on both engines).
+# --------------------------------------------------------------------------
+@register(
+    "x16_m4_downsample",
+    oracle=f"""
+    SELECT (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS bucket_ns,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS v_min,
+           round(max(value), 6) AS v_max,
+           round(arg_min(value, ts), 6) AS v_first,
+           round(arg_max(value, ts), 6) AS v_last,
+           epoch_ns(min(ts)) AS t_first,
+           epoch_ns(max(ts)) AS t_last
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket_ns
+    """,
+)
+def x16_m4_downsample(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        T("events")
+        .groupBy(ns_bucket(F.col("ts"), NS_PER_HOUR).alias("bucket_ns"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(F.min_by("value", "ts"), 6).alias("v_first"),
+            F.round(F.max_by("value", "ts"), 6).alias("v_last"),
+            (F.min("ts") - F.min("ts") % 1000).alias("t_first"),
+            (F.max("ts") - F.max("ts") % 1000).alias("t_last"),
+        )
+        .orderBy("bucket_ns")
     )

@@ -103,6 +103,7 @@ _PRIORITY = [
     "l5_media_features",
     "l6_stratified_sample",
     "l6_train_val_split",
+    "l6_weighted_mix",
     "a9b_approx_percentiles",
     "a17_hll_sketch_merge",
     "a18_kll_quantile_merge",

@@ -566,6 +566,64 @@ def l6_train_val_split(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L6i — weighted dataset mixing: keep a deterministic subset whose
+# per-source proportions hit target weights (even-numbered sources 3:1
+# over odd here). The scale T = min(count_s / weight_s) saturates the
+# scarcest source; each source keeps its floor(weight*T) docs chosen by
+# md5 hash order — reproducible, partitioning-independent, and
+# hash-checkable exactly (identical md5 + identical floor on both
+# engines). Shape: tiny per-source keep-table broadcast against one
+# ranked scan — no data-sized driver traffic at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "l6_weighted_mix",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 3.0 ELSE 1.0 END AS wt,
+             CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM documents GROUP BY source),
+    t AS (SELECT min(cnt / wt) AS t FROM w),
+    keep AS (SELECT source, CAST(floor(wt * t) AS BIGINT) AS k FROM w, t),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN keep USING (source)
+    WHERE r.rn <= k
+    ORDER BY doc_id
+    """,
+)
+def l6_weighted_mix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    wt = F.when(F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3.0)).otherwise(
+        F.lit(1.0)
+    )
+    w = docs.groupBy("source").agg(
+        F.first(wt).alias("wt"), F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    t = w.agg(F.min(F.col("cnt") / F.col("wt")).alias("t"))
+    keep = w.crossJoin(F.broadcast(t)).select(
+        "source", F.floor(F.col("wt") * F.col("t")).cast("bigint").alias("k")
+    )
+    h = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy(h, "doc_id"))
+    return (
+        docs.select("doc_id", "source", rn.alias("rn"))
+        .join(F.broadcast(keep), "source")
+        .where(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2f — edit-distance near-dup pairs: levenshtein over shingle-blocked
 # candidates (never all-pairs; the candidate set comes from the same
 # inverted index as L2, then the expensive metric runs on candidates

@@ -98,6 +98,7 @@ _PRIORITY = [
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",
+    "l3_batch_topk",
     "l3_lsh_topk",
     "l3_ivf_topk",
     "l5_media_features",

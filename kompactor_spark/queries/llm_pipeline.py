@@ -211,6 +211,65 @@ def l3_cosine_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L3d — BATCH top-k: nearest neighbors for a SET of query vectors in one
+# pass (the real pipeline shape — dedup/retrieval never queries one
+# vector at a time). Small query side broadcast against the corpus scan,
+# JVM zip_with/aggregate dot products, per-query window top-k. At 100 TB
+# the corpus is scanned ONCE for the whole query batch; swap the
+# broadcast cross join for the IVF cell-probe join (l3_ivf_topk) when
+# the query batch is itself large.
+# --------------------------------------------------------------------------
+@register(
+    "l3_batch_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM sims)
+    SELECT query_id, vec_id, round(cos_raw, 6) AS cosine
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, cosine DESC, vec_id
+    """,
+)
+def l3_batch_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", (dot / (nrm("v") * nrm("qv"))).alias("cos_raw"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    )
+    return (
+        sims.withColumn("rn", rn)
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", F.round("cos_raw", 6).alias("cosine"))
+        .orderBy("query_id", F.col("cosine").desc(), "vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # L3b — LSH-bucketed approximate top-k (scale path; recall vs brute
 # force asserted in tests)
 # --------------------------------------------------------------------------

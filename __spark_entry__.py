@@ -112,6 +112,7 @@ _PRIORITY = [
     "a19b_theta_difference",
     "x15_sketch_rollup",
     "x16_m4_downsample",
+    "x17_gap_detect",
 ]
 
 

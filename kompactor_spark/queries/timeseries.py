@@ -448,3 +448,48 @@ def x16_m4_downsample(spark, sf_dir):
         )
         .orderBy("bucket_ns")
     )
+
+
+# --------------------------------------------------------------------------
+# X17 — gap detection: intervals longer than a threshold between
+# consecutive events per user — the sensor-downtime / dead-feed monitor
+# (complement of X7's gap-fill: X7 materializes empty buckets, X17
+# reports the outages themselves). One lag window = one shuffle on
+# user_id; output is only the offending intervals.
+# --------------------------------------------------------------------------
+_GAP_NS = 2 * NS_PER_HOUR
+
+
+@register(
+    "x17_gap_detect",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns,
+             lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+      FROM events)
+    SELECT user_id, prev_ns AS gap_start_ns, ts_ns AS gap_end_ns,
+           ts_ns - prev_ns AS gap_ns
+    FROM seq
+    WHERE prev_ns IS NOT NULL AND ts_ns - prev_ns > {_GAP_NS}
+    ORDER BY user_id, gap_start_ns
+    """,
+)
+def x17_gap_detect(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: c - c % 1000  # noqa: E731  (µs-floor, ns policy)
+    seq = T("events").select(
+        "user_id",
+        us(F.col("ts")).alias("ts_ns"),
+        us(F.lag("ts").over(w)).alias("prev_ns"),
+    )
+    return (
+        seq.where(F.col("prev_ns").isNotNull() & (F.col("ts_ns") - F.col("prev_ns") > _GAP_NS))
+        .select(
+            "user_id",
+            F.col("prev_ns").alias("gap_start_ns"),
+            F.col("ts_ns").alias("gap_end_ns"),
+            (F.col("ts_ns") - F.col("prev_ns")).alias("gap_ns"),
+        )
+        .orderBy("user_id", "gap_start_ns")
+    )

@@ -6,6 +6,14 @@ Prints ONE JSON line:
 
 Protocol mirrors BASELINE.md §2: warm session (startup excluded), one
 warm-up run per query, then median of 3 timed action-to-completion runs.
+The timed action is a FULL materialization to pandas (``toPandas()``),
+matching the oracle baseline's "full result fetch" — a bare ``count()``
+lets Catalyst drop final sorts and unused projections, biasing the
+comparison (ADVICE r3).
+
+Each query is wrapped in try/except: one failing query records an error
+row but can never zero out the round's bench artifact (BENCH_r02 died
+mid-run and published nothing — never again).
 """
 
 from __future__ import annotations
@@ -15,6 +23,7 @@ import os
 import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -46,8 +55,8 @@ RUNS = 3
 def _time_query(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
-    n = df.count()  # full action; avoids driver-side fetch of wide results
-    assert n >= 0
+    pdf = df.toPandas()  # full materialization — same work as oracle .df()
+    assert len(pdf) >= 0
     return time.perf_counter() - t0
 
 
@@ -65,6 +74,30 @@ def _time_compact(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _time_compact_multifile(spark, sf_dir: str) -> float:
+    """S6 counterpart (scale-safe shape): same input, range-partitioned
+    multi-file sorted sink — no single-writer bottleneck, published next
+    to k_compact_events so the single-file number has its scale-correct
+    twin on record (VERDICT r3 #6)."""
+    from kompactor_spark.sources import clear_scratch, write_range_sorted
+    from kompactor_spark.tables import load_table
+
+    out = clear_scratch("bench_compact_events_multifile")
+    ev = load_table(spark, sf_dir, "events")
+    t0 = time.perf_counter()
+    write_range_sorted(ev, out, sort_col="ts", num_files=8)
+    return time.perf_counter() - t0
+
+
+def _bench_one(label, thunk, per_query, errors):
+    try:
+        thunk()  # warm-up (parquet footer cache, codegen)
+        per_query[label] = round(statistics.median(thunk() for _ in range(RUNS)), 4)
+    except Exception:
+        errors[label] = traceback.format_exc().splitlines()[-1]
+        print(f"bench: {label} FAILED: {errors[label]}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -73,28 +106,30 @@ def main() -> None:
     names = [n for n in HEADLINE if n in regs]
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = regs[name]
-        _time_query(spark, fn, sf_dir)  # warm-up (parquet footer cache, codegen)
-        per_query[name] = round(statistics.median(_time_query(spark, fn, sf_dir) for _ in range(RUNS)), 4)
+        _bench_one(name, lambda fn=fn: _time_query(spark, fn, sf_dir), per_query, errors)
 
-    _time_compact(spark, sf_dir)  # warm-up
-    per_query["k_compact_events"] = round(
-        statistics.median(_time_compact(spark, sf_dir) for _ in range(RUNS)), 4
+    _bench_one("k_compact_events", lambda: _time_compact(spark, sf_dir), per_query, errors)
+    _bench_one(
+        "k_compact_events_multifile",
+        lambda: _time_compact_multifile(spark, sf_dir),
+        per_query,
+        errors,
     )
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_median_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_suite_total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line))
     spark.stop()
 
 

@@ -193,7 +193,7 @@ def l2_embedding_neardup(spark, sf_dir):
     "l3_cosine_topk",
     oracle="""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS cosine
+    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) + 0.0 AS cosine
     FROM embeddings
     WHERE vec_id <> 0
     ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, vec_id ASC
@@ -234,7 +234,7 @@ def l3_cosine_topk(spark, sf_dir):
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos_raw DESC, vec_id) AS rn
       FROM sims)
-    SELECT query_id, vec_id, round(cos_raw, 6) AS cosine
+    SELECT query_id, vec_id, round(cos_raw, 6) + 0.0 AS cosine
     FROM ranked WHERE rn <= 5
     ORDER BY query_id, cosine DESC, vec_id
     """,
@@ -737,7 +737,7 @@ def l2_edit_distance_pairs(spark, sf_dir):
            LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
                            generate_subscripts(embedding, 1) AS idx) u
     )
-    SELECT label, dim, round(avg(val), 6) AS centroid_val,
+    SELECT label, dim, round(avg(val), 6) + 0.0 AS centroid_val,
            CAST(COUNT(*) AS BIGINT) AS n_vecs
     FROM flat
     GROUP BY label, dim
@@ -1116,41 +1116,40 @@ def l4_bm25(spark, sf_dir):
     cols = [F.size(ts).cast("double").alias("dl")] + [
         _tf(t).alias(f"tf_{t}") for t in _BM25_TERMS
     ]
-    # Tokenize the text scan ONCE: persist the narrow per-doc projection
-    # (doc_id + 4 doubles — tiny next to the text it came from), take the
-    # 1-row corpus stats as driver scalars, and score straight off the
-    # cache — no second tokenize pass and no join. At 100 TB the cache is
-    # rows x ~40 B (spills to disk if needed); the stats collect is one
-    # aggregated row, not data.
-    d = T("documents").select("doc_id", *cols).persist()
-    try:
-        g = d.agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            F.avg("dl").alias("avgdl"),
-            *[
-                F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
-                .cast("double")
-                .alias(f"df_{t}")
-                for t in _BM25_TERMS
-            ],
-        ).first()
-        n, avgdl = F.lit(float(g["n"])), F.lit(float(g["avgdl"]))
-        norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
-        score = None
-        for t in _BM25_TERMS:
-            df_t = F.lit(float(g[f"df_{t}"]))
-            idf = F.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
-            part = idf * (F.col(f"tf_{t}") * 2.2) / (F.col(f"tf_{t}") + norm)
-            score = part if score is None else score + part
-        return (
-            d.where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
-            .select("doc_id", F.round(score, 6).alias("bm25"))
-            .orderBy(F.col("bm25").desc(), "doc_id")
-            .limit(20)
-        )
-    except Exception:
-        d.unpersist()
-        raise
+    # Tokenize the text scan ONCE: eagerly localCheckpoint the narrow
+    # per-doc projection (doc_id + 4 doubles — tiny next to the text it
+    # came from), take the 1-row corpus stats as driver scalars, and
+    # score straight off the checkpoint — no second tokenize pass and no
+    # join. Unlike persist(), checkpoint blocks are released by the
+    # ContextCleaner once the DataFrame is garbage-collected, so a
+    # 162-query session doesn't accumulate pinned storage (ADVICE r3).
+    # At 100 TB the checkpoint is rows x ~40 B (spills to disk if
+    # needed); the stats collect is one aggregated row, not data.
+    d = T("documents").select("doc_id", *cols).localCheckpoint(eager=True)
+    g = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).first()
+    n, avgdl = F.lit(float(g["n"])), F.lit(float(g["avgdl"]))
+    norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
+    score = None
+    for t in _BM25_TERMS:
+        df_t = F.lit(float(g[f"df_{t}"]))
+        idf = F.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        part = idf * (F.col(f"tf_{t}") * 2.2) / (F.col(f"tf_{t}") + norm)
+        score = part if score is None else score + part
+    return (
+        d.where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
 
 
 # --------------------------------------------------------------------------

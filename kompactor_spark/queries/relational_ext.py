@@ -27,8 +27,8 @@ def dec(col, scale: int = 2, prec: int = 18) -> F.Column:
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(var_samp(l_quantity), 6) AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS cov_qty_disc,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -321,7 +321,7 @@ def m3_profile_orders(spark, sf_dir):
 @register(
     "p4_unpivot",
     oracle="""
-    SELECT c_custkey, metric, round(val, 6) AS val
+    SELECT c_custkey, metric, round(val, 6) + 0.0 AS val
     FROM (
       SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
       UNION ALL

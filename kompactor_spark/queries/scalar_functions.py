@@ -223,12 +223,12 @@ def f4_conditionals(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS first_val,
            array_to_string(
              list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 4),
                             x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)),
              ',') AS head4,
-           round(list_sort(CAST(embedding AS DOUBLE[]))[1], 6) AS min_val
+           round(list_sort(CAST(embedding AS DOUBLE[]))[1], 6) + 0.0 AS min_val
     FROM embeddings
     ORDER BY vec_id
     """,
@@ -267,7 +267,7 @@ def f5_array_funcs(spark, sf_dir):
     SELECT vec_id,
            unnest(generate_series(1, 3)) AS pos,
            unnest(list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 3),
-                                 x -> round(x, 6))) AS val
+                                 x -> round(x, 6) + 0.0)) AS val
     FROM embeddings
     WHERE vec_id < 100
     ORDER BY vec_id, pos

@@ -141,7 +141,7 @@ def z3_shuffle_hash_join(spark, sf_dir):
     SELECT event_type, n,
            ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_value,
            ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
-                 / (n - 1), 6) AS var_value
+                 / (n - 1), 6) + 0.0 AS var_value
     FROM sums
     ORDER BY event_type
     """,

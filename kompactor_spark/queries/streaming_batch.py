@@ -124,18 +124,24 @@ def x2_sliding_window(spark, sf_dir):
 )
 def x3_session_window(spark, sf_dir):
     T = loader(sf_dir, spark)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-    marked = T("events").select(
+    # µs-floor FIRST (the oracle only ever sees µs-truncated timestamps;
+    # raw-ns ordering/gap deltas would diverge under a TIMESTAMP(NANOS)
+    # encoding round — ADVICE r3 ordering-sensitivity class)
+    ev = T("events").select(
+        "user_id", (F.col("ts") - F.col("ts") % 1000).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(Window.unboundedPreceding, 0)
+    marked = ev.select(
         "user_id",
-        "ts",
-        F.when(F.col("ts") - F.lag("ts").over(w) > _GAP, 1).otherwise(0).alias("new_session"),
+        "ts_us",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > _GAP, 1).otherwise(0).alias("new_session"),
     )
     sessions = marked.withColumn("session_id", F.sum("new_session").over(w_run))
     return (
         sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
         .agg(
-            (F.min("ts") - F.min("ts") % 1000).alias("session_start_ns"),
+            F.min("ts_us").alias("session_start_ns"),
             F.count("*").cast("bigint").alias("n_events"),
         )
         .orderBy("user_id", "session_id")

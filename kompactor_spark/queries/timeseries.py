@@ -219,8 +219,10 @@ def x10_retention_cohorts(spark, sf_dir):
       SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value
       FROM events WHERE event_type = 'purchase')
     SELECT user_id, event_id, ts_us,
+           -- "+ 0.0" folds IEEE -0.0 (DuckDB round() keeps the sign bit;
+           -- Spark's BigDecimal round cannot) into +0.0 on both engines
            round((value - lag(value) OVER w)
-                 / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0), 6) AS rate_per_s
+                 / (CAST(ts_us - lag(ts_us) OVER w AS DOUBLE) / 1000000.0), 6) + 0.0 AS rate_per_s
     FROM s
     WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ORDER BY user_id, ts_us, event_id
@@ -245,7 +247,10 @@ def x11_counter_rate(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     dt = (F.col("ts_us") - F.lag("ts_us").over(w)).cast("double") / F.lit(1_000_000.0)
     return (
-        s.withColumn("rate_per_s", F.round((F.col("value") - F.lag("value").over(w)) / dt, 6))
+        s.withColumn(
+            "rate_per_s",
+            F.round((F.col("value") - F.lag("value").over(w)) / dt, 6) + F.lit(0.0),
+        )
         .select("user_id", "event_id", "ts_us", "rate_per_s")
         .orderBy("user_id", "ts_us", "event_id")
     )
@@ -395,7 +400,9 @@ def w9_event_transitions(spark, sf_dir):
     from pyspark.sql import Window
 
     T = loader(sf_dir, spark)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # µs-floored ordering key — matches the oracle's µs-truncated ts
+    # (ADVICE r3 ordering-sensitivity class)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts") - F.col("ts") % 1000, "event_id")
     return (
         T("events")
         .select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
@@ -434,17 +441,23 @@ def w9_event_transitions(spark, sf_dir):
 )
 def x16_m4_downsample(spark, sf_dir):
     T = loader(sf_dir, spark)
+    # min_by/max_by order by the µs-FLOORED ts: the DuckDB oracle only
+    # ever sees µs-truncated timestamps, so if a round ships the
+    # TIMESTAMP(NANOS) encoding again (it has — round 1), ordering by
+    # raw ns here would diverge for events inside one µs (ADVICE r3).
+    ts_us = (F.col("ts") - F.col("ts") % 1000).alias("ts_us")
     return (
         T("events")
+        .withColumn("ts_us", ts_us)
         .groupBy(ns_bucket(F.col("ts"), NS_PER_HOUR).alias("bucket_ns"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.min("value"), 6).alias("v_min"),
             F.round(F.max("value"), 6).alias("v_max"),
-            F.round(F.min_by("value", "ts"), 6).alias("v_first"),
-            F.round(F.max_by("value", "ts"), 6).alias("v_last"),
-            (F.min("ts") - F.min("ts") % 1000).alias("t_first"),
-            (F.max("ts") - F.max("ts") % 1000).alias("t_last"),
+            F.round(F.min_by("value", "ts_us"), 6).alias("v_first"),
+            F.round(F.max_by("value", "ts_us"), 6).alias("v_last"),
+            F.min("ts_us").alias("t_first"),
+            F.max("ts_us").alias("t_last"),
         )
         .orderBy("bucket_ns")
     )
@@ -476,8 +489,11 @@ _GAP_NS = 2 * NS_PER_HOUR
 )
 def x17_gap_detect(spark, sf_dir):
     T = loader(sf_dir, spark)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = lambda c: c - c % 1000  # noqa: E731  (µs-floor, ns policy)
+    # window orders by the µs-floored ts — the key the oracle actually
+    # sorts on (DuckDB reads µs-truncated timestamps); raw-ns ordering
+    # would mispair lag() under a TIMESTAMP(NANOS) round (ADVICE r3)
+    w = Window.partitionBy("user_id").orderBy(us(F.col("ts")), "event_id")
     seq = T("events").select(
         "user_id",
         us(F.col("ts")).alias("ts_ns"),

@@ -102,7 +102,9 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     sd = x.std(ddof=1)
     z = (x - mu) / sd if sd > 0 else x * 0.0
     return pd.DataFrame(
-        {"c_custkey": pdf["c_custkey"], "c_mktsegment": pdf["c_mktsegment"], "zscore": z.round(6)}
+        # + 0.0 folds numpy's signed zero (round(-1e-9) → -0.0) to +0.0,
+        # matching the normalized oracle
+        {"c_custkey": pdf["c_custkey"], "c_mktsegment": pdf["c_mktsegment"], "zscore": z.round(6) + 0.0}
     )
 
 
@@ -111,7 +113,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment,
            round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
-                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS zscore
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) + 0.0 AS zscore
     FROM customer
     ORDER BY c_custkey
     """,

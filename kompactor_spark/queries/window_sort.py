@@ -222,7 +222,7 @@ def o2_topk(spark, sf_dir):
            round(cume_dist() OVER w, 6) AS cdist,
            round(CAST(nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
                     ORDER BY s_acctbal DESC, s_suppkey ASC
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 6) AS second_bal
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE), 6) + 0.0 AS second_bal
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)
     ORDER BY s_suppkey
@@ -259,8 +259,8 @@ def w6_distribution_funcs(spark, sf_dir):
       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name, n.n_regionkey)
     SELECT n_name,
-           round(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER () AS DOUBLE), 6) AS share_total,
-           round(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE), 6) AS share_region
+           round(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER () AS DOUBLE), 6) + 0.0 AS share_total,
+           round(CAST(bal AS DOUBLE) / CAST(SUM(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE), 6) + 0.0 AS share_region
     FROM nat
     ORDER BY n_name
     """,

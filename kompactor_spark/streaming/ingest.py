@@ -107,7 +107,22 @@ class IngestJob:
         wal = int(batch_id) + 1
         new_infos: list[ParquetFileInfo] = []
         try:
-            for part_dir in sorted(glob.glob(os.path.join(staging_root, "_hour_ns=*"))):
+            hour_dirs = sorted(glob.glob(os.path.join(staging_root, "_hour_ns=*")))
+            # Validate EVERY hour before moving ANY file: on a foreign
+            # session (spark.sql.files.maxRecordsPerFile set, or leftover
+            # files from task retries) an hour can stage >1 part file —
+            # failing mid-loop would leave a partially applied batch.
+            staged: dict[str, str] = {}
+            for part_dir in hour_dirs:
+                parts = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+                if len(parts) != 1:
+                    raise RuntimeError(
+                        f"ingest staging: expected exactly 1 part file in {part_dir}, "
+                        f"found {len(parts)} — check spark.sql.files.maxRecordsPerFile "
+                        "or leftover task-retry files; no staged hour was applied"
+                    )
+                staged[part_dir] = parts[0]
+            for part_dir in hour_dirs:
                 hour_ns = int(os.path.basename(part_dir).split("=", 1)[1])
                 import datetime
 
@@ -122,7 +137,7 @@ class IngestJob:
                     f"{wal:010d}.parquet",
                 )
                 abs_path = os.path.join(self.data_dir, rel)
-                (written,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+                written = staged[part_dir]
                 n_rows, mn, mx = self._footer_stats(written)
                 os.makedirs(os.path.dirname(abs_path), exist_ok=True)
                 os.replace(written, abs_path)

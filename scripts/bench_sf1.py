@@ -97,15 +97,24 @@ def main() -> None:
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
     results = {}
+    errors = {}
     for name in QUERIES:
-        eng = median_time(lambda: qs[name](spark, DST).count())
+        # Full materialization to pandas on BOTH engines (ADVICE r3:
+        # count() lets Catalyst drop final sorts / unused projections,
+        # so the two sides weren't doing equivalent work).
+        try:
+            eng = median_time(lambda: len(qs[name](spark, DST).toPandas()))
 
-        con = duckdb.connect()
-        con.execute("SET threads=4")
-        for t in tables:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')")
-        duck = median_time(lambda: con.execute(oracles[name]).df())
-        con.close()
+            con = duckdb.connect()
+            con.execute("SET threads=4")
+            for t in tables:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')")
+            duck = median_time(lambda: len(con.execute(oracles[name]).df()))
+            con.close()
+        except Exception as exc:  # one bad query must not zero the artifact
+            errors[name] = repr(exc)
+            print(f"{name}: FAILED {exc!r}", file=sys.stderr)
+            continue
 
         results[name] = {
             "engine_sec": round(eng, 4),
@@ -121,8 +130,10 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": 1.0,
-        "protocol": "BASELINE.md §2: duckdb threads=4 in-memory; 1 warm-up + median of 3",
+        "protocol": "BASELINE.md §2: duckdb threads=4 in-memory; 1 warm-up + median of 3; full pandas materialization on both engines",
     }
+    if errors:
+        line["errors"] = errors
     out_path = os.path.join(os.path.dirname(DST), "..", "BENCH_SF1.json")
     with open(os.path.abspath(out_path), "w") as fh:
         json.dump(line, fh, indent=1)

@@ -38,17 +38,20 @@ def canon_df(pdf):
 def cell(v):
     import datetime
     import decimal
+    import struct
 
     import numpy as np
 
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, (np.floating, float)):
-        return float(v)
+        # byte-level: the driver's value hash is bit-sensitive, so -0.0
+        # vs +0.0 (or any other bit-level drift) must fail here too
+        return struct.pack("<d", float(v)).hex()
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return int(v)
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        return struct.pack("<d", float(v)).hex()
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):

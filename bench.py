@@ -126,6 +126,11 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        # r4 protocol change (ADVICE r3): full toPandas materialization is
+        # timed, not count() — count() let Catalyst skip aggregate values
+        # and final sorts, understating engine times ~2x vs the oracle's
+        # full-fetch baseline. r4+ totals are NOT comparable to r1-r3.
+        "protocol": "full pandas materialization (BASELINE.md §3); not comparable to count()-based BENCH_r01-r03",
     }
     if errors:
         line["errors"] = errors

@@ -112,6 +112,9 @@ _PRIORITY = [
     "j13_lateral_topn",
     "f10_bitwise",
     "l5_multimodal_roundtrip",
+    # new round-4 oracle-backed ops (grade in a future window rotation)
+    "l4_surprisal",
+    "l6_incremental_dedup",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

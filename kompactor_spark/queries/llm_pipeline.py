@@ -1332,3 +1332,87 @@ def a19b_theta_difference(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_signup_only"))
     )
     return est.join(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# L4j — corpus-LM surprisal score (new round 4): per-document mean
+# negative log-likelihood under the corpus's own unigram language model
+# — the classic LM-based quality filter (low surprisal = repetitive
+# boilerplate, high = noise/gibberish; both tails get cut in training-
+# data curation). Two shuffles at any scale: one map-combined token
+# count (the vocabulary), one per-doc aggregate; the vocabulary joins
+# back BROADCAST (vocab is millions of rows when the corpus is 100 TB —
+# KBs per executor), and the corpus total rides along as a broadcast
+# 1-row aggregate, never a driver collect.
+# --------------------------------------------------------------------------
+@register(
+    "l4_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tf AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM tf)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c / total)), 6) + 0.0 AS surprisal
+    FROM tok JOIN tf USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def l4_surprisal(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    tok = T("documents").select("doc_id", F.explode(X.tokens("text")).alias("t"))
+    tf = tok.groupBy("t").agg(F.count("*").cast("double").alias("c"))
+    tot = tf.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        tok.join(F.broadcast(tf), "t")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            (F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6) + F.lit(0.0)).alias(
+                "surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L6k — incremental dedup (new round 4): keep only the NEW-batch
+# documents whose content hash is absent from the prior corpus — the
+# production ingestion pattern (every crawl snapshot dedups against
+# everything already accepted). The anti-join keys on md5(text), a
+# fixed-width hash, so at 100 TB the shuffle carries 16-byte keys
+# instead of document bodies; Spark can further turn the anti-join's
+# build side into a bloom filter under AQE.
+# --------------------------------------------------------------------------
+_INCR_BATCH = ("src0", "src1")
+
+
+@register(
+    "l6_incremental_dedup",
+    oracle=f"""
+    SELECT b.doc_id, b.source
+    FROM documents b
+    WHERE b.source IN {_INCR_BATCH!r}
+      AND NOT EXISTS (
+        SELECT 1 FROM documents p
+        WHERE p.source NOT IN {_INCR_BATCH!r}
+          AND md5(p.text) = md5(b.text))
+    ORDER BY b.doc_id
+    """,
+)
+def l6_incremental_dedup(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    batch = docs.where(F.col("source").isin(*_INCR_BATCH)).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    prior = docs.where(~F.col("source").isin(*_INCR_BATCH)).select(F.md5("text").alias("h"))
+    return (
+        batch.join(prior, "h", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

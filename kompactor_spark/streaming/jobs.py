@@ -81,6 +81,42 @@ def stateful_dedup(events: DataFrame, watermark: str = "30 minutes") -> DataFram
     return e.dropDuplicates(["event_id"])
 
 
+def m4_downsample(events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """X16-stream: continuous M4 downsampling — per event-time bucket keep
+    {count, min, max, first, last} of the series plus the first/last
+    timestamps, maintained incrementally across micro-batches (the
+    continuous-aggregate form of the batch ``x16_m4_downsample``; every
+    aggregate is a mergeable declarative aggregate, so the streaming
+    state is 4 scalars + 2 timestamps per open bucket regardless of
+    event density). Ordering keys are µs-floored like the batch twin."""
+    e = _with_event_time(events)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+    e = e.withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
+    return (
+        e.groupBy(F.window("event_time", width).alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", "ts_us").alias("v_first"),
+            F.max_by("value", "ts_us").alias("v_last"),
+            F.min("ts_us").alias("t_first"),
+            F.max("ts_us").alias("t_last"),
+        )
+        .select(
+            _start_ns(F.col("w")).alias("bucket_ns"),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+            "t_first",
+            "t_last",
+        )
+    )
+
+
 USER_STATS_SCHEMA = "user_id long, n_events long, total_value double, max_ts long"
 _USER_STATE_SCHEMA = "n long, total double, mx long"
 

@@ -157,6 +157,21 @@ def test_x4_watermark_drops_late_rows(spark, tmp_path):
     assert sum(dropped_counts) >= 1, f"expected a watermark drop, got {dropped_counts}"
 
 
+def test_x16_stream_m4_incremental_matches_batch(spark, src, tmp_path):
+    """X16-stream: the continuous M4 downsample must converge to the
+    one-shot batch result after incremental micro-batches (min_by/max_by
+    state merged across batches)."""
+    streamed = _run_stream(spark, src, J.m4_downsample, "m4", str(tmp_path))
+    batch = J.m4_downsample(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*")))
+    cols = ["bucket_ns", "n", "v_min", "v_max", "v_first", "v_last", "t_first", "t_last"]
+    assert _canon(streamed, cols) == _canon(batch, cols)
+    # per-bucket first/last must be the time-ordered endpoints
+    row = {r.bucket_ns: r for r in streamed.collect()}
+    first_bucket = row[BASE - BASE % (3600 * NS)]
+    assert first_bucket.n == 5
+    assert first_bucket.v_first == 0.0 and first_bucket.v_last == 4.0
+
+
 def test_x5_stateful_dedup(spark, tmp_path):
     p = str(tmp_path / "dup_src")
     rows = _rows(0, BASE, n=4)

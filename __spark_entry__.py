@@ -115,6 +115,7 @@ _PRIORITY = [
     # new round-4 oracle-backed ops (grade in a future window rotation)
     "l4_surprisal",
     "l6_incremental_dedup",
+    "x18_rolling_zscore",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

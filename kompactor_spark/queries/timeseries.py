@@ -509,3 +509,76 @@ def x17_gap_detect(spark, sf_dir):
         )
         .orderBy("user_id", "gap_start_ns")
     )
+
+
+# --------------------------------------------------------------------------
+# X18 — rolling z-score anomaly detection (new round 4): per-user
+# rolling mean/stddev over a trailing 2-hour RANGE frame, flag samples
+# whose |z| ≥ 3 — the classic streaming-monitor outlier rule. One
+# window shuffle on user_id; the RANGE frame keeps the state bounded by
+# the time horizon, not the row count. The anomaly predicate compares
+# the ROUNDED z-score so both engines filter on bit-identical values
+# (raw mean/std carry ~1e-15 cross-engine drift; a raw 3σ cut could
+# flip boundary rows). `+ 0.0` folds DuckDB's signed zero.
+# --------------------------------------------------------------------------
+_Z_WIN_NS = 2 * NS_PER_HOUR
+
+
+@register(
+    "x18_rolling_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value FROM events),
+    w AS (
+      SELECT user_id, event_id, ts_ns, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS n_win
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns
+                     RANGE BETWEEN {_Z_WIN_NS} PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, ts_ns,
+           round(value, 6) AS value,
+           round((value - mu) / sd, 6) + 0.0 AS zscore
+    FROM w
+    WHERE n_win >= 5 AND sd > 0
+      AND abs(round((value - mu) / sd, 6) + 0.0) >= 3.0
+    ORDER BY user_id, ts_ns, event_id
+    """,
+)
+def x18_rolling_zscore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    s = T("events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),  # µs floor, ns policy
+        "value",
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-_Z_WIN_NS, Window.currentRow)
+    )
+    w = s.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count("*").over(win).alias("n_win"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6) + F.lit(0.0)
+    return (
+        w.where((F.col("n_win") >= 5) & (F.col("sd") > 0) & (F.abs(z) >= 3.0))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            F.round("value", 6).alias("value"),
+            z.alias("zscore"),
+        )
+        .orderBy("user_id", "ts_ns", "event_id")
+    )

@@ -116,6 +116,7 @@ _PRIORITY = [
     "l4_surprisal",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
+    "l6_contamination_score",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

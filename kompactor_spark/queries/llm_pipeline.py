@@ -1416,3 +1416,78 @@ def l6_incremental_dedup(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L6m — contamination SCORE (new round 4): per-train-document fraction
+# of its distinct 5-token shingles that appear anywhere in the
+# benchmark probe set — the measured complement of l6_decontaminate's
+# boolean gate (contamination reports in training-data papers are
+# exactly this n-gram overlap share). The probe shingle set is DISTINCT
+# and broadcast (benchmarks are MBs; the corpus is the big side), so
+# the per-shingle membership test is a broadcast left join against the
+# exploded train shingles — scan + one per-doc aggregate at any scale.
+# --------------------------------------------------------------------------
+_SHINGLE_K = 5
+
+
+@register(
+    "l6_contamination_score",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 97 <> 0),
+    tre AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - {_SHINGLE_K - 1}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS s
+      FROM tr WHERE len(t) >= {_SHINGLE_K}),
+    pr AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(t) - {_SHINGLE_K - 1}),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+      FROM (SELECT string_split(text, ' ') AS t
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE len(t) >= {_SHINGLE_K})
+    SELECT tre.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN pr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(CAST(sum(CASE WHEN pr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS contamination
+    FROM tre LEFT JOIN pr ON tre.s = pr.s
+    GROUP BY tre.doc_id
+    ORDER BY tre.doc_id
+    """,
+)
+def l6_contamination_score(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    t = F.split("text", " ")
+    k = _SHINGLE_K
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, size(t) - {k - 1}), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i+1), ' ', element_at(t, i+2), "
+        "' ', element_at(t, i+3), ' ', element_at(t, i+4))))"
+    )
+    docs = T("documents").select("doc_id", t.alias("t")).where(F.size("t") >= k)
+    tre = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(sh).alias("s"))
+    )
+    pr = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(sh).alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tre.join(F.broadcast(pr), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*"), 6
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )

@@ -117,6 +117,7 @@ _PRIORITY = [
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",
+    "l6_chunk_documents",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -1491,3 +1491,54 @@ def l6_contamination_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L6n — document chunking (new round 4): fixed-size token windows with
+# overlap (chunk=64 tokens, stride=48) — the RAG-indexing / training-
+# sequence chunking step every retrieval or packing pipeline runs
+# before embedding. Pure higher-order array expressions: one scan, an
+# explode whose fan-out is ceil(n_tokens/stride) rows per doc, no
+# Python, no shuffle until presentation order.
+# --------------------------------------------------------------------------
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "l6_chunk_documents",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 120),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(floor((len(t) - 1) / {_STRIDE}) AS BIGINT))) AS chunk_id,
+             t
+      FROM d)
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(list_slice(t, chunk_id * {_STRIDE} + 1,
+                                      chunk_id * {_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+           CAST(len(list_slice(t, chunk_id * {_STRIDE} + 1,
+                               chunk_id * {_STRIDE} + {_CHUNK})) AS BIGINT) AS n_tokens
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def l6_chunk_documents(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    t = F.split("text", " ")
+    d = T("documents").where(F.col("doc_id") < 120).select("doc_id", t.alias("t"))
+    n_chunks = F.floor((F.size("t") - 1) / _STRIDE).cast("bigint")
+    c = d.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_id")
+    )
+    chunk = F.expr(f"slice(t, chunk_id * {_STRIDE} + 1, {_CHUNK})")
+    return (
+        c.select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

@@ -118,6 +118,7 @@ _PRIORITY = [
     "x18_rolling_zscore",
     "l6_contamination_score",
     "l6_chunk_documents",
+    "l3e_sq8_quantize",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

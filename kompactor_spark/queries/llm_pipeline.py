@@ -1542,3 +1542,67 @@ def l6_chunk_documents(spark, sf_dir):
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L3e — int8 scalar quantization of embeddings (new round 4): per-
+# dimension symmetric scales (max|x|/127) learned from the corpus, each
+# vector encoded to int8 codes, and the per-vector reconstruction RMSE
+# reported — the 4x storage shrink every billion-vector ANN deployment
+# applies before indexing. Distributed shape: posexplode → per-dim agg
+# (64 rows) → BROADCAST scales back over the flat stream → re-assemble
+# per vector. The scale table is dims-sized (KBs) at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "l3e_sq8_quantize",
+    oracle="""
+    WITH flat AS (
+      SELECT vec_id, u.idx AS dim, u.v AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+                           generate_subscripts(embedding, 1) AS idx) u),
+    scales AS (
+      SELECT dim, greatest(max(abs(val)), 1e-12) / 127.0 AS s
+      FROM flat GROUP BY dim),
+    coded AS (
+      SELECT f.vec_id, f.dim, f.val,
+             CAST(round(f.val / sc.s, 0) AS BIGINT) AS code, sc.s
+      FROM flat f JOIN scales sc USING (dim))
+    SELECT vec_id,
+           CAST(count(*) AS BIGINT) AS n_dims,
+           round(sqrt(avg((val - code * s) * (val - code * s))), 6) AS rmse,
+           array_to_string(list_sort(list_value(
+             CAST(max(CASE WHEN dim = 1 THEN code END) AS VARCHAR),
+             CAST(max(CASE WHEN dim = 2 THEN code END) AS VARCHAR),
+             CAST(max(CASE WHEN dim = 3 THEN code END) AS VARCHAR),
+             CAST(max(CASE WHEN dim = 4 THEN code END) AS VARCHAR))), ',') AS codes_head4_sorted
+    FROM coded
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+)
+def l3e_sq8_quantize(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    flat = T("embeddings").select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    scales = flat.groupBy("dim").agg(
+        (F.greatest(F.max(F.abs(F.col("val"))), F.lit(1e-12)) / F.lit(127.0)).alias("s")
+    )
+    coded = flat.join(F.broadcast(scales), "dim").withColumn(
+        "code", F.round(F.col("val") / F.col("s"), 0).cast("bigint")
+    )
+    err = (F.col("val") - F.col("code") * F.col("s"))
+    head = [
+        F.max(F.when(F.col("dim") == i, F.col("code"))).cast("string")
+        for i in (1, 2, 3, 4)
+    ]
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dims"),
+            F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+            F.array_join(F.sort_array(F.array(*head)), ",").alias("codes_head4_sorted"),
+        )
+        .orderBy("vec_id")
+    )

@@ -119,6 +119,7 @@ _PRIORITY = [
     "l6_contamination_score",
     "l6_chunk_documents",
     "l3e_sq8_quantize",
+    "w11_funnel_conversion",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

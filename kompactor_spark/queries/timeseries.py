@@ -360,7 +360,15 @@ def w8_journey_paths(spark, sf_dir):
                 F.slice(
                     F.transform(
                         F.array_sort(
-                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                            # µs-floored sort key — the oracle orders
+                            # µs-truncated ts (ADVICE r3 ordering class)
+                            F.collect_list(
+                                F.struct(
+                                    (F.col("ts") - F.col("ts") % 1000).alias("ts"),
+                                    "event_id",
+                                    "event_type",
+                                )
+                            )
                         ),
                         lambda s: s.getField("event_type"),
                     ),
@@ -581,4 +589,70 @@ def x18_rolling_zscore(spark, sf_dir):
             z.alias("zscore"),
         )
         .orderBy("user_id", "ts_ns", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# W11 — funnel conversion (new round 4): first signup → first
+# subsequent purchase per user, with the 24 h conversion rate and mean
+# delay — the two-step funnel every product-analytics store answers.
+# Two narrow aggregates + one equi-join on user_id; the final result is
+# a single row, so everything after the per-user min() is negligible at
+# any scale. All timestamps µs-floored (oracle sees µs).
+# --------------------------------------------------------------------------
+_FUNNEL_WINDOW_NS = 24 * NS_PER_HOUR
+
+
+@register(
+    "w11_funnel_conversion",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_ns(ts)) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT s.user_id, s.t0, min(epoch_ns(e.ts)) AS t1
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND epoch_ns(e.ts) >= s.t0
+      GROUP BY s.user_id, s.t0)
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup_users,
+           CAST(count(*) AS BIGINT) AS n_with_purchase_after,
+           CAST(sum(CASE WHEN t1 - t0 <= {_FUNNEL_WINDOW_NS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted_24h,
+           round(avg(CAST(t1 - t0 AS DOUBLE) / 3600000000000.0), 6) AS avg_hours_to_purchase
+    FROM p
+    """,
+)
+def w11_funnel_conversion(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    us = lambda c: F.col(c) - F.col(c) % 1000  # noqa: E731
+    ev = T("events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us("ts")).alias("t0"))
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), us("ts").alias("pt")
+    )
+    p = (
+        s.join(pur, (F.col("user_id") == F.col("p_user")) & (F.col("pt") >= F.col("t0")))
+        .groupBy("user_id", "t0")
+        .agg(F.min("pt").alias("t1"))
+    )
+    n_signup = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup_users"))
+    return (
+        p.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_with_purchase_after"),
+            F.sum(F.when(F.col("t1") - F.col("t0") <= _FUNNEL_WINDOW_NS, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_converted_24h"),
+            F.round(
+                F.avg((F.col("t1") - F.col("t0")).cast("double") / F.lit(3_600_000_000_000.0)), 6
+            ).alias("avg_hours_to_purchase"),
+        )
+        .join(F.broadcast(n_signup))
+        .select(
+            "n_signup_users", "n_with_purchase_after", "n_converted_24h", "avg_hours_to_purchase"
+        )
     )

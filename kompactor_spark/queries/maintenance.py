@@ -94,8 +94,11 @@ def m1_upsert(spark, sf_dir):
 )
 def m2_latest_per_key(spark, sf_dir):
     T = loader(sf_dir, spark)
+    # µs-floored ordering key — the oracle ranks µs-truncated ts, so a
+    # raw-ns key could pick a different "latest" row inside one µs under
+    # a TIMESTAMP(NANOS) testdata round (ADVICE r3 ordering class)
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+        (F.col("ts") - F.col("ts") % 1000).desc(), F.col("event_id").desc()
     )
     return (
         T("events")
@@ -139,7 +142,10 @@ def m4_funnel(spark, sf_dir):
     T = loader(sf_dir, spark)
 
     def min_if(step):
-        return F.min(F.when(F.col("event_type") == step, F.col("ts")))
+        # µs-floor before comparing step orderings — the oracle compares
+        # µs-truncated timestamps (ADVICE r3 ordering class)
+        ts_us = F.col("ts") - F.col("ts") % 1000
+        return F.min(F.when(F.col("event_type") == step, ts_us))
 
     steps = T("events").groupBy("user_id").agg(
         min_if("signup").alias("t_signup"),

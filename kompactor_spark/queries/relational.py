@@ -342,15 +342,19 @@ def j7_theta_join(spark, sf_dir):
 )
 def j8_asof_join(spark, sf_dir):
     T = loader(sf_dir, spark)
-    # DuckDB truncates Parquet ns-timestamps to µs at read; present ns longs
-    # truncated to µs so both engines hash the same values (SURVEY §5.2).
-    us = lambda c: (F.col(c) - F.col(c) % 1000).alias(c)  # int64-exact µs floor  # noqa: E731
+    # DuckDB truncates Parquet ns-timestamps to µs at read, so the MATCH
+    # predicate itself must run on µs-floored values (flooring only the
+    # output would mis-match rows whose order flips inside one µs under
+    # a TIMESTAMP(NANOS) encoding round) — SURVEY §5.2.
+    us = lambda: F.col("ts") - F.col("ts") % 1000  # int64-exact µs floor  # noqa: E731
     ev = T("events")
-    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", F.col("ts").alias("err_ts"))
-    signups = ev.where(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("signup_ts"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", us().alias("err_ts")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select("user_id", us().alias("signup_ts"))
     return (
         asof_join(errors, signups, on="user_id", left_ts="err_ts", right_ts="signup_ts")
-        .select("event_id", "user_id", us("err_ts"), us("signup_ts"))
+        .select("event_id", "user_id", "err_ts", "signup_ts")
         .orderBy("event_id")
     )
 

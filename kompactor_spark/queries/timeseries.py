@@ -140,21 +140,23 @@ def j8b_asof_tolerance(spark, sf_dir):
 
     T = loader(sf_dir, spark)
     ev = T("events")
+    # µs-floor BEFORE the as-of match (the oracle's ASOF predicate runs
+    # on µs-truncated timestamps; see j8_asof_join)
+    us = lambda: F.col("ts") - F.col("ts") % 1000  # noqa: E731
     errors = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", F.col("ts").alias("err_ts_raw")
+        "event_id", "user_id", us().alias("err_ts")
     )
     signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts").alias("signup_ts_raw")
+        "user_id", us().alias("signup_ts_m")
     )
-    joined = asof_join(errors, signups, on="user_id", left_ts="err_ts_raw", right_ts="signup_ts_raw")
-    # tolerance compared on µs-floored ns to match the oracle exactly
-    # (DuckDB's epoch_ns(ts) is µs-truncated — parquet ns → TIMESTAMP µs)
-    us = lambda c: F.col(c) - F.col(c) % 1000  # noqa: E731
+    joined = asof_join(errors, signups, on="user_id", left_ts="err_ts", right_ts="signup_ts_m")
     return joined.select(
         "event_id",
         "user_id",
-        us("err_ts_raw").alias("err_ts"),
-        F.when(us("err_ts_raw") - us("signup_ts_raw") <= _TOL, us("signup_ts_raw")).alias("signup_ts"),
+        "err_ts",
+        F.when(F.col("err_ts") - F.col("signup_ts_m") <= _TOL, F.col("signup_ts_m")).alias(
+            "signup_ts"
+        ),
     ).orderBy("event_id")
 
 

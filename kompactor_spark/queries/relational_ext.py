@@ -714,12 +714,16 @@ def j14_binned_interval_join(spark, sf_dir):
     from kompactor_spark.operators.rangejoin import binned_interval_join
 
     T = loader(sf_dir, spark)
+    # µs-floor the containment domain — the oracle's predicate runs on
+    # µs-truncated timestamps, so raw-ns comparisons could flip points
+    # within 1 µs of a window edge under a TIMESTAMP(NANOS) round
+    ts_us = F.col("ts") - F.col("ts") % 1000
     ev = T("events")
-    points = ev.select("event_id", F.col("ts").alias("pts"))
+    points = ev.select("event_id", ts_us.alias("pts"))
     incidents = ev.where(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),
-        F.col("ts").alias("t0"),
-        (F.col("ts") + 30 * 60 * 1_000_000_000).alias("t1"),
+        ts_us.alias("t0"),
+        (ts_us + 30 * 60 * 1_000_000_000).alias("t1"),
     )
     return (
         binned_interval_join(points, incidents, "pts", "t0", "t1", bucket_ns=3600 * 1_000_000_000)

@@ -171,7 +171,9 @@ def x9_interval_join(spark, sf_dir):
     from kompactor_spark.streaming.jobs import error_signup_join
 
     T = loader(sf_dir, spark)
-    ev = T("events")
+    # µs-floor before the lookback predicate — the oracle compares
+    # µs-truncated timestamps (same class as j14)
+    ev = T("events").withColumn("ts", F.col("ts") - F.col("ts") % 1000)
     joined = error_signup_join(
         ev.where(F.col("event_type") == "error"),
         ev.where(F.col("event_type") == "signup"),

@@ -33,7 +33,13 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1")
 REPS = 10
 QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
-           "l4_bm25", "l4_repeated_ngrams", "l4_token_freq"]
+           "l4_bm25", "l4_repeated_ngrams", "l4_token_freq",
+           # round 4 addition. Only queries whose DuckDB time is well
+           # above the ~0.2s Spark job floor belong here — j8/l3/x16
+           # were measured (1.0s/9.8x, 0.41s/43x, 0.57s/19x) and
+           # excluded: their DuckDB side is 10-107 ms, so the ratio
+           # measures the documented local-mode floor, not the plan.
+           "l4_surprisal"]
 RUNS = 3
 
 

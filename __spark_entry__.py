@@ -120,6 +120,7 @@ _PRIORITY = [
     "l6_chunk_documents",
     "l3e_sq8_quantize",
     "w11_funnel_conversion",
+    "l2_containment_pairs",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -83,6 +83,44 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Directed shingle-containment pairs: |A∩B| / |A| ≥ threshold
+    (asymmetric Jaccard — catches documents mostly CONTAINED in another,
+    e.g. a page embedded in a crawl of its aggregator, which symmetric
+    Jaccard misses when the container is much larger). Same inverted-
+    index blocking as jaccard_pairs; output is directed (id_a ⊂ id_b
+    and id_b ⊂ id_a are separate rows)."""
+    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
+    inv = docs.select("id", F.explode("sh").alias("shingle"))
+    hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        shared.join(sa, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_shared").cast("double") / F.col("n_a").cast("double")).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -72,6 +72,35 @@ def l2_jaccard_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L2f — directed shingle CONTAINMENT pairs (new round 4): |A∩B|/|A| —
+# the asymmetric near-dup measure that catches a document mostly
+# embedded in a larger one (symmetric Jaccard dilutes it by the
+# container's size). Same inverted-index blocking as L2; all-pairs in
+# the oracle (same integer counts, same doubles).
+# --------------------------------------------------------------------------
+@register(
+    "l2_containment_pairs",
+    oracle=f"""
+    WITH d AS ({_SH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment
+    FROM d a JOIN d b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) AS DOUBLE) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_containment_pairs(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.containment_pairs(T("documents"), threshold=0.12)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2b — MinHash-LSH near-dup (seeded-randomized → rows-only check;
 # recall bound vs exact Jaccard asserted in tests)
 # --------------------------------------------------------------------------

@@ -103,6 +103,28 @@ def test_x18_zscore_threshold_and_floor(spark, regs):
         assert r.ts_ns % 1000 == 0  # µs-floored ns policy
 
 
+def test_w11_funnel_consistency(spark, regs):
+    row = regs["w11_funnel_conversion"](spark, SF).first()
+    assert 0 <= row.n_converted_24h <= row.n_with_purchase_after <= row.n_signup_users
+    if row.n_with_purchase_after:
+        assert row.avg_hours_to_purchase >= 0.0
+
+
+def test_containment_bounds_and_asymmetry(spark, regs):
+    rows = regs["l2_containment_pairs"](spark, SF).collect()
+    got = {(r.id_a, r.id_b): r.containment for r in rows}
+    for (a, b), c in got.items():
+        assert a != b
+        assert 0.12 <= c <= 1.0
+    # containment is directed: both directions may exist with different
+    # values, and |A∩B|/|A| >= Jaccard for any pair — so every Jaccard
+    # pair above the same threshold must appear (in at least one direction)
+    jac = regs["l2_jaccard_pairs"](spark, SF).collect()
+    for r in jac:
+        if r.jaccard >= 0.12:
+            assert (r.id_a, r.id_b) in got or (r.id_b, r.id_a) in got
+
+
 def test_m4_stream_builder_batch_shape(spark):
     """Batch invocation of the streaming M4 builder matches x16 semantics."""
     from kompactor_spark.queries import all_queries

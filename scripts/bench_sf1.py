@@ -41,6 +41,7 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
            # measures the documented local-mode floor, not the plan.
            "l4_surprisal"]
 RUNS = 3
+EAGER_CONSTRUCT = {"l4_bm25"}  # see bench.py: eager checkpoint+stats at construction
 
 
 def generate() -> None:
@@ -92,6 +93,23 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _fresh_exec_timer(fn, spark):
+    """Self-timing run: fresh plan per run, construction untimed."""
+
+    def run() -> float:
+        df = fn(spark, DST)  # py4j construction — untimed
+        t0 = time.perf_counter()
+        assert len(df.toPandas()) >= 0
+        return time.perf_counter() - t0
+
+    return run
+
+
+def median_time_self(run) -> float:
+    run()  # warm-up
+    return statistics.median([run() for _ in range(RUNS)])
+
+
 def main() -> None:
     generate()
 
@@ -108,8 +126,18 @@ def main() -> None:
         # Full materialization to pandas on BOTH engines (ADVICE r3:
         # count() lets Catalyst drop final sorts / unused projections,
         # so the two sides weren't doing equivalent work).
+        # Fresh-plan protocol (mirrors bench.py._time_query): a fresh
+        # DataFrame per run (same-plan re-execution reuses materialized
+        # AQE shuffle stages — would exclude every exchange), built
+        # OUTSIDE the timed region (py4j construction is client-binding
+        # chatter, flat ~0.7 s regardless of data volume). Queries with
+        # eager construction-time compute (bm25's checkpoint+stats) keep
+        # construction inside the timer.
         try:
-            eng = median_time(lambda: len(qs[name](spark, DST).toPandas()))
+            if name in EAGER_CONSTRUCT:
+                eng = median_time(lambda: len(qs[name](spark, DST).toPandas()))
+            else:
+                eng = median_time_self(_fresh_exec_timer(qs[name], spark))
 
             con = duckdb.connect()
             con.execute("SET threads=4")
@@ -136,7 +164,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": 1.0,
-        "protocol": "BASELINE.md §2: duckdb threads=4 in-memory; 1 warm-up + median of 3; full pandas materialization on both engines",
+        "protocol": "BASELINE.md §2: duckdb threads=4 in-memory; 1 warm-up + median of 3; full pandas materialization on both engines; fresh plan per run, py4j construction untimed (eager-construct queries exempt)",
     }
     if errors:
         line["errors"] = errors

@@ -57,12 +57,32 @@ RUNS = 3
 # timed region, so construction stays inside the timer.
 EAGER_CONSTRUCT = {"l3_cosine_topk", "l4_bm25"}
 
+# Table-sized results (1.4M pairs at sf0.1): materialize to a Parquet
+# sink instead of toPandas — the Arrow->Python transfer of millions of
+# rows would otherwise be ~85% of the measured time (see
+# scripts/bench_sf1.py LARGE_RESULT for the full rationale; the
+# matching DuckDB COPY-to-Parquet number is in BASELINE.md §3).
+LARGE_RESULT = {"j14_binned_interval_join"}
+
 
 def _time_full(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     pdf = fn(spark, sf_dir).toPandas()
     assert len(pdf) >= 0
     return time.perf_counter() - t0
+
+
+def _time_sink(spark, fn, sf_dir: str) -> float:
+    import shutil
+    import tempfile
+
+    df = fn(spark, sf_dir)  # py4j construction — untimed
+    sink = os.path.join(tempfile.gettempdir(), "kompactor_bench_sink.parquet")
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").parquet(sink)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(sink, ignore_errors=True)
+    return dt
 
 
 def _time_query(spark, fn, sf_dir: str) -> float:
@@ -127,6 +147,15 @@ def main() -> None:
     regs = all_queries()
     names = [n for n in HEADLINE if n in regs]
 
+    # Global JIT warm-up (see scripts/bench_sf1.py): one untimed pass of
+    # every query so the first timed query doesn't pay C2 compilation of
+    # the shared scan/agg/shuffle paths.
+    for name in names:
+        try:
+            regs[name](spark, sf_dir).toPandas()
+        except Exception:
+            pass
+
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
@@ -140,6 +169,9 @@ def main() -> None:
         # nothing is cached or persisted between runs (no .persist/
         # .cache anywhere in the timed path).
         fn = regs[name]
+        if name in LARGE_RESULT:
+            _bench_one(name, lambda fn=fn: _time_sink(spark, fn, sf_dir), per_query, errors)
+            continue
         if name in EAGER_CONSTRUCT:
             # construction does real engine work here — keep it timed
             _bench_one(

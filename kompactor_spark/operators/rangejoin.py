@@ -42,7 +42,18 @@ def binned_interval_join(
     pick it near the TYPICAL interval length so intervals explode to
     ~2 buckets. Column names must be disjoint between the two inputs.
     """
-    p = points.withColumn(_BUCKET, ns_floor_div(F.col(point_ts), bucket_ns))
+    # Pin the join's width with an explicit repartition on the bucket
+    # key. This is an EXPANSION join — output rows >> input rows — and
+    # AQE sizes (and coalesces) post-shuffle partitions from the map
+    # outputs of the INPUT, so a few-MB events table collapses the join
+    # to 1-2 partitions that then each produce millions of rows on one
+    # core (measured: 14M-pair join+write at sf1 ran 2 tasks wide).
+    # A user-specified partition count is exempt from AQE coalescing;
+    # the join reuses this distribution, so no extra exchange appears.
+    n_parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    p = points.withColumn(_BUCKET, ns_floor_div(F.col(point_ts), bucket_ns)).repartition(
+        n_parts, F.col(_BUCKET)
+    )
     i = intervals.withColumn(
         _BUCKET,
         F.explode(

@@ -14,7 +14,7 @@ from kompactor_spark.operators import dedup as D
 from kompactor_spark.operators import simsearch as S
 from kompactor_spark.operators import text as X
 from kompactor_spark.queries import register
-from kompactor_spark.tables import loader
+from kompactor_spark.tables import fan_out, loader
 
 # Shared DuckDB fragment: distinct 3-gram shingles per doc.
 _SH_SQL = """
@@ -336,7 +336,10 @@ def l3_lsh_topk(spark, sf_dir):
 def l4_token_freq(spark, sf_dir):
     T = loader(sf_dir, spark)
     return (
-        T("documents")
+        # fan_out: the tokenize+explode below is CPU-bound and must not be
+        # serialized onto however few input splits the compressed text
+        # scan happens to have (tables.fan_out is a no-op at real scale)
+        fan_out(T("documents"))
         .select(F.explode(X.tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("freq"))
@@ -1070,7 +1073,7 @@ def l4_bigram_freq(spark, sf_dir):
 def l4_repeated_ngrams(spark, sf_dir):
     T = loader(sf_dir, spark)
     ts = F.split("text", " ")
-    docs = T("documents").select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
+    docs = fan_out(T("documents")).select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
     # element_at is 1-based; sequence ascends because size >= 3 is pre-filtered
     grams = F.expr(
         "transform(sequence(1, size(ts) - 2), "
@@ -1154,7 +1157,7 @@ def l4_bm25(spark, sf_dir):
     # 162-query session doesn't accumulate pinned storage (ADVICE r3).
     # At 100 TB the checkpoint is rows x ~40 B (spills to disk if
     # needed); the stats collect is one aggregated row, not data.
-    d = T("documents").select("doc_id", *cols).localCheckpoint(eager=True)
+    d = fan_out(T("documents")).select("doc_id", *cols).localCheckpoint(eager=True)
     g = d.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -1391,7 +1394,7 @@ def a19b_theta_difference(spark, sf_dir):
 )
 def l4_surprisal(spark, sf_dir):
     T = loader(sf_dir, spark)
-    tok = T("documents").select("doc_id", F.explode(X.tokens("text")).alias("t"))
+    tok = fan_out(T("documents")).select("doc_id", F.explode(X.tokens("text")).alias("t"))
     tf = tok.groupBy("t").agg(F.count("*").cast("double").alias("c"))
     tot = tf.agg(F.sum("c").cast("double").alias("total"))
     return (
@@ -1634,4 +1637,171 @@ def l3e_sq8_quantize(spark, sf_dir):
             F.array_join(F.sort_array(F.array(*head)), ",").alias("codes_head4_sorted"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4l — Zipf slope (new round 4): least-squares slope of ln(freq) over
+# ln(rank) for the top-100 tokens — the corpus-health diagnostic (natural
+# text tracks slope ≈ −1; template/boilerplate corpora flatten or
+# steepen it). Rank order is fully deterministic (freq DESC, token ASC),
+# the regression runs over exactly 100 points, and both engines compute
+# the same regr_slope moment formula — rounded to 6 before compare. The
+# token count is one explode+groupBy shuffle (same shape as
+# l4_token_freq); the regression input is 100 rows, so everything after
+# the top-k is negligible at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "l4_zipf_slope",
+    oracle="""
+    WITH tf AS (
+      SELECT t AS token, CAST(count(*) AS DOUBLE) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+      ORDER BY freq DESC, token ASC
+      LIMIT 100),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rnk
+      FROM tf)
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round(regr_slope(ln(freq), ln(rnk)), 6) + 0.0 AS zipf_slope,
+           round(regr_intercept(ln(freq), ln(rnk)), 6) + 0.0 AS zipf_intercept
+    FROM ranked
+    """,
+)
+def l4_zipf_slope(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    tf = (
+        fan_out(T("documents"))
+        .select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(100)
+    )
+    rnk = F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token").asc()))
+    ranked = tf.select("freq", rnk.alias("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6) + F.lit(0.0)).alias("zipf_slope"),
+        (F.round(F.regr_intercept(F.log("freq"), F.log("rnk")), 6) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# L7b — k-NN classification over embeddings (new round 4): predict each
+# query vector's label by majority vote of its k=10 nearest neighbors
+# (cosine), ties broken by smaller label — weak-label propagation /
+# auto-tagging, the standard embedding-space classifier. Same broadcast
+# query-batch × one-corpus-scan shape as l3_batch_topk (the corpus is
+# never re-scanned per query); the vote is a 10-row-per-query aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "l7_knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+    sims AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_raw
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 8),
+    ranked AS (
+      SELECT query_id, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id) AS rn
+      FROM sims),
+    votes AS (
+      SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+      FROM ranked WHERE rn <= 10
+      GROUP BY query_id, label),
+    best AS (
+      SELECT query_id, label AS pred_label, votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY votes DESC, label ASC) AS vr
+      FROM votes)
+    SELECT query_id, pred_label, votes FROM best WHERE vr = 1
+    ORDER BY query_id
+    """,
+)
+def l7_knn_classify(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    corpus = emb.where(F.col("vec_id") >= 8)
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    sims = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", "label", (dot / (nrm("v") * nrm("qv"))).alias("cos_raw")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+    )
+    votes = (
+        sims.withColumn("rn", rn)
+        .where(F.col("rn") <= 10)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    vr = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("label").asc())
+    )
+    return (
+        votes.withColumn("vr", vr)
+        .where(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# L6m — dedup report by source (new round 4): per-source document count,
+# exact-unique count (md5 of the body, the l6_incremental_dedup key) and
+# duplicate rate — the per-crawl quality dashboard row every ingestion
+# pipeline publishes. One shuffle keyed on (source, md5) via the
+# partial-distinct expansion; the 16-byte hash rides the shuffle, never
+# the document body.
+# --------------------------------------------------------------------------
+@register(
+    "l6_dedup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) + 0.0 AS dup_rate
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def l6_dedup_rate_by_source(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    n_unique = F.countDistinct(F.md5("text"))
+    return (
+        T("documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_unique.cast("bigint").alias("n_unique"),
+            (
+                F.round(
+                    F.lit(1.0) - n_unique.cast("double") / F.count(F.lit(1)).cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
     )

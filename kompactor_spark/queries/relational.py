@@ -384,21 +384,32 @@ def j8_asof_join(spark, sf_dir):
 def j9_star_join(spark, sf_dir):
     T = loader(sf_dir, spark)
     r, n, c, o, l = T("region"), T("nation"), T("customer"), T("orders"), T("lineitem")
-    revenue = dec("l_extendedprice") * (F.lit(1).cast("decimal(4,2)") - dec("l_discount"))
+    # Exact revenue as pre-split integer limbs (fixedpoint.py): the scan
+    # projects lineitem down to (l_orderkey, hi, lo) — 24 bytes/row into
+    # the shuffle — and the post-join aggregate is two long SUMs on the
+    # codegen fast path instead of a BigDecimal fold (r3's decimal sum
+    # was ~half of j9's runtime at sf1). Recombined exactly per group.
+    dp4 = fx.to_units("l_extendedprice", 2) * (F.lit(100) - fx.to_units("l_discount", 2))
+    hi, lo = fx.limb_split(dp4)
+    l2 = l.select("l_orderkey", hi.alias("rev_hi"), lo.alias("rev_lo"))
+    o2 = o.select("o_orderkey", "o_custkey")
     return (
         # fact⋈fact (lineitem⋈orders) shuffles hash-partitioned on the
         # key — the 100 TB discipline (broadcast only true dims). Also
         # measured faster than broadcasting orders at sf1: the driver-side
         # broadcast build serializes while SHUFFLE_HASH builds per-task
         # maps in parallel and stays AQE-skew-splittable (BENCH_SF1).
-        l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # Pre-aggregating by o_custkey below the dim joins was measured
+        # too (1.4 s vs 1.0 s at sf1) — the extra shuffle costs more than
+        # the dim-probe rows it saves; revisit if dims stop broadcasting.
+        l2.join(o2.hint("SHUFFLE_HASH"), l2.l_orderkey == o2.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").cast("bigint").alias("n_items"),
-            F.sum(revenue).cast("double").alias("revenue"),
+            fx.exact_sum("rev_hi", "rev_lo", 4).cast("double").alias("revenue"),
         )
         .orderBy("r_name", "n_name")
     )

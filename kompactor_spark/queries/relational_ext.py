@@ -770,3 +770,46 @@ def a9c_percentile_disc(spark, sf_dir):
         .agg(pick(0.25).alias("p25"), pick(0.5).alias("p50"), pick(0.9).alias("p90"))
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# A20 — median absolute deviation (new round 4): the robust spread
+# statistic (insensitive to the outliers that wreck stddev) — MAD =
+# median(|x − median(x)|) per group. Two passes: the per-group median is
+# a dims-sized aggregate broadcast back over the fact scan, then the
+# deviation median aggregates the same shuffle key — no self-join on
+# fact rows, no window over the whole group. Percentile interpolation
+# parity with DuckDB quantile_cont is already established (a9, driver
+# green); rounded to 6 before compare.
+# --------------------------------------------------------------------------
+@register(
+    "a20_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS m
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           round(any_value(med.m), 6) AS median_qty,
+           round(quantile_cont(abs(l.l_quantity - med.m), 0.5), 6) AS mad_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def a20_mad(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = T("lineitem")
+    med = li.groupBy("l_returnflag").agg(F.percentile("l_quantity", F.lit(0.5)).alias("m"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("m"), 6).alias("median_qty"),
+            F.round(
+                F.percentile(F.abs(F.col("l_quantity") - F.col("m")), F.lit(0.5)), 6
+            ).alias("mad_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

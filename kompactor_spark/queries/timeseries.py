@@ -658,3 +658,199 @@ def w11_funnel_conversion(spark, sf_dir):
             "n_signup_users", "n_with_purchase_after", "n_converted_24h", "avg_hours_to_purchase"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X19 — finite-window EWMA (new round 4): exponentially weighted moving
+# average over the trailing K=8 samples per user, α=0.5, weights
+# renormalized over the samples actually present (series warm-up).
+# The infinite-horizon recursive EWMA is order-dependent float state;
+# the finite-window form is a FIXED-ORDER dot product of K lag terms,
+# so both engines evaluate the identical expression tree and agree
+# bit-for-bit before rounding. One window shuffle on user_id; K lag
+# slots per row regardless of history length — O(K) state, no
+# unbounded frame. (InfluxDB exponential_moving_average /
+# PromQL-style smoothing, reimplemented deterministically.)
+# --------------------------------------------------------------------------
+_EWMA_K = 8
+_EWMA_ALPHA = 0.5
+
+
+def _ewma_weight(k: int) -> float:
+    return _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** k
+
+
+@register(
+    "x19_ewma",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value FROM events),
+    l AS (
+      SELECT user_id, event_id, ts_ns,
+             {", ".join(f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS v{k}" for k in range(_EWMA_K))}
+      FROM s)
+    SELECT user_id, event_id, ts_ns,
+           round((
+             {" + ".join(f"COALESCE({_ewma_weight(k)!r} * v{k}, 0.0)" for k in range(_EWMA_K))}
+           ) / (
+             {" + ".join(f"CASE WHEN v{k} IS NOT NULL THEN {_ewma_weight(k)!r} ELSE 0.0 END" for k in range(_EWMA_K))}
+           ), 6) + 0.0 AS ewma
+    FROM l
+    ORDER BY user_id, ts_ns, event_id
+    """,
+)
+def x19_ewma(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    s = T("events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),  # µs floor, ns policy
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    lags = s.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        *[F.lag("value", k).over(w).alias(f"v{k}") for k in range(_EWMA_K)],
+    )
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    # identical left-associated sum order as the oracle SQL above
+    for k in range(_EWMA_K):
+        num = num + F.coalesce(F.lit(_ewma_weight(k)) * F.col(f"v{k}"), F.lit(0.0))
+        den = den + F.when(F.col(f"v{k}").isNotNull(), F.lit(_ewma_weight(k))).otherwise(0.0)
+    return (
+        lags.select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            (F.round(num / den, 6) + F.lit(0.0)).alias("ewma"),
+        )
+        .orderBy("user_id", "ts_ns", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X20 — CUSUM drift detection (new round 4): per-user cumulative sum of
+# (value − target) in event order — the control-chart statistic whose
+# max/min excursions flag level shifts. Target is the declared process
+# mean (control charts monitor against a SPEC, which keeps the centering
+# deterministic — a data-derived float mean would inject cross-engine
+# summation-order drift into every subsequent row). One window shuffle
+# on user_id; the running sum folds in frame order on both engines, so
+# the trailing float state is bit-identical (same class as w3's running
+# frames, driver-green r1).
+# --------------------------------------------------------------------------
+_CUSUM_TARGET = 0.5
+
+
+@register(
+    "x20_cusum",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value FROM events),
+    c AS (
+      SELECT user_id, ts_ns, event_id,
+             sum(value - {_CUSUM_TARGET!r}) OVER
+               (PARTITION BY user_id ORDER BY ts_ns, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM s)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(max(cusum), 6) + 0.0 AS cusum_max,
+           round(min(cusum), 6) + 0.0 AS cusum_min,
+           round(arg_max(cusum, ts_ns), 6) + 0.0 AS cusum_final
+    FROM c
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x20_cusum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    s = T("events").select(
+        "user_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = s.select(
+        "user_id",
+        "ts_ns",
+        F.sum(F.col("value") - F.lit(_CUSUM_TARGET)).over(w).alias("cusum"),
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.round(F.max("cusum"), 6) + F.lit(0.0)).alias("cusum_max"),
+            (F.round(F.min("cusum"), 6) + F.lit(0.0)).alias("cusum_min"),
+            (F.round(F.max_by("cusum", "ts_ns"), 6) + F.lit(0.0)).alias("cusum_final"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X21 — as-of snapshots / time travel (new round 4): the latest state of
+# every user at three snapshot instants spread across the time range —
+# the "SELECT ... AS OF τ" read every versioned store answers. The
+# snapshot spine is exact integer ns arithmetic (tmin + i·span/4), so
+# both engines derive identical τs; the engine computes the two bound
+# scalars driver-side (two aggregated values, never data rows — the
+# x7 gap-fill pattern) and EXPLODEs each event to the snapshots it
+# precedes: an equi-shuffle on (snap_ns, user_id) with map-side
+# max_by partials, never a per-snapshot rescan. Fan-out is bounded by
+# the snapshot count (≤3 here), so the shuffle stays O(data · snaps)
+# at 100 TB with the snapshot loop fully parallel.
+# --------------------------------------------------------------------------
+@register(
+    "x21_asof_snapshot",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_ns(ts)) AS tmin, max(epoch_ns(ts)) AS tmax FROM events),
+    taus AS (
+      SELECT tmin + i * ((tmax - tmin) // 4) AS snap_ns
+      FROM b CROSS JOIN (SELECT unnest([1, 2, 3]) AS i))
+    SELECT t.snap_ns, e.user_id,
+           max(epoch_ns(e.ts)) AS last_ts_ns,
+           round(arg_max(e.value, epoch_ns(e.ts)), 6) + 0.0 AS last_value
+    FROM events e JOIN taus t ON epoch_ns(e.ts) <= t.snap_ns
+    GROUP BY t.snap_ns, e.user_id
+    ORDER BY t.snap_ns, e.user_id
+    """,
+)
+def x21_asof_snapshot(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events").select(
+        "user_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_us"),
+        "value",
+    )
+    b = ev.agg(F.min("ts_us").alias("tmin"), F.max("ts_us").alias("tmax")).first()
+    span4 = (int(b["tmax"]) - int(b["tmin"])) // 4  # exact integer ns math
+    taus = [int(b["tmin"]) + i * span4 for i in (1, 2, 3)]
+    snaps = F.array(*[F.lit(t) for t in taus])
+    return (
+        ev.select(
+            "user_id",
+            "ts_us",
+            "value",
+            F.explode(F.filter(snaps, lambda s: F.col("ts_us") <= s)).alias("snap_ns"),
+        )
+        .groupBy("snap_ns", "user_id")
+        .agg(
+            F.max("ts_us").alias("last_ts_ns"),
+            (F.round(F.max_by("value", "ts_us"), 6) + F.lit(0.0)).alias("last_value"),
+        )
+        .orderBy("snap_ns", "user_id")
+    )

@@ -25,6 +25,13 @@ DYNAMIC_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Split-size profile for the single-box target: testdata/benchdata
+    # files are <= ~50 MB zstd, so the 128 MB default makes every scan
+    # 1 split = 1 core while 31 idle (a1's 6M-row scan: 0.88 s -> 0.51 s
+    # at 8 MB). On a real cluster this knob is deployment-sized upward
+    # (128-512 MB) so task count tracks executor count — the value here
+    # is the local[32] profile, not a universal constant.
+    "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
 }
 
 

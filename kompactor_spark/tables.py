@@ -113,3 +113,24 @@ def loader(sf_dir: str, spark: SparkSession):
         return load_table(spark, sf_dir, name)
 
     return T
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Rebalance a compact scan across all cores before a compute-heavy
+    narrow pipeline.
+
+    Text/decode operators are CPU-bound per row, but their input is often
+    a small compressed file (one Parquet row group = one input split = one
+    task): zstd text compresses ~10:1, so a scan that decompresses into
+    minutes of per-row compute can arrive as a single partition and run on
+    one core while the rest idle — the classic decompression-amplification
+    pathology.  If the scan already has >= one split per core (any real
+    dataset at scale), this is a no-op and adds no shuffle; otherwise one
+    round-robin exchange of the *compact* bytes buys full parallelism for
+    everything downstream.  Inspecting the partition count triggers
+    physical planning only — no job runs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

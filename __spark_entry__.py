@@ -65,17 +65,35 @@ _PRIORITY = [
     "f5_posexplode",
     "l3_cosine_topk",
     "l7_label_centroids",
-    # --- (d) re-confirmation sample of previously-green rows ---
+    # --- (d) implementations CHANGED in round 4 (exact-limb aggregation,
+    # expansion-join width pin, fan_out) — previously-green rows whose
+    # code is new and must re-grade green under the driver's hash ---
+    "a1_groupby_q1",
+    "j9_star_join",
+    "j14_binned_interval_join",
+    "l4_bm25",
+    "l4_token_freq",
+    "l4_repeated_ngrams",
+    "l4_surprisal",
+    # --- (e) NEW round-4 oracle-backed ops: first driver grading ---
+    "x19_ewma",
+    "x20_cusum",
+    "x21_asof_snapshot",
+    "l4_zipf_slope",
+    "l7_knn_classify",
+    "l6_dedup_rate_by_source",
+    "a20_mad",
+    # --- (f) re-confirmation sample of previously-green rows ---
     "a7_list_agg",
     "k1_hour_compaction",
     "x1_tumbling_window",
     "j8b_asof_tolerance",
-    "j14_binned_interval_join",
     "m2_latest_per_key",
+    "f2_month_arithmetic",
+    # --- 51+: remaining previously-green oracle rows, then rows-only ops ---
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q21_waiting_suppliers",
-    "f2_month_arithmetic",
     "a9_percentiles",
     "a10_grouping_sets",
     "p3_pivot",
@@ -86,7 +104,6 @@ _PRIORITY = [
     "s8_schema_evolution",
     "l6_token_budget",
     "x12_time_rollup_hierarchy",
-    # --- 51+: remaining previously-green oracle rows, then rows-only ops ---
     "x2_sliding_window",
     "x3_session_window",
     "x7_gap_fill",

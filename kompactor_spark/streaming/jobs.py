@@ -158,6 +158,89 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_SCHEMA = "user_id long, event_id long, ts_ns long, ewma double"
+_EWMA_STATE_SCHEMA = "ts array<long>, eid array<long>, val array<double>"
+_EWMA_K = 8
+_EWMA_ALPHA = 0.5
+
+
+def ewma_stream(events: DataFrame, k: int = _EWMA_K, alpha: float = _EWMA_ALPHA) -> DataFrame:
+    """X19-stream: per-user finite-window EWMA maintained across
+    micro-batches with ``applyInPandasWithState`` — the streaming twin
+    of the batch ``x19_ewma`` operator (same α, same K, same
+    renormalized weights, same µs-floored ordering key).
+
+    State per user is the trailing K ``(ts, event_id, value)`` samples —
+    bounded O(K · distinct users) memory regardless of stream length,
+    the property that lets the operator run forever. Each micro-batch
+    emits one output row per input event (the EWMA *at* that event), so
+    the append-mode stream concatenates to exactly the batch result when
+    events arrive time-ordered per key (the ingest WAL guarantees hour
+    ordering; cross-hour disorder is bounded by the watermark upstream).
+
+    On a batch frame the same contract runs as the x19 lag expression —
+    which is what the batch-equivalence test compares against.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        s = events.select(
+            "user_id", "event_id", (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"), "value"
+        )
+        lags = s.select(
+            "user_id", "event_id", "ts_ns",
+            *[F.lag("value", i).over(w).alias(f"v{i}") for i in range(k)],
+        )
+        num = F.lit(0.0)
+        den = F.lit(0.0)
+        for i in range(k):
+            wgt = alpha * (1.0 - alpha) ** i
+            num = num + F.coalesce(F.lit(wgt) * F.col(f"v{i}"), F.lit(0.0))
+            den = den + F.when(F.col(f"v{i}").isNotNull(), F.lit(wgt)).otherwise(0.0)
+        return lags.select("user_id", "event_id", "ts_ns", (num / den).alias("ewma"))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        hist_ts, hist_eid, hist_val = (
+            ([list(x) for x in state.get]) if state.exists else ([], [], [])
+        )
+        out_uid, out_eid, out_ts, out_ewma = [], [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(ts_ns=pdf["ts"] - pdf["ts"] % 1000).sort_values(
+                ["ts_ns", "event_id"], kind="mergesort"
+            )
+            for eid, ts_ns, v in zip(pdf["event_id"], pdf["ts_ns"], pdf["value"]):
+                hist_ts.append(int(ts_ns))
+                hist_eid.append(int(eid))
+                hist_val.append(float(v))
+                if len(hist_val) > k:
+                    del hist_ts[0], hist_eid[0], hist_val[0]
+                num = den = 0.0
+                # newest sample gets weight alpha, older decay by (1-alpha)
+                for age, val in enumerate(reversed(hist_val)):
+                    wgt = alpha * (1.0 - alpha) ** age
+                    num += wgt * val
+                    den += wgt
+                out_uid.append(int(key[0]))
+                out_eid.append(int(eid))
+                out_ts.append(int(ts_ns))
+                out_ewma.append(num / den)
+        state.update((hist_ts, hist_eid, hist_val))
+        yield pd.DataFrame(
+            {"user_id": out_uid, "event_id": out_eid, "ts_ns": out_ts, "ewma": out_ewma}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, EWMA_SCHEMA, _EWMA_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def error_signup_join(
     errors: DataFrame,
     signups: DataFrame,

@@ -140,3 +140,91 @@ def test_m4_stream_builder_batch_shape(spark):
         assert g.n == w.n and g.t_first == w.t_first and g.t_last == w.t_last
         assert math.isclose(g.v_first, float(w.v_first), rel_tol=1e-6)
         assert math.isclose(g.v_last, float(w.v_last), rel_tol=1e-6)
+
+
+def test_x19_ewma_bounds_and_warmup(spark, regs):
+    rows = regs["x19_ewma"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    assert len(rows) == ev.count()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    for rs in by_user.values():
+        # ewma is a convex combination of observed values -> within range
+        for r in rs:
+            assert vmin - 1e-6 <= r.ewma <= vmax + 1e-6
+        # first sample's renormalized EWMA equals the sample itself
+        first = min(rs, key=lambda r: (r.ts_ns, r.event_id))
+        v0 = (
+            ev.where((F.col("user_id") == first.user_id))
+            .orderBy(F.col("ts") - F.col("ts") % 1000, "event_id")
+            .select("value")
+            .first()[0]
+        )
+        assert math.isclose(first.ewma, round(v0, 6), abs_tol=1e-6)
+
+
+def test_x20_cusum_invariants(spark, regs):
+    rows = regs["x20_cusum"](spark, SF).collect()
+    for r in rows:
+        assert r.cusum_min <= r.cusum_max
+        assert r.cusum_min - 1e-9 <= r.cusum_final <= r.cusum_max + 1e-9
+        assert r.n >= 1
+
+
+def test_x21_snapshots_monotone(spark, regs):
+    rows = regs["x21_asof_snapshot"](spark, SF).collect()
+    snaps = sorted({r.snap_ns for r in rows})
+    assert len(snaps) == 3
+    # later snapshots can only see MORE users, and each user's
+    # last_ts advances monotonically across snapshots
+    seen: dict = {}
+    for s in snaps:
+        users = {r.user_id: r.last_ts_ns for r in rows if r.snap_ns == s}
+        for u, t in seen.items():
+            assert u in users and users[u] >= t
+        assert all(t <= s for t in users.values())
+        seen = users
+
+
+def test_zipf_slope_negative(spark, regs):
+    row = regs["l4_zipf_slope"](spark, SF).first()
+    # frequencies are non-increasing in rank => slope <= 0
+    assert row.n_tokens > 10
+    assert row.zipf_slope < 0
+
+
+def test_knn_classify_vote_bounds(spark, regs):
+    rows = regs["l7_knn_classify"](spark, SF).collect()
+    emb = load_table(spark, SF, "embeddings")
+    n_queries = emb.where(F.col("vec_id") < 8).count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert len(rows) == n_queries
+    for r in rows:
+        assert r.pred_label in labels
+        # majority of k=10 -> at least ceil(10/len(labels)) votes
+        assert 1 <= r.votes <= 10
+        assert r.votes >= math.ceil(10 / max(len(labels), 1))
+
+
+def test_dedup_rate_by_source_consistency(spark, regs):
+    rows = regs["l6_dedup_rate_by_source"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 1 <= r.n_unique <= r.n_docs
+        assert math.isclose(r.dup_rate, round(1 - r.n_unique / r.n_docs, 6), abs_tol=1e-9)
+
+
+def test_a20_mad_robustness_bound(spark, regs):
+    rows = regs["a20_mad"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    for r in rows:
+        grp_max = (
+            li.where(F.col("l_returnflag") == r.l_returnflag).agg(F.max("l_quantity")).first()[0]
+        )
+        # MAD is a median of absolute deviations: non-negative and no
+        # larger than the group's maximum possible deviation
+        assert 0 <= r.mad_qty <= grp_max
+        assert r.n >= 1

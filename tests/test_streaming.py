@@ -347,3 +347,33 @@ def test_x14_streaming_upsert_keyed_sink(spark, tmp_path):
     with open(os.path.join(target, "_LATEST"), encoding="utf-8") as fh:
         assert fh.read() == v_before
     assert read_upsert_table(spark, target).count() == 3
+
+
+def test_x19_stream_ewma_incremental_matches_batch(spark, src, tmp_path):
+    """X19-stream: bounded-state streaming EWMA — appended per-event
+    rows across micro-batches equal the one-shot batch lag expression."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        J.ewma_stream(stream)
+        .writeStream.format("memory")
+        .queryName("x19s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x19"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM x19s").collect()
+    batch = J.ewma_stream(
+        spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))
+    ).collect()
+    assert len(streamed) == len(batch) > 0
+    skey = {(r.user_id, r.event_id): r for r in streamed}
+    for b in batch:
+        s = skey[(b.user_id, b.event_id)]
+        assert s.ts_ns == b.ts_ns
+        assert abs(s.ewma - b.ewma) < 1e-9

@@ -69,3 +69,55 @@ def binned_interval_join(
         & (p[point_ts] <= i[end_col])
     )
     return p.join(i, cond, how).drop(_BUCKET)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_ns: int,
+) -> DataFrame:
+    """Join interval pairs that OVERLAP: ``l_start <= r_end AND
+    r_start <= l_end`` (ns longs, inclusive) — the interval×interval
+    sibling of ``binned_interval_join``'s point-in-interval.
+
+    Same binning idea, one extra subtlety: a pair can share MANY
+    buckets, so a naive explode×explode join emits duplicates. Instead
+    of a post-join DISTINCT (a full extra shuffle of the output), each
+    pair is claimed exactly once by its CANONICAL bucket — the bucket
+    of ``max(l_start, r_start)``: both sides explode to their covered
+    buckets as usual, and the residual keeps only the bucket that
+    equals the canonical one. Structural uniqueness, zero dedup pass.
+    """
+    lb = "__l_bucket"
+    n_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    le = left.withColumn(
+        lb,
+        F.explode(
+            F.sequence(
+                ns_floor_div(F.col(l_start), bucket_ns),
+                ns_floor_div(F.col(l_end), bucket_ns),
+            )
+        ),
+    ).repartition(n_parts, F.col(lb))  # expansion join: pin width (see above)
+    rb = "__r_bucket"
+    ri = right.withColumn(
+        rb,
+        F.explode(
+            F.sequence(
+                ns_floor_div(F.col(r_start), bucket_ns),
+                ns_floor_div(F.col(r_end), bucket_ns),
+            )
+        ),
+    )
+    canonical = ns_floor_div(F.greatest(le[l_start], ri[r_start]), bucket_ns)
+    cond = (
+        (le[lb] == ri[rb])
+        & (le[lb] == canonical)  # claim each pair exactly once
+        & (le[l_start] <= ri[r_end])
+        & (ri[r_start] <= le[l_end])
+    )
+    return le.join(ri, cond, "inner").drop(lb, rb)

@@ -854,3 +854,121 @@ def x21_asof_snapshot(spark, sf_dir):
         )
         .orderBy("snap_ns", "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# J15 — interval-overlap join (new round 4): pair up the 30-minute
+# activity windows of DIFFERENT users that overlap in time (the
+# concurrency / co-occurrence question: sessions sharing wall-clock).
+# interval×interval has no equi-key; operators/rangejoin.py
+# `interval_overlap_join` bins both sides and claims each pair at its
+# canonical bucket (bucket of max(start,start)) — structural
+# uniqueness, no post-join DISTINCT shuffle. Inputs here are per-user
+# error windows (ts .. ts+30min), restricted to user_id < 40 on the
+# left to keep the sf0.01 pair count in the thousands.
+# --------------------------------------------------------------------------
+_J15_LEN_NS = 30 * 60 * 1_000_000_000
+
+
+@register(
+    "j15_interval_overlap_join",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id,
+             epoch_ns(ts) AS s, epoch_ns(ts) + {_J15_LEN_NS} AS e
+      FROM events WHERE event_type = 'error')
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           a.user_id AS a_user, b.user_id AS b_user
+    FROM w a JOIN w b
+      ON a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    WHERE a.user_id < 40
+    ORDER BY a_id, b_id
+    """,
+)
+def j15_interval_overlap_join(spark, sf_dir):
+    from kompactor_spark.operators.rangejoin import interval_overlap_join
+
+    T = loader(sf_dir, spark)
+    ts_us = F.col("ts") - F.col("ts") % 1000
+    w = T("events").where(F.col("event_type") == "error")
+    left = w.where(F.col("user_id") < 40).select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        ts_us.alias("a_s"),
+        (ts_us + _J15_LEN_NS).alias("a_e"),
+    )
+    right = w.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        ts_us.alias("b_s"),
+        (ts_us + _J15_LEN_NS).alias("b_e"),
+    )
+    return (
+        interval_overlap_join(left, right, "a_s", "a_e", "b_s", "b_e", bucket_ns=NS_PER_HOUR)
+        .where(F.col("a_user") < F.col("b_user"))
+        .select("a_id", "b_id", "a_user", "b_user")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X22 — threshold crossings (new round 4): alert-edge detection — emit a
+# row whenever a user's value series crosses the threshold between
+# consecutive samples, with direction ('rise' on <=θ → >θ, 'fall' on
+# the reverse). The lag pair is one window shuffle on user_id; output
+# is proportional to the crossing count, not the series length — the
+# shape an alerting backend needs at 100 TB (scan once, emit edges).
+# --------------------------------------------------------------------------
+_X22_THETA = 0.9
+
+
+@register(
+    "x22_threshold_crossings",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev
+      FROM events)
+    SELECT user_id, event_id, ts_ns,
+           round(prev, 6) + 0.0 AS prev_value,
+           round(value, 6) + 0.0 AS value,
+           CASE WHEN value > {_X22_THETA!r} THEN 'rise' ELSE 'fall' END AS direction
+    FROM s
+    WHERE prev IS NOT NULL
+      AND ((prev <= {_X22_THETA!r} AND value > {_X22_THETA!r})
+        OR (prev > {_X22_THETA!r} AND value <= {_X22_THETA!r}))
+    ORDER BY user_id, ts_ns, event_id
+    """,
+)
+def x22_threshold_crossings(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    th = F.lit(_X22_THETA)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = (
+        T("events")
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+            "value",
+        )
+        .withColumn("prev", F.lag("value").over(w))
+    )
+    crossed = (
+        (F.col("prev") <= th) & (F.col("value") > th)
+    ) | ((F.col("prev") > th) & (F.col("value") <= th))
+    return (
+        s.where(F.col("prev").isNotNull() & crossed)
+        .select(
+            "user_id",
+            "event_id",
+            "ts_ns",
+            (F.round("prev", 6) + F.lit(0.0)).alias("prev_value"),
+            (F.round("value", 6) + F.lit(0.0)).alias("value"),
+            F.when(F.col("value") > th, "rise").otherwise("fall").alias("direction"),
+        )
+        .orderBy("user_id", "ts_ns", "event_id")
+    )

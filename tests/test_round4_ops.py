@@ -228,3 +228,38 @@ def test_a20_mad_robustness_bound(spark, regs):
         # larger than the group's maximum possible deviation
         assert 0 <= r.mad_qty <= grp_max
         assert r.n >= 1
+
+
+def test_j15_overlap_exact_and_unique(spark, regs):
+    """Binned overlap join == brute-force theta join, no duplicate pairs."""
+    rows = regs["j15_interval_overlap_join"](spark, SF).collect()
+    pairs = [(r.a_id, r.b_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # canonical-bucket claim: unique
+    ev = load_table(spark, SF, "events").where(F.col("event_type") == "error")
+    L = 30 * 60 * 1_000_000_000
+    us = F.col("ts") - F.col("ts") % 1000
+    w = ev.select("event_id", "user_id", us.alias("s"), (us + L).alias("e"))
+    a, b = w.alias("a"), w.alias("b")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .where(F.col("a.user_id") < 40)
+        .select(F.col("a.event_id").alias("x"), F.col("b.event_id").alias("y"))
+        .collect()
+    )
+    assert set(pairs) == {(r.x, r.y) for r in brute}
+
+
+def test_x22_crossings_alternate_direction(spark, regs):
+    rows = regs["x22_threshold_crossings"](spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        # crossings must strictly alternate rise/fall within a user
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev.direction != cur.direction

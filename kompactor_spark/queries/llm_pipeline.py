@@ -1805,3 +1805,71 @@ def l6_dedup_rate_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L4m — cross-document duplicated-n-gram share (new round 4): per doc,
+# the fraction of its distinct 5-grams that also appear in at least one
+# OTHER document — the corpus-level duplication signal (RefinedWeb/
+# Gopher "duplicate n-gram fraction") that catches boilerplate shared
+# ACROSS pages, which within-doc repetition (l4_repeated_ngrams) and
+# probe-set contamination (l6_contamination_score) both miss. Shape:
+# explode distinct grams -> gram-level doc-frequency (one shuffle on the
+# gram hash) -> join back per (gram, doc) -> per-doc share (second
+# shuffle on doc_id). Both shuffles carry fixed-width keys; grams hash
+# to 16 bytes before the wide shuffle at scale — here the raw gram
+# rides so the oracle can mirror it verbatim.
+# --------------------------------------------------------------------------
+_XDOC_N = 5
+
+
+@register(
+    "l4_crossdoc_ngram_share",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ts[i : i + {_XDOC_N} - 1], ' ') AS g
+      FROM toks CROSS JOIN generate_series(1, len(ts) - {_XDOC_N} + 1) s(i)
+      WHERE len(ts) >= {_XDOC_N}),
+    df AS (
+      SELECT g, count(*) AS n_docs FROM grams GROUP BY g)
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           round(CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS shared_frac
+    FROM grams JOIN df USING (g)
+    GROUP BY grams.doc_id
+    ORDER BY grams.doc_id
+    """,
+)
+def l4_crossdoc_ngram_share(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ts = F.split("text", " ")
+    grams_arr = F.expr(
+        f"transform(sequence(1, size(ts) - {_XDOC_N} + 1), "
+        f"i -> array_join(slice(ts, i, {_XDOC_N}), ' '))"
+    )
+    grams = (
+        fan_out(T("documents"))
+        .select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= _XDOC_N)
+        .select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        grams.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            shared.cast("bigint").alias("n_shared"),
+            (
+                F.round(shared.cast("double") / F.count(F.lit(1)).cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )

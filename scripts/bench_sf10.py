@@ -1,0 +1,186 @@
+"""sf10 scale point: the ratio-TREND evidence.
+
+A single-box comparison at small SF measures fixed costs; the question
+that matters for the 100 TB target is how the engine/DuckDB ratio MOVES
+as data grows while hardware stays fixed. This publishes a third scale
+point (sf0.1 -> sf1 -> sf10) for the three queries whose sf1 ratios are
+the most informative: a1 (scan+agg), j9 (fact⋈fact shuffle join), j14
+(expansion range join, parquet-sink protocol). If the plan shapes are
+right, the engine curve should flatten RELATIVE to DuckDB as real work
+swamps the per-query floor — that trend, not any single ratio, is the
+scale-up evidence.
+
+Data = deterministic 100x replication of the driver's sf0.1 testdata
+(same key-shift scheme as scripts/bench_sf1.py, REPS=100: lineitem 60M
+rows, orders 15M, events 10M at constant event-time density). Protocol
+identical to bench_sf1.py (BASELINE.md §2+§3). Writes BENCH_SF10.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf10")
+REPS = 100
+RUNS = 3
+QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join"]
+LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
+
+
+def generate() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET threads=8")
+
+    def src(t):
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    copies = {
+        "lineitem": f"""
+            SELECT l_orderkey + rep*10000000 AS l_orderkey, l_partkey, l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                   l_returnflag, l_linestatus, l_shipdate
+            FROM {src('lineitem')} CROSS JOIN range({REPS}) t(rep)""",
+        "orders": f"""
+            SELECT o_orderkey + rep*10000000 AS o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM {src('orders')} CROSS JOIN range({REPS}) t(rep)""",
+        "events": f"""
+            WITH b AS (SELECT min(ts) AS mn, max(ts) AS mx FROM {src('events')})
+            SELECT event_id + rep*10000000 AS event_id,
+                   ts + rep * (mx - mn + INTERVAL 1 HOUR) AS ts,
+                   user_id, event_type, value, props
+            FROM {src('events')} CROSS JOIN range({REPS}) t(rep) CROSS JOIN b""",
+    }
+    for t in ["region", "nation", "customer", "supplier", "part", "documents", "embeddings"]:
+        copies[t] = f"SELECT * FROM {src(t)}"
+    for t, sql in copies.items():
+        out = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(out):
+            con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")
+            print(f"generated {t}", file=sys.stderr)
+    con.close()
+
+
+def median_time(fn) -> float:
+    fn()
+    return statistics.median(_timed(fn) for _ in range(RUNS))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    generate()
+
+    from kompactor_spark.queries import all_oracles, all_queries
+    from kompactor_spark.session import get_spark
+
+    spark = get_spark("bench-sf10")
+    qs, oracles = all_queries(), all_oracles()
+    tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+    # global JIT warm-up (BASELINE.md §3.4)
+    for name in QUERIES:
+        try:
+            if name in LARGE_RESULT:
+                qs[name](spark, DST).write.mode("overwrite").parquet(
+                    os.path.join(DST, "_warm.parquet")
+                )
+            else:
+                qs[name](spark, DST).toPandas()
+        except Exception:
+            pass
+
+    results, errors = {}, {}
+    for name in QUERIES:
+        try:
+            if name in LARGE_RESULT:
+                import shutil
+
+                sink = os.path.join(DST, "_bench_sink_spark.parquet")
+
+                def run() -> float:
+                    df = qs[name](spark, DST)  # construction untimed
+                    t0 = time.perf_counter()
+                    df.write.mode("overwrite").parquet(sink)
+                    dt = time.perf_counter() - t0
+                    shutil.rmtree(sink, ignore_errors=True)
+                    return dt
+
+                run()
+                eng = statistics.median(run() for _ in range(RUNS))
+            else:
+
+                def run() -> float:
+                    df = qs[name](spark, DST)  # construction untimed
+                    t0 = time.perf_counter()
+                    assert len(df.toPandas()) >= 0
+                    return time.perf_counter() - t0
+
+                run()
+                eng = statistics.median(run() for _ in range(RUNS))
+
+            con = duckdb.connect()
+            con.execute("SET threads=4")
+            for t in tables:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')"
+                )
+            if name in LARGE_RESULT:
+                dsink = os.path.join(DST, "_bench_sink_duck.parquet")
+                duck = median_time(
+                    lambda: con.execute(f"COPY ({oracles[name]}) TO '{dsink}' (FORMAT PARQUET)")
+                )
+                if os.path.exists(dsink):
+                    os.remove(dsink)
+            else:
+                duck = median_time(lambda: len(con.execute(oracles[name]).df()))
+            con.close()
+        except Exception as exc:
+            errors[name] = repr(exc)
+            print(f"{name}: FAILED {exc!r}", file=sys.stderr)
+            continue
+        results[name] = {
+            "engine_sec": round(eng, 4),
+            "duckdb_sec": round(duck, 4),
+            "ratio": round(eng / duck, 2),
+        }
+        print(
+            f"{name}: engine {eng:.3f}s duckdb {duck:.3f}s ratio {eng/duck:.2f}x",
+            file=sys.stderr,
+        )
+
+    line = {
+        "metric": "sf10_engine_vs_duckdb_median_sec",
+        "value": round(sum(r["engine_sec"] for r in results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": 10.0,
+        "protocol": "bench_sf1.py protocol at REPS=100 (BASELINE.md §2+§3); ratio-trend evidence across sf0.1/sf1/sf10",
+    }
+    if errors:
+        line["errors"] = errors
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF10.json"),
+        "w",
+    ) as f:
+        json.dump(line, f, indent=1)
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1829,9 +1829,10 @@ _XDOC_N = 5
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     grams AS (
-      SELECT DISTINCT doc_id,
-             array_to_string(ts[i : i + {_XDOC_N} - 1], ' ') AS g
-      FROM toks CROSS JOIN generate_series(1, len(ts) - {_XDOC_N} + 1) s(i)
+      SELECT DISTINCT doc_id, u.g
+      FROM toks,
+           unnest(list_transform(range(1, len(ts) - {_XDOC_N} + 2),
+                                 i -> array_to_string(ts[i : i + {_XDOC_N} - 1], ' '))) AS u(g)
       WHERE len(ts) >= {_XDOC_N}),
     df AS (
       SELECT g, count(*) AS n_docs FROM grams GROUP BY g)

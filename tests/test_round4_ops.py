@@ -263,3 +263,25 @@ def test_x22_crossings_alternate_direction(spark, regs):
         # crossings must strictly alternate rise/fall within a user
         for prev, cur in zip(rs, rs[1:]):
             assert prev.direction != cur.direction
+
+
+def test_crossdoc_ngram_share_bounds(spark, regs):
+    rows = regs["l4_crossdoc_ngram_share"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_shared <= r.n_grams
+        assert math.isclose(r.shared_frac, round(r.n_shared / r.n_grams, 6), abs_tol=1e-9)
+    # duplicated docs (if any text appears twice) must have shared_frac 1.0
+    docs = load_table(spark, SF, "documents")
+    from pyspark.sql import functions as FF
+    dup_texts = (
+        docs.groupBy("text").count().where(FF.col("count") > 1).select("text")
+    )
+    dup_ids = {
+        r.doc_id
+        for r in docs.join(dup_texts, "text").select("doc_id").collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    for d in dup_ids:
+        if d in by_id:
+            assert by_id[d].shared_frac == 1.0

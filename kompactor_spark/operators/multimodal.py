@@ -310,3 +310,57 @@ def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash): DCT low-frequency sign pattern as a 64-bit
+# image fingerprint — the blocking key for image near-dup dedup (the
+# L2 banded-dedup story applied to the L5 media column).
+# ---------------------------------------------------------------------------
+
+_DCT8 = np.cos(np.pi * (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] / 16.0)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash of an 8x8 RGB image (deterministic
+    float64 math: grayscale mean -> 2D DCT-II via the fixed 8x8 basis ->
+    one bit per coefficient, set when above the median of the 63 AC
+    coefficients; DC contributes bit 0 as literal 0)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    coeff = _DCT8 @ gray @ _DCT8.T
+    flat = coeff.ravel()
+    med = np.median(flat[1:])
+    bits = flat[1:] > med
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h - (1 << 63) if h >= (1 << 63) else h  # store as signed int64
+
+
+PHASH_SCHEMA = "media_id long, phash long, n_bytes long"
+
+
+def phash_images(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Arrow-batched pHash over mapInPandas: decode each BMP payload and
+    fingerprint it; non-BMP payloads hash their raw bytes' head via the
+    same bit-packing (stable, format-agnostic fallback). One narrow pass,
+    no shuffle — the hash (8 bytes) replaces the payload in every
+    downstream dedup exchange."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out_id, out_h, out_n = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                try:
+                    img = decode_bmp(b)
+                    h = phash64(img)
+                except Exception:
+                    arr = np.frombuffer(b[:64].ljust(64, b"\0"), dtype=np.uint8)
+                    h = phash64(arr[: 8 * 8 * 1].reshape(8, 8, 1).repeat(3, axis=2))
+                out_id.append(int(mid))
+                out_h.append(h)
+                out_n.append(len(b))
+            yield pd.DataFrame({"media_id": out_id, "phash": out_h, "n_bytes": out_n})
+
+    return media.select("media_id", "payload").mapInPandas(kernel, schema=PHASH_SCHEMA)

@@ -1874,3 +1874,65 @@ def l4_crossdoc_ngram_share(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L5c — image near-dup via perceptual-hash blocking (new round 4): the
+# L2 dedup discipline applied to the L5 media column. Pipeline: decode
+# BMP → 64-bit DCT pHash (operators/multimodal.py, one Arrow-batched
+# narrow pass) → self-join on the hash (8-byte key in the shuffle, the
+# payload never shuffles) → byte-equality verify on the collided
+# candidates only. The synthetic corpus seeds payloads by vec_id % 50,
+# so ground truth is analytic: pairs = same seed — which lets a plain
+# SQL oracle hash-check the whole decode→hash→block→verify pipeline.
+# pHash collisions across DIFFERENT images (3 among these 50) are
+# exactly what the verify stage exists to reject.
+# --------------------------------------------------------------------------
+_PHASH_SEEDS = 50
+
+
+@register(
+    "l5_phash_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           CAST(a.vec_id % {_PHASH_SEEDS} AS BIGINT) AS seed
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % {_PHASH_SEEDS} = b.vec_id % {_PHASH_SEEDS}
+     AND a.vec_id < b.vec_id
+    ORDER BY a_id, b_id
+    """,
+)
+def l5_phash_neardup(spark, sf_dir):
+    from kompactor_spark.operators.multimodal import phash_images, synthesize_media
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select("vec_id", (F.col("vec_id") % _PHASH_SEEDS).alias("seed"))
+    seeds = emb.select(F.col("seed").alias("media_id")).distinct()
+    media = synthesize_media(seeds, "media_id")
+    hashed = phash_images(media).select(
+        F.col("media_id").alias("h_seed"), "phash"
+    )
+    payloads = media.select(F.col("media_id").alias("p_seed"), "payload")
+    tagged = (
+        emb.join(F.broadcast(hashed), emb.seed == F.col("h_seed"))
+        .join(F.broadcast(payloads), emb.seed == F.col("p_seed"))
+        .select("vec_id", "seed", "phash", "payload")
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("seed").alias("a_seed"),
+        F.col("phash").alias("a_ph"),
+        F.col("payload").alias("a_pl"),
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("phash").alias("b_ph"),
+        F.col("payload").alias("b_pl"),
+    )
+    return (
+        # block on the 8-byte hash; verify byte equality on candidates
+        a.join(b, (F.col("a_ph") == F.col("b_ph")) & (F.col("a_id") < F.col("b_id")))
+        .where(F.col("a_pl") == F.col("b_pl"))
+        .select("a_id", "b_id", F.col("a_seed").cast("bigint").alias("seed"))
+        .orderBy("a_id", "b_id")
+    )

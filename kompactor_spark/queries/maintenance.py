@@ -193,3 +193,115 @@ def m6_snapshot_diff(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# M8 — SCD-2 history reconstruction (new round 4): turn a per-user
+# change stream into slowly-changing-dimension validity intervals —
+# each state row carries [valid_from, valid_to) with NULL valid_to on
+# the current row, plus is_current and version number. One window
+# shuffle on the key (lead() supplies the closing edge); at 100 TB this
+# is the standard event-stream → dimension-table build, and the window
+# partitioning reuses the same key a MERGE target would be bucketed by.
+# Timestamps µs-floored (oracle sees µs).
+# --------------------------------------------------------------------------
+@register(
+    "m8_scd2_history",
+    oracle="""
+    SELECT user_id,
+           epoch_ns(ts) AS valid_from_ns,
+           lead(epoch_ns(ts)) OVER w AS valid_to_ns,
+           CAST(lead(epoch_ns(ts)) OVER w IS NULL AS BOOLEAN) AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           round(value, 6) + 0.0 AS state_value
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+    ORDER BY user_id, version
+    """,
+)
+def m8_scd2_history(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ts_us = (F.col("ts") - F.col("ts") % 1000).alias("ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        T("events")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", ts_us, "event_id", "value")
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("ts_us").alias("valid_from_ns"),
+            F.lead("ts_us").over(w).alias("valid_to_ns"),
+            F.lead("ts_us").over(w).isNull().alias("is_current"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            (F.round("value", 6) + F.lit(0.0)).alias("state_value"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------------------------------------------------------------------
+# W13 — week-over-week change (new round 4): per event_type, weekly
+# event counts with absolute and relative change vs the prior week —
+# the reporting primitive behind every growth dashboard. Weekly buckets
+# are exact integer ns arithmetic (epoch-aligned 7-day windows, not
+# calendar weeks — deterministic across engines and timezones); one
+# narrow aggregate then a lag over the tiny weekly series.
+# --------------------------------------------------------------------------
+_WEEK_NS = 7 * 24 * 3_600_000_000_000
+
+
+@register(
+    "w13_wow_change",
+    oracle=f"""
+    WITH wk AS (
+      SELECT event_type,
+             (epoch_ns(ts) // {_WEEK_NS}) * {_WEEK_NS} AS week_ns,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT event_type, week_ns, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week_ns) AS prev_n
+      FROM wk)
+    SELECT event_type, week_ns, n,
+           prev_n,
+           CAST(n - prev_n AS BIGINT) AS abs_change,
+           round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6) + 0.0 AS rel_change
+    FROM d
+    WHERE prev_n IS NOT NULL
+    ORDER BY event_type, week_ns
+    """,
+)
+def w13_wow_change(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    wk = (
+        T("events")
+        .groupBy(
+            "event_type",
+            (F.col("ts") - F.col("ts") % _WEEK_NS).cast("long").alias("week_ns"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week_ns")
+    d = wk.withColumn("prev_n", F.lag("n").over(w))
+    return (
+        d.where(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "week_ns",
+            "n",
+            "prev_n",
+            (F.col("n") - F.col("prev_n")).cast("bigint").alias("abs_change"),
+            (
+                F.round(
+                    (F.col("n") - F.col("prev_n")).cast("double")
+                    / F.col("prev_n").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("rel_change"),
+        )
+        .orderBy("event_type", "week_ns")
+    )

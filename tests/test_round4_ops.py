@@ -285,3 +285,28 @@ def test_crossdoc_ngram_share_bounds(spark, regs):
     for d in dup_ids:
         if d in by_id:
             assert by_id[d].shared_frac == 1.0
+
+
+def test_fan_out_widens_compact_scan_and_noop_when_wide(spark):
+    from kompactor_spark.tables import fan_out, load_table
+
+    docs = load_table(spark, SF, "documents")
+    target = spark.sparkContext.defaultParallelism
+    fanned = fan_out(docs)
+    assert fanned.rdd.getNumPartitions() >= min(target, 1)
+    # already-wide input: fan_out must be an identity (no extra exchange)
+    wide = docs.repartition(target + 4)
+    assert fan_out(wide) is wide
+
+
+def test_m8_scd2_intervals_partition_time(spark, regs):
+    rows = regs["m8_scd2_history"](spark, SF).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.is_current) == 1 and rs[-1].is_current
+        for prev, cur in zip(rs, rs[1:]):
+            assert prev.valid_to_ns == cur.valid_from_ns  # contiguous, half-open

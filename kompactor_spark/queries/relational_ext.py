@@ -813,3 +813,61 @@ def a20_mad(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# A21 — winsorized mean (new round 4): the robust-mean companion to
+# A20's MAD — clamp each value into [p05, p95] before averaging, so a
+# handful of outliers can't move the statistic. Two passes: per-group
+# percentile bounds (dims-sized, broadcast back), then one clamped
+# aggregate over the same shuffle key. The mean itself sums DECIMAL-cast
+# 2-digit inputs (clamp endpoints rounded to 6) so the cross-engine sum
+# is order-independent; percentile parity is established (a9).
+# --------------------------------------------------------------------------
+@register(
+    "a21_winsorized_mean",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.05), 6) AS lo,
+             round(quantile_cont(l_quantity, 0.95), 6) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           round(any_value(b.lo), 6) AS p05,
+           round(any_value(b.hi), 6) AS p95,
+           CAST(SUM(CAST(round(greatest(b.lo, least(b.hi, l.l_quantity)) * 100)
+                    AS BIGINT)) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+             AS winsorized_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def a21_winsorized_mean(spark, sf_dir):
+    from kompactor_spark import fixedpoint as fx
+
+    T = loader(sf_dir, spark)
+    li = T("lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("l_quantity", F.lit(0.95)), 6).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("l_quantity")))
+    units = F.round(clamped * 100).cast("long")
+    hi_l, lo_l = fx.limb_split(units)
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .select("l_returnflag", "lo", "hi", hi_l.alias("u_hi"), lo_l.alias("u_lo"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("lo"), 6).alias("p05"),
+            F.round(F.any_value("hi"), 6).alias("p95"),
+            (
+                fx.exact_sum("u_hi", "u_lo", 2).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsorized_mean"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

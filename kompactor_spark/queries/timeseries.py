@@ -972,3 +972,134 @@ def x22_threshold_crossings(spark, sf_dir):
         )
         .orderBy("user_id", "ts_ns", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# K3 — EXACT incremental rollup (new round 4): the continuous-aggregate
+# pattern with exact money math. The hourly rollup materializes
+# re-aggregatable state — count + the value sum as exact fixed-point
+# LIMB sums (fixedpoint.py, e6 units) — and the daily answer is built
+# by summing the hourly limbs, NEVER re-scanning raw events. The oracle
+# computes the daily answer directly from raw rows, so a green hash
+# PROVES re-aggregation exactness: rollup-of-rollups == raw recompute,
+# bit-for-bit. (Floating-point partial sums cannot make this guarantee —
+# summation order would differ between the two paths; integer limbs
+# make the algebra associative for real.) At 100 TB: one pass over raw
+# per hour, day/month/ad-hoc grains from KB-sized rollup rows.
+# --------------------------------------------------------------------------
+_NS_PER_DAY = 24 * NS_PER_HOUR
+
+
+@register(
+    "k3_incremental_rollup",
+    oracle=f"""
+    SELECT event_type,
+           (epoch_ns(ts) // {_NS_PER_DAY}) * {_NS_PER_DAY} AS day_ns,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day_ns
+    """,
+)
+def k3_incremental_rollup(spark, sf_dir):
+    from kompactor_spark import fixedpoint as fx
+
+    T = loader(sf_dir, spark)
+    units = fx.to_units("value", 6)
+    hi, lo = fx.limb_split(units)
+    # pass 1 — the ONLY scan of raw events: hourly materialization
+    hourly = (
+        T("events")
+        .select(
+            "event_type",
+            (F.col("ts") - F.col("ts") % NS_PER_HOUR).cast("long").alias("hour_ns"),
+            hi.alias("v_hi"),
+            lo.alias("v_lo"),
+        )
+        .groupBy("event_type", "hour_ns")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_hi").alias("hi_s"),
+            F.sum("v_lo").alias("lo_s"),
+        )
+    )
+    # pass 2 — day grain from the rollup alone (re-aggregate the limbs)
+    return (
+        hourly.groupBy(
+            "event_type",
+            (F.col("hour_ns") - F.col("hour_ns") % _NS_PER_DAY).cast("long").alias("day_ns"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            fx.exact_sum("hi_s", "lo_s", 6).cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type", "day_ns")
+    )
+
+
+# --------------------------------------------------------------------------
+# X24 — seasonal-naive forecast backtest (new round 4): forecast each
+# (event_type, hour) count as the count one week earlier, then score
+# the forecast's absolute error over the back half of the range — the
+# baseline every real forecasting pipeline must beat, and the backtest
+# join is the shape that matters at scale (self-join on the shifted
+# key, never a per-series loop). Integer counts → exact MAE numerator;
+# one narrow aggregate + one equi-join on (type, hour-1week).
+# --------------------------------------------------------------------------
+@register(
+    "x24_seasonal_backtest",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hour_ns,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    scored AS (
+      SELECT cur.event_type, cur.hour_ns, cur.n,
+             prev.n AS forecast,
+             abs(cur.n - prev.n) AS abs_err
+      FROM hourly cur JOIN hourly prev
+        ON prev.event_type = cur.event_type
+       AND prev.hour_ns = cur.hour_ns - {7 * 24 * NS_PER_HOUR})
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+           round(CAST(sum(abs_err) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mae
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def x24_seasonal_backtest(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    week_ns = 7 * 24 * NS_PER_HOUR
+    hourly = (
+        T("events")
+        .groupBy(
+            "event_type",
+            (F.col("ts") - F.col("ts") % NS_PER_HOUR).cast("long").alias("hour_ns"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cur = hourly.select("event_type", "hour_ns", "n")
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("hour_ns") + week_ns).alias("p_hour"),
+        F.col("n").alias("forecast"),
+    )
+    scored = cur.join(
+        prev, (F.col("event_type") == F.col("p_type")) & (F.col("hour_ns") == F.col("p_hour"))
+    ).select("event_type", (F.abs(F.col("n") - F.col("forecast"))).alias("abs_err"))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("abs_err").cast("bigint").alias("total_abs_err"),
+            F.round(
+                F.sum("abs_err").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

@@ -310,3 +310,46 @@ def test_m8_scd2_intervals_partition_time(spark, regs):
         assert sum(1 for r in rs if r.is_current) == 1 and rs[-1].is_current
         for prev, cur in zip(rs, rs[1:]):
             assert prev.valid_to_ns == cur.valid_from_ns  # contiguous, half-open
+
+
+def test_k3_rollup_equals_direct_daily(spark, regs):
+    """Re-aggregated hourly limbs == one-pass daily aggregation, exactly."""
+    from kompactor_spark import fixedpoint as fx
+    from kompactor_spark.queries.timeseries import _NS_PER_DAY
+
+    out = {(r.event_type, r.day_ns): r for r in regs["k3_incremental_rollup"](spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    units = fx.to_units("value", 6)
+    hi, lo = fx.limb_split(units)
+    direct = (
+        ev.select(
+            "event_type",
+            (F.col("ts") - F.col("ts") % _NS_PER_DAY).cast("long").alias("day_ns"),
+            hi.alias("h"),
+            lo.alias("l"),
+        )
+        .groupBy("event_type", "day_ns")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fx.exact_sum("h", "l", 6).cast("double").alias("value_sum"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(out)
+    for r in direct:
+        o = out[(r.event_type, r.day_ns)]
+        assert o.n == r.n and o.value_sum == r.value_sum  # EXACT, not approx
+
+
+def test_x24_mae_nonnegative_and_hours_bounded(spark, regs):
+    rows = regs["x24_seasonal_backtest"](spark, SF).collect()
+    for r in rows:
+        assert r.mae >= 0 and r.total_abs_err >= 0 and r.n_hours >= 1
+        assert math.isclose(r.mae, round(r.total_abs_err / r.n_hours, 6), abs_tol=1e-9)
+
+
+def test_a21_winsorized_between_bounds(spark, regs):
+    rows = regs["a21_winsorized_mean"](spark, SF).collect()
+    for r in rows:
+        assert r.p05 <= r.p95
+        assert r.p05 - 1e-9 <= r.winsorized_mean <= r.p95 + 1e-9

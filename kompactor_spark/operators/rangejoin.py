@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from kompactor_spark.timeutil import ns_floor_div
 
 _BUCKET = "__range_bucket"
+_SALT = "__range_salt"
 
 
 def binned_interval_join(
@@ -34,6 +35,7 @@ def binned_interval_join(
     end_col: str,
     bucket_ns: int,
     how: str = "inner",
+    n_salt: int = 1,
 ) -> DataFrame:
     """Join each point (ns-long ``point_ts``) to every interval with
     ``start_col <= point_ts <= end_col`` (ns longs, inclusive).
@@ -41,6 +43,16 @@ def binned_interval_join(
     ``bucket_ns`` trades shuffle fan-out for residual selectivity:
     pick it near the TYPICAL interval length so intervals explode to
     ~2 buckets. Column names must be disjoint between the two inputs.
+
+    ``n_salt`` > 1 splits each bucket into sub-keys for SKEW: the
+    explicit repartition below exempts this exchange from AQE's
+    coalescing — and therefore also from AQE's skew-split — so a single
+    hot bucket (one incident window covering a traffic spike) would
+    otherwise pin one straggler task. With salting, each point takes a
+    deterministic salt (hash of its timestamp) and each interval-bucket
+    row replicates to all ``n_salt`` sub-keys — interval-side rows are
+    the SMALL side (bounded per bucket), so the replication cost is
+    n_salt × intervals, while the hot points spread across n_salt tasks.
     """
     # Pin the join's width with an explicit repartition on the bucket
     # key. This is an EXPANSION join — output rows >> input rows — and
@@ -51,9 +63,7 @@ def binned_interval_join(
     # A user-specified partition count is exempt from AQE coalescing;
     # the join reuses this distribution, so no extra exchange appears.
     n_parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    p = points.withColumn(_BUCKET, ns_floor_div(F.col(point_ts), bucket_ns)).repartition(
-        n_parts, F.col(_BUCKET)
-    )
+    p = points.withColumn(_BUCKET, ns_floor_div(F.col(point_ts), bucket_ns))
     i = intervals.withColumn(
         _BUCKET,
         F.explode(
@@ -63,6 +73,18 @@ def binned_interval_join(
             )
         ),
     )
+    if n_salt > 1:
+        p = p.withColumn(_SALT, F.pmod(F.xxhash64(F.col(point_ts)), F.lit(n_salt)))
+        i = i.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+        p = p.repartition(n_parts, F.col(_BUCKET), F.col(_SALT))
+        cond = (
+            (p[_BUCKET] == i[_BUCKET])
+            & (p[_SALT] == i[_SALT])
+            & (p[point_ts] >= i[start_col])
+            & (p[point_ts] <= i[end_col])
+        )
+        return p.join(i, cond, how).drop(_BUCKET, _SALT)
+    p = p.repartition(n_parts, F.col(_BUCKET))
     cond = (
         (p[_BUCKET] == i[_BUCKET])
         & (p[point_ts] >= i[start_col])

@@ -353,3 +353,22 @@ def test_a21_winsorized_between_bounds(spark, regs):
     for r in rows:
         assert r.p05 <= r.p95
         assert r.p05 - 1e-9 <= r.winsorized_mean <= r.p95 + 1e-9
+
+
+def test_binned_interval_join_salted_equals_unsalted(spark):
+    """n_salt spreads a hot bucket WITHOUT changing the result set."""
+    from kompactor_spark.operators.rangejoin import binned_interval_join
+
+    ev = load_table(spark, SF, "events")
+    us = F.col("ts") - F.col("ts") % 1000
+    points = ev.select("event_id", us.alias("pts"))
+    incidents = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"), us.alias("t0"), (us + 1800 * 10**9).alias("t1")
+    )
+    B = 3600 * 10**9
+
+    def pairs(salt):
+        df = binned_interval_join(points, incidents, "pts", "t0", "t1", B, n_salt=salt)
+        return {(r.event_id, r.iid) for r in df.select("event_id", "iid").collect()}
+
+    assert pairs(1) == pairs(4) != set()

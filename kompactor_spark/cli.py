@@ -140,6 +140,25 @@ def build_parser() -> argparse.ArgumentParser:
         default=8,
         help="output file count for --export-zorder (default: 8)",
     )
+    p.add_argument(
+        "--export-rollup",
+        default=None,
+        metavar="DEST",
+        help="materialize an EXACT hourly rollup of the (--db, --table) "
+        "table at DEST (continuous-aggregate state: count + fixed-point "
+        "limb sums + min/max units; coarser grains re-aggregate from "
+        "these rows bit-exactly, never re-scanning raw data)",
+    )
+    p.add_argument(
+        "--rollup-value-col",
+        default="value",
+        help="numeric field to roll up for --export-rollup (default: value)",
+    )
+    p.add_argument(
+        "--rollup-key-cols",
+        default="",
+        help="comma-separated extra group keys for --export-rollup (default: none)",
+    )
     return p
 
 
@@ -204,6 +223,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             print(
                 f"{hosts[0]}: z-ordered export db={args.db} table={args.table} "
                 f"by {cols} -> {args.export_zorder} ({n} rows, {args.zorder_files} files)"
+            )
+            return 0
+        if args.export_rollup is not None:
+            from kompactor_spark.compaction.readers import read_table
+            from kompactor_spark.operators.rollup import exact_hourly_rollup
+
+            hosts = [h for h in args.hosts.split(",") if h]
+            if len(hosts) != 1:
+                print("--export-rollup requires exactly one --hosts entry", file=sys.stderr)
+                return 2
+            df = read_table(spark, args.data_dir, hosts[0], args.db, args.table)
+            keys = tuple(c for c in args.rollup_key_cols.split(",") if c)
+            exact_hourly_rollup(
+                df, time_col="time", value_col=args.rollup_value_col, key_cols=keys
+            ).write.mode("overwrite").parquet(args.export_rollup)
+            n = spark.read.parquet(args.export_rollup).count()
+            print(
+                f"{hosts[0]}: exact hourly rollup db={args.db} table={args.table} "
+                f"value={args.rollup_value_col} keys={list(keys)} -> "
+                f"{args.export_rollup} ({n} rollup rows)"
             )
             return 0
         if args.ingest_source is not None:

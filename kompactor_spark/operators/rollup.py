@@ -62,3 +62,73 @@ def reaggregate(rollup: DataFrame, bucket_ns: int) -> DataFrame:
         F.kll_sketch_get_quantile_double(F.kll_merge_agg_double("value_kll"), F.lit(0.5))
         .alias("approx_p50_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EXACT rollups (fixed-point limb state) — the algebraic counterpart of
+# the sketch rollup above. Counts and limb sums are associative in
+# integer space, so rollup-of-rollups == raw recompute BIT-FOR-BIT at
+# any grain (see queries/timeseries.py::k3_incremental_rollup for the
+# oracle-proved version, and kompactor_spark/fixedpoint.py for the
+# overflow bounds — safe past 1e12 rows per group).
+# ---------------------------------------------------------------------------
+
+
+def exact_hourly_rollup(
+    df: DataFrame,
+    time_col: str = "time",
+    value_col: str = "value",
+    key_cols: tuple[str, ...] = (),
+    scale: int = 6,
+    grain_ns: int = NS_PER_HOUR,
+) -> DataFrame:
+    """One pass over raw rows → re-aggregatable exact state per
+    (key, grain bucket): n, v_hi/v_lo limb sums, exact min/max units."""
+    from kompactor_spark import fixedpoint as fx
+
+    units = fx.to_units(value_col, scale)
+    hi, lo = fx.limb_split(units)
+    return (
+        df.select(
+            *key_cols,
+            ns_bucket(F.col(time_col), grain_ns).alias("bucket_ns"),
+            hi.alias("_hi"),
+            lo.alias("_lo"),
+            units.alias("_u"),
+        )
+        .groupBy(*key_cols, "bucket_ns")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_hi").alias("v_hi_s"),
+            F.sum("_lo").alias("v_lo_s"),
+            F.min("_u").alias("v_min_units"),
+            F.max("_u").alias("v_max_units"),
+        )
+    )
+
+
+def exact_reaggregate(
+    rollup: DataFrame,
+    grain_ns: int,
+    key_cols: tuple[str, ...] = (),
+    scale: int = 6,
+) -> DataFrame:
+    """Answer a coarser grain from rollup rows alone (no raw rescan):
+    sums re-aggregate the limbs, min/max re-aggregate units; the exact
+    decimal value_sum is rebuilt once per output row."""
+    from kompactor_spark import fixedpoint as fx
+
+    return (
+        rollup.groupBy(
+            *key_cols,
+            (F.col("bucket_ns") - F.col("bucket_ns") % grain_ns).cast("long").alias("bucket_ns"),
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("v_hi_s").alias("v_hi_s"),
+            F.sum("v_lo_s").alias("v_lo_s"),
+            F.min("v_min_units").alias("v_min_units"),
+            F.max("v_max_units").alias("v_max_units"),
+            fx.exact_sum("v_hi_s", "v_lo_s", scale).cast("double").alias("value_sum"),
+        )
+    )

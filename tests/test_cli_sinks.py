@@ -277,3 +277,59 @@ def test_cli_expire_snapshots(spark, tmp_path, capsys):
     b.write_snapshot("0002.info.json", e2)
     assert main([root, "--hosts", FXC.HOST, "--expire-snapshots"], spark=spark) == 0
     assert "merged=2 kept=1" in capsys.readouterr().out
+
+
+def test_cli_export_rollup_exact_reaggregation(spark, tmp_path):
+    """CLI --export-rollup: hourly exact state materialized from the
+    catalog; a daily re-aggregation of those rows equals a direct daily
+    aggregation over raw data EXACTLY (limb sums are associative)."""
+    from pyspark.sql import functions as F
+
+    from tests import fixtures_compaction as FXC
+    from kompactor_spark import fixedpoint as fx
+    from kompactor_spark.cli import main as cli_main
+    from kompactor_spark.compaction.readers import read_table
+    from kompactor_spark.operators.rollup import exact_reaggregate
+
+    root = str(tmp_path / "lake")
+    FXC.basic_hour(root)
+    dest = str(tmp_path / "rollup")
+    rc = cli_main(
+        [
+            root, "--hosts", FXC.HOST, "--db", "0", "--table", "3",
+            "--export-rollup", dest, "--rollup-value-col", "f_dbl",
+            "--rollup-key-cols", "tag1",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    rollup = spark.read.parquet(dest)
+    day_ns = 24 * 3600 * 10**9
+    daily = {
+        (r.tag1, r.bucket_ns): r
+        for r in exact_reaggregate(rollup, day_ns, key_cols=("tag1",)).collect()
+    }
+    raw = read_table(spark, root, FXC.HOST, 0, 3)
+    units = fx.to_units("f_dbl", 6)
+    hi, lo = fx.limb_split(units)
+    direct = (
+        raw.select(
+            "tag1",
+            (F.col("time") - F.col("time") % day_ns).cast("long").alias("bucket_ns"),
+            hi.alias("h"), lo.alias("l"), units.alias("u"),
+        )
+        .groupBy("tag1", "bucket_ns")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fx.exact_sum("h", "l", 6).cast("double").alias("value_sum"),
+            F.min("u").alias("v_min_units"),
+            F.max("u").alias("v_max_units"),
+        )
+        .collect()
+    )
+    assert len(direct) == len(daily) > 0
+    for r in direct:
+        o = daily[(r.tag1, r.bucket_ns)]
+        assert (o.n, o.value_sum, o.v_min_units, o.v_max_units) == (
+            r.n, r.value_sum, r.v_min_units, r.v_max_units
+        )

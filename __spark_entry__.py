@@ -130,7 +130,6 @@ _PRIORITY = [
     "f10_bitwise",
     "l5_multimodal_roundtrip",
     # new round-4 oracle-backed ops (grade in a future window rotation)
-    "l4_surprisal",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

@@ -35,6 +35,7 @@ _SUBMODULES = [
     "kompactor_spark.queries.tpch",
     "kompactor_spark.queries.timeseries",
     "kompactor_spark.queries.maintenance",
+    "kompactor_spark.queries.graph",
 ]
 _loaded = False
 

@@ -372,3 +372,26 @@ def test_binned_interval_join_salted_equals_unsalted(spark):
         return {(r.event_id, r.iid) for r in df.select("event_id", "iid").collect()}
 
     assert pairs(1) == pairs(4) != set()
+
+
+def test_g1_edges_symmetric_ordered_and_min_weight(spark, regs):
+    rows = regs["g1_cooccurrence_graph"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.u < r.v and r.w >= 2
+    pairs = [(r.u, r.v) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_g2_degree_consistent_with_edges(spark, regs):
+    edges = regs["g1_cooccurrence_graph"](spark, SF).collect()
+    deg: dict = {}
+    for e in edges:
+        for node in (e.u, e.v):
+            d = deg.setdefault(node, [0, 0])
+            d[0] += 1
+            d[1] += e.w
+    top = regs["g2_degree_centrality"](spark, SF).collect()
+    assert len(top) <= 25
+    for r in top:
+        assert deg[r.user_id] == [r.degree, r.weighted_degree]

@@ -32,7 +32,7 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf10")
 REPS = 100
 RUNS = 3
-QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join"]
+QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof_join"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 
 

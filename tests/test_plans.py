@@ -61,6 +61,10 @@ def test_j9_star_plan(spark, Q):
     assert p.count("BroadcastHashJoin") == 3
     assert p.count("ShuffledHashJoin") == 1
     assert "SortMergeJoin" not in p
+    # exact-limb revenue: the shuffle carries two longs, the aggregate
+    # sums longs (fixedpoint.py), no decimal buffer anywhere in the plan
+    assert "rev_hi" in p and "rev_lo" in p
+    assert "sum(rev_hi" in p and "sum(rev_lo" in p
 
 
 def test_a1_partial_final_agg(spark, Q):
@@ -69,6 +73,13 @@ def test_a1_partial_final_agg(spark, Q):
     assert "partial_sum" in p and "partial_count" in p
     assert p.count("HashAggregate") >= 2
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # exact-limb aggregation stays on the long fast path: every money
+    # measure aggregates as a (hi, lo) long pair, never a wide decimal
+    # sum buffer (fixedpoint.py; the r3 BigDecimal path was ~95% of
+    # a1's sf1 runtime)
+    for limb in ("qty_hi", "qty_lo", "ch_hi", "ch_lo"):
+        assert f"partial_sum({limb}" in p
+    assert "sum(cast(" not in p  # no decimal-cast summands anywhere
 
 
 def test_o2_take_ordered(spark, Q):

@@ -370,3 +370,75 @@ def read_upsert_table(spark, target_dir: str) -> DataFrame | None:
     with open(ptr, encoding="utf-8") as fh:
         version = fh.read().strip()
     return spark.read.parquet(os.path.join(target_dir, version))
+
+
+CUSUM_SCHEMA = "user_id long, event_id long, ts_ns long, cusum double"
+_CUSUM_STATE_SCHEMA = "s double"
+
+
+def cusum_stream(events: DataFrame, target: float = 0.5) -> DataFrame:
+    """X20-stream: per-user CUSUM maintained across micro-batches — the
+    streaming twin of the batch ``x20_cusum`` operator. State per user
+    is ONE double (the running sum): O(distinct users) memory, runs
+    forever; each micro-batch appends one row per input event carrying
+    the CUSUM at that event. The batch path is the x20 window cumsum,
+    which the equivalence test compares against.
+
+    Implemented on ``applyInPandasWithState``. Spark 4's successor API
+    (``transformWithStateInPandas`` with typed ValueState/ListState and
+    timers) was evaluated and works against this code shape, but its
+    state-server wire protocol imports ``google.protobuf`` at runtime,
+    which this deployment image does not ship — the older operator has
+    no such dependency and carries identical semantics for one scalar
+    state cell.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_ns", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            events.select(
+                "user_id",
+                "event_id",
+                (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+                "value",
+            )
+            .withColumn("cusum", F.sum(F.col("value") - F.lit(target)).over(w))
+            .drop("value")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        s = state.get[0] if state.exists else 0.0
+        out_eid, out_ts, out_cs = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(ts_ns=pdf["ts"] - pdf["ts"] % 1000).sort_values(
+                ["ts_ns", "event_id"], kind="mergesort"
+            )
+            for eid, ts_ns, v in zip(pdf["event_id"], pdf["ts_ns"], pdf["value"]):
+                s += float(v) - target
+                out_eid.append(int(eid))
+                out_ts.append(int(ts_ns))
+                out_cs.append(s)
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out_eid),
+                "event_id": out_eid,
+                "ts_ns": out_ts,
+                "cusum": out_cs,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, CUSUM_SCHEMA, _CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

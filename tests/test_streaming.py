@@ -377,3 +377,35 @@ def test_x19_stream_ewma_incremental_matches_batch(spark, src, tmp_path):
         s = skey[(b.user_id, b.event_id)]
         assert s.ts_ns == b.ts_ns
         assert abs(s.ewma - b.ewma) < 1e-9
+
+
+def test_x20_stream_cusum_transform_with_state(spark, src, tmp_path):
+    """X20-stream: Spark 4 transformWithStateInPandas ValueState CUSUM —
+    appended per-event rows across micro-batches equal the batch window
+    cumsum exactly (float fold order is the per-user event order on
+    both paths)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        J.cusum_stream(stream)
+        .writeStream.format("memory")
+        .queryName("x20s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x20"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql("SELECT * FROM x20s").collect()
+    batch = J.cusum_stream(
+        spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))
+    ).collect()
+    assert len(streamed) == len(batch) > 0
+    skey = {(r.user_id, r.event_id): r for r in streamed}
+    for b in batch:
+        s = skey[(b.user_id, b.event_id)]
+        assert s.ts_ns == b.ts_ns
+        assert abs(s.cusum - b.cusum) < 1e-9

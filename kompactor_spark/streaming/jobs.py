@@ -442,3 +442,69 @@ def cusum_stream(events: DataFrame, target: float = 0.5) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, CUSUM_SCHEMA, _CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+CROSSING_SCHEMA = "user_id long, event_id long, ts_ns long, prev_value double, value double, direction string"
+_CROSSING_STATE_SCHEMA = "prev double"
+
+
+def threshold_crossing_stream(events: DataFrame, theta: float = 0.9) -> DataFrame:
+    """X22-stream: alert-edge detection across micro-batches — emit a row
+    whenever a user's value crosses ``theta`` between consecutive
+    samples, with direction. State per user is the PREVIOUS value (one
+    double): the true alerting-backend shape — O(users) state, output
+    proportional to crossings, silence between edges. Batch path = the
+    x22 lag expression; equivalence test compares the two.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        th = F.lit(theta)
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        s = (
+            events.select(
+                "user_id",
+                "event_id",
+                (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+                "value",
+            )
+            .withColumn("prev_value", F.lag("value").over(w))
+        )
+        crossed = ((F.col("prev_value") <= th) & (F.col("value") > th)) | (
+            (F.col("prev_value") > th) & (F.col("value") <= th)
+        )
+        return s.where(F.col("prev_value").isNotNull() & crossed).withColumn(
+            "direction", F.when(F.col("value") > th, "rise").otherwise("fall")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        out = {k: [] for k in ("event_id", "ts_ns", "prev_value", "value", "direction")}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(ts_ns=pdf["ts"] - pdf["ts"] % 1000).sort_values(
+                ["ts_ns", "event_id"], kind="mergesort"
+            )
+            for eid, ts_ns, v in zip(pdf["event_id"], pdf["ts_ns"], pdf["value"]):
+                v = float(v)
+                if prev is not None and (
+                    (prev <= theta < v) or (v <= theta < prev)
+                ):
+                    out["event_id"].append(int(eid))
+                    out["ts_ns"].append(int(ts_ns))
+                    out["prev_value"].append(prev)
+                    out["value"].append(v)
+                    out["direction"].append("rise" if v > theta else "fall")
+                prev = v
+        if prev is not None:
+            state.update((prev,))
+        yield pd.DataFrame({"user_id": [int(key[0])] * len(out["event_id"]), **out})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, CROSSING_SCHEMA, _CROSSING_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

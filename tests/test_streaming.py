@@ -409,3 +409,34 @@ def test_x20_stream_cusum_transform_with_state(spark, src, tmp_path):
         s = skey[(b.user_id, b.event_id)]
         assert s.ts_ns == b.ts_ns
         assert abs(s.cusum - b.cusum) < 1e-9
+
+
+def test_x22_stream_threshold_crossings(spark, src, tmp_path):
+    """X22-stream: one-scalar state edge detector — appended crossings
+    across micro-batches equal the batch lag expression."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        J.threshold_crossing_stream(stream)
+        .writeStream.format("memory")
+        .queryName("x22s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x22"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        ((r.user_id, r.event_id, r.ts_ns, r.prev_value, r.value, r.direction)
+         for r in spark.sql("SELECT * FROM x22s").collect())
+    )
+    batch = sorted(
+        ((r.user_id, r.event_id, r.ts_ns, r.prev_value, r.value, r.direction)
+         for r in J.threshold_crossing_stream(
+             spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))
+         ).select("user_id", "event_id", "ts_ns", "prev_value", "value", "direction").collect())
+    )
+    assert streamed == batch and len(batch) > 0

@@ -1936,3 +1936,60 @@ def l5_phash_neardup(spark, sf_dir):
         .select("a_id", "b_id", F.col("a_seed").cast("bigint").alias("seed"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L6p — chunk-level dedup rate (new round 4): the same 64/48 sliding
+# chunker as l6_chunk_documents over the WHOLE corpus, hashed and
+# deduplicated per source — the signal that decides whether to dedup at
+# document or chunk grain (boilerplate-heavy sources duplicate chunks
+# long before whole documents). The 16-byte chunk hash rides the
+# distinct shuffle, never the chunk text.
+# --------------------------------------------------------------------------
+@register(
+    "l6_chunk_dedup_rate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    c AS (
+      SELECT source,
+             md5(array_to_string(list_slice(t, chunk_id * {_STRIDE} + 1,
+                                            chunk_id * {_STRIDE} + {_CHUNK}), ' ')) AS h
+      FROM (
+        SELECT source, t,
+               unnest(generate_series(0, CAST(floor((len(t) - 1) / {_STRIDE}) AS BIGINT))) AS chunk_id
+        FROM d))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+             AS chunk_dup_rate
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def l6_chunk_dedup_rate(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    t = F.split("text", " ")
+    d = fan_out(T("documents")).select("source", t.alias("t"))
+    n_chunks = F.floor((F.size("t") - 1) / _STRIDE).cast("bigint")
+    c = d.select(
+        "source", "t", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_id")
+    ).select(
+        "source",
+        F.md5(F.expr(f"array_join(slice(t, chunk_id * {_STRIDE} + 1, {_CHUNK}), ' ')")).alias("h"),
+    )
+    nd = F.countDistinct("h")
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            nd.cast("bigint").alias("n_unique"),
+            (
+                F.round(F.lit(1.0) - nd.cast("double") / F.count(F.lit(1)).cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("chunk_dup_rate"),
+        )
+        .orderBy("source")
+    )

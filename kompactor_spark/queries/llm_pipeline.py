@@ -1993,3 +1993,60 @@ def l6_chunk_dedup_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L3f — maximum-inner-product top-k (new round 4): cosine's sibling for
+# UNNORMALIZED embeddings (rerankers and recommenders train dot-product
+# scores where magnitude carries signal — MIPS, not cosine, is the
+# retrieval metric). Same shape as l3_batch_topk: broadcast query
+# batch × one corpus scan, JVM zip_with/aggregate fold, per-query
+# window top-k. MIPS famously does NOT admit the triangle-inequality
+# prunes cosine LSH gets; the scalable path is the same IVF partition
+# pruning (l3_ivf_topk) after the standard reduced-MIPS-to-cosine
+# augmentation — this H row pins the exact semantics those
+# approximations are judged against.
+# --------------------------------------------------------------------------
+@register(
+    "l3f_mips_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 4),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+             list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv) AS ip
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, vec_id, ip,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ip DESC, vec_id) AS rn
+      FROM sims)
+    SELECT query_id, vec_id, round(ip, 6) + 0.0 AS inner_product
+    FROM ranked WHERE rn <= 5
+    ORDER BY query_id, inner_product DESC, vec_id
+    """,
+)
+def l3f_mips_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dot.alias("ip"))
+    )
+    rn = F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("ip").desc(), "vec_id"))
+    return (
+        sims.withColumn("rn", rn)
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", (F.round("ip", 6) + F.lit(0.0)).alias("inner_product"))
+        .orderBy("query_id", F.col("inner_product").desc(), "vec_id")
+    )

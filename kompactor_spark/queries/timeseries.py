@@ -1103,3 +1103,86 @@ def x24_seasonal_backtest(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X25 — time-weighted average (new round 4): the irregular-sampling
+# statistic every metrics store ships (InfluxDB integral()/
+# TimescaleDB time_weight): each sample's value holds until the next
+# sample (LOCF step function), so the mean weights each value by its
+# holding duration, not its sample count — a sensor that reports once
+# an hour at 100 and once a second at 0 must NOT average near 50.
+# Exactness across engines: the per-row integral term value_e6 ×
+# duration_us is an exact int64 (< 2^50 here), limb-split and summed
+# on the long fast path (fixedpoint.py), so the numerator is EXACT on
+# both engines — no float summation-order drift — and the single final
+# division is the only floating-point operation. One window shuffle
+# (lead) + one aggregate on the same key.
+# --------------------------------------------------------------------------
+@register(
+    "x25_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value,
+             lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id) AS next_ns
+      FROM events),
+    seg AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS HUGEINT)
+               * CAST((next_ns - ts_ns) // 1000 AS HUGEINT) AS term_e2us,
+             (next_ns - ts_ns) // 1000 AS dur_us
+      FROM s WHERE next_ns IS NOT NULL)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+           round(CAST(sum(term_e2us) AS DOUBLE)
+                 / (100.0 * CAST(sum(dur_us) AS DOUBLE)), 6) + 0.0 AS tw_avg
+    FROM seg
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x25_time_weighted_avg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kompactor_spark import fixedpoint as fx
+
+    T = loader(sf_dir, spark)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    s = (
+        T("events")
+        .select(
+            "user_id",
+            (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),
+            "event_id",
+            "value",
+        )
+        .withColumn("next_ns", F.lead("ts_ns").over(w))
+        .where(F.col("next_ns").isNotNull())
+    )
+    dur_us = ((F.col("next_ns") - F.col("ts_ns")) / 1000).cast("long")
+    # e2 units (values are exact 2-decimal) x µs durations: worst-case
+    # term ~ 5e4 x 4e11 = 2e16, comfortably inside int64 — e6 units
+    # overflowed on multi-day gaps (the ARITHMETIC_OVERFLOW ANSI error,
+    # caught by the oracle harness). Bound: value_e2 x span_us < 2^63
+    # holds to ~6-year gaps at value 1e5.
+    term = fx.to_units("value", 2) * dur_us  # exact int64 integral term
+    hi, lo = fx.limb_split(term)
+    seg = s.select("user_id", dur_us.alias("dur_us"), hi.alias("t_hi"), lo.alias("t_lo"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+            (
+                F.round(
+                    fx.exact_sum("t_hi", "t_lo", 0).cast("double")
+                    / (F.lit(100.0) * F.sum("dur_us").cast("double")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("tw_avg"),
+        )
+        .orderBy("user_id")
+    )

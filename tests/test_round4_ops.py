@@ -395,3 +395,13 @@ def test_g2_degree_consistent_with_edges(spark, regs):
     assert len(top) <= 25
     for r in top:
         assert deg[r.user_id] == [r.degree, r.weighted_degree]
+
+
+def test_x25_time_weighted_avg_bounds(spark, regs):
+    rows = regs["x25_time_weighted_avg"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    for r in rows:
+        # a weighted mean of observed values stays within their range
+        assert vmin - 1e-6 <= r.tw_avg <= vmax + 1e-6
+        assert r.n_segments >= 1 and r.total_dur_us > 0

@@ -39,6 +39,33 @@ def shingles(col, n: int = 3) -> F.Column:
     )
 
 
+def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
+    """Shared blocking layout for the exact pairwise dedup ops:
+    fan the compact text scan across cores (shingling is CPU-bound and
+    a zstd documents file often arrives as ONE input split —
+    tables.fan_out), build the exploded (id, shingle) inverted index,
+    drop shingles hotter than max_shingle_freq (stopword-shingle skew
+    guard), and PIN the index's partitioning on the shingle key with an
+    explicit width: the self-join downstream is an EXPANSION join
+    (a shingle shared by f docs emits ~f² pairs), and AQE sizes its
+    post-shuffle partitions from the small INPUT map outputs — at 10×
+    the grading corpus that collapsed the pair generation to one task
+    (l2_containment_pairs: 679 s at sf1 before this fix, single-task
+    stages; scripts/perf_smoke.py is the sweep that caught it).
+    """
+    from kompactor_spark.tables import fan_out
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = fan_out(df).select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
+    inv = docs.select("id", F.explode("sh").alias("shingle"))
+    hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
+    inv = inv.join(F.broadcast(hot), "shingle", "left_anti").repartition(
+        n_parts, F.col("shingle")
+    )
+    return docs, sizes, inv
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -54,11 +81,7 @@ def jaccard_pairs(
     shingles per pair → exact Jaccard from |A|,|B|,|A∩B|. Only pairs
     sharing ≥1 (rare) shingle are ever materialized.
     """
-    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
-    inv = docs.select("id", F.explode("sh").alias("shingle"))
-    hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    docs, sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
 
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
@@ -97,11 +120,7 @@ def containment_pairs(
     Jaccard misses when the container is much larger). Same inverted-
     index blocking as jaccard_pairs; output is directed (id_a ⊂ id_b
     and id_b ⊂ id_a are separate rows)."""
-    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
-    inv = docs.select("id", F.explode("sh").alias("shingle"))
-    hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    docs, sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
 
     a, b = inv.alias("a"), inv.alias("b")
     shared = (

@@ -2050,3 +2050,57 @@ def l3f_mips_topk(spark, sf_dir):
         .select("query_id", "vec_id", (F.round("ip", 6) + F.lit(0.0)).alias("inner_product"))
         .orderBy("query_id", F.col("inner_product").desc(), "vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L4n — language-ID confusion matrix (new round 4): evaluate the l4
+# n-gram lang-id heuristic against the corpus's labeled `lang` column —
+# per (true, predicted) counts plus per-true-language recall. The
+# EVALUATION op every classifier in the pipeline needs: one scan
+# (reusing operators/text.lang_id_scores), one tiny aggregate; at
+# 100 TB the matrix is |langs|² rows regardless of corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "l4_langid_confusion",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das'))) AS BIGINT) AS d,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and')))  AS BIGINT) AS e,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','y','los')))   AS BIGINT) AS s_,
+             CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','les')))  AS BIGINT) AS f
+      FROM documents),
+    g AS (
+      SELECT lang,
+             CASE WHEN greatest(d, e, s_, f) = 0 THEN 'und'
+                  WHEN d = greatest(d, e, s_, f) THEN 'de'
+                  WHEN e = greatest(d, e, s_, f) THEN 'en'
+                  WHEN s_ = greatest(d, e, s_, f) THEN 'es'
+                  ELSE 'fr' END AS lang_guess
+      FROM s)
+    SELECT lang, lang_guess,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE), 6) + 0.0
+             AS share_of_true
+    FROM g
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def l4_langid_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    g = X.lang_id_scores(fan_out(T("documents"))).select("lang", "lang_guess")
+    w = Window.partitionBy("lang")
+    return (
+        g.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "share_of_true",
+            F.round(F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6)
+            + F.lit(0.0),
+        )
+        .orderBy("lang", "lang_guess")
+    )

@@ -871,3 +871,86 @@ def a21_winsorized_mean(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# W14 — Pareto / revenue-concentration (new round 4): what share of
+# total order revenue do the top 1%/5%/20% of customers carry — the
+# Lorenz-curve points behind every "80/20" business readout. One
+# aggregate per customer (exact limb sums), one global revenue rank
+# window over the CUSTOMER-level rows (dims-scale, not fact-scale —
+# the window never sees raw orders), cumulative share at the three
+# cut ranks. Numerators and denominators are exact integer cents;
+# shares are the only float ops, computed identically on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "w14_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT) AS rev_cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS rnk,
+             count(*) OVER () AS n_cust,
+             sum(rev_cents) OVER () AS total_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      FROM per_cust)
+    SELECT CAST(pct AS BIGINT) AS top_pct,
+           CAST(max(rnk) AS BIGINT) AS n_top_customers,
+           round(CAST(max(cum_cents) AS DOUBLE) / CAST(max(total_cents) AS DOUBLE), 6) + 0.0
+             AS revenue_share
+    FROM ranked CROSS JOIN (SELECT unnest([1, 5, 20]) AS pct)
+    WHERE rnk <= greatest(1, CAST(floor(n_cust * pct / 100.0) AS BIGINT))
+    GROUP BY pct
+    ORDER BY top_pct
+    """,
+)
+def w14_pareto_share(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kompactor_spark import fixedpoint as fx
+
+    T = loader(sf_dir, spark)
+    units = fx.to_units("o_totalprice", 2)
+    hi, lo = fx.limb_split(units)
+    per_cust = (
+        T("orders")
+        .select("o_custkey", hi.alias("h"), lo.alias("l"))
+        .groupBy("o_custkey")
+        .agg(fx.exact_sum("h", "l", 0).alias("rev_cents"))  # exact decimal cents
+    )
+    wr = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
+    wall = Window.partitionBy()
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+        F.sum("rev_cents").over(wall).alias("total_cents"),
+        F.sum("rev_cents").over(wcum).alias("cum_cents"),
+    )
+    pcts = F.explode(F.array(F.lit(1), F.lit(5), F.lit(20))).alias("pct")
+    return (
+        ranked.select("*", pcts)
+        .where(
+            F.col("rnk")
+            <= F.greatest(
+                F.lit(1), F.floor(F.col("n_cust") * F.col("pct") / 100.0).cast("long")
+            )
+        )
+        .groupBy(F.col("pct").cast("bigint").alias("top_pct"))
+        .agg(
+            F.max("rnk").cast("bigint").alias("n_top_customers"),
+            (
+                F.round(
+                    F.max("cum_cents").cast("double") / F.max("total_cents").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("revenue_share"),
+        )
+        .orderBy("top_pct")
+    )

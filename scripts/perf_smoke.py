@@ -1,0 +1,51 @@
+"""Perf smoke sweep: every registered query once at 10× the grading
+scale (benchdata/sf1), wall-clock recorded, slowest first.
+
+Correctness runs at sf0.01; this sweep exists to catch SCALE
+pathologies the grading scale hides — a plan that silently collapses to
+one core, an accidental cartesian, an expansion join mis-sized by AQE
+(the class that made j14 run 2 tasks wide before round 4). Any query
+whose sf1 time is wildly out of family with its shape gets a plan
+audit. Writes scripts/perf_smoke_out.json; prints the slowest 25.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1")
+
+
+def main() -> None:
+    from kompactor_spark.queries import all_queries
+    from kompactor_spark.session import get_spark
+
+    spark = get_spark("perf-smoke")
+    out: dict[str, float | str] = {}
+    for name, fn in sorted(all_queries().items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, DST)
+            n = df.count()
+            out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        except Exception as exc:
+            out[name] = {"sec": round(time.perf_counter() - t0, 2), "error": repr(exc)[:200]}
+        print(f"{out[name]}  {name}", flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_smoke_out.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    worst = sorted(
+        (v["sec"], k) for k, v in out.items() if isinstance(v, dict) and "sec" in v
+    )[-25:]
+    print("\nSLOWEST 25 at sf1:")
+    for sec, k in reversed(worst):
+        print(f"  {sec:8.2f}s  {k}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

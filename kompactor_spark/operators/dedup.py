@@ -158,6 +158,15 @@ def minhash_lsh_pairs(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    # NOTE: this wrapper is the RECALL BASELINE, not the scale path.
+    # approxSimilarityJoin's internal explode+self-join under-estimates
+    # its exploded hash side, so Spark can pick a driver-breaking
+    # broadcast for it at 10x the grading corpus (observed: borderline
+    # OOM at sf1 under a 32 MB broadcast threshold) — and the internal
+    # join accepts no hints, no width pin, no fan-out. That lack of
+    # control is exactly why minhash_band_pairs below hand-rolls the
+    # same construction with explicit banding, bucket caps, fan-out and
+    # join width; use IT beyond the grading scales.
     docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(docs)
@@ -209,12 +218,16 @@ def minhash_band_pairs(
     Probability tuning and the band-bucket layout follow the standard
     MinHash-LSH construction (Broder; MMDS ch.3).
     """
+    from kompactor_spark.tables import fan_out
+
     P = 2147483647  # 2^31 - 1 (Mersenne prime)
     rnd = __import__("random").Random(seed)
     coeffs = [(rnd.randrange(1, P), rnd.randrange(0, P)) for _ in range(num_hashes)]
     num_bands = num_hashes // rows_per_band
 
-    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(
+    # fan_out: the k-permutation signature pass is the CPU hot spot and
+    # must not run on one input split (perf_smoke caught 365 s at sf1)
+    docs = fan_out(df).select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(
         F.size("sh") > 0
     )
     hs = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
@@ -251,7 +264,12 @@ def minhash_band_pairs(
         .where(F.col("count") > max_bucket_size)
         .select("band_idx", "band_sig")
     )
-    cool = exploded.join(F.broadcast(hot), ["band_idx", "band_sig"], "left_anti")
+    # explicit width on the bucket key: the bucket self-join is an
+    # expansion join (same AQE-input-sizing trap as _inverted_index)
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cool = exploded.join(F.broadcast(hot), ["band_idx", "band_sig"], "left_anti").repartition(
+        n_parts, F.col("band_idx"), F.col("band_sig")
+    )
 
     a, b = cool.alias("a"), cool.alias("b")
     candidates = (
@@ -283,7 +301,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     Per-bit majority over token hashes computed with one explode +
     grouped SUMs of bit contributions (+1/-1), then bit reassembly.
     """
-    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+    from kompactor_spark.tables import fan_out
+
+    tok = fan_out(df).select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
     h = tok.select("id", md5_hash60(F.col("t")).alias("h"))
     votes = h.groupBy("id").agg(
         *[

@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1")
 
+# Not run at sweep scale: pyspark.ml's approxSimilarityJoin internals
+# under-estimate their exploded hash side and can OOM the driver with a
+# mis-chosen broadcast at sf1 (no hint/width control exists — see
+# operators/dedup.py::minhash_lsh_pairs). A driver OOM would poison
+# every query after it, so the wrapper is excluded here; the
+# hand-rolled minhash_band_pairs (same construction, controlled plan)
+# IS swept.
+SKIP = {"l2_minhash_lsh": "ml approxSimilarityJoin broadcast OOM risk at sf1 (documented)"}
+
 
 def main() -> None:
     from kompactor_spark.queries import all_queries
@@ -28,6 +37,10 @@ def main() -> None:
     spark = get_spark("perf-smoke")
     out: dict[str, float | str] = {}
     for name, fn in sorted(all_queries().items()):
+        if name in SKIP:
+            out[name] = {"skipped": SKIP[name]}
+            print(f"{out[name]}  {name}", flush=True)
+            continue
         t0 = time.perf_counter()
         try:
             df = fn(spark, DST)

@@ -405,3 +405,26 @@ def test_x25_time_weighted_avg_bounds(spark, regs):
         # a weighted mean of observed values stays within their range
         assert vmin - 1e-6 <= r.tw_avg <= vmax + 1e-6
         assert r.n_segments >= 1 and r.total_dur_us > 0
+
+
+def test_langid_confusion_shares_sum_to_one(spark, regs):
+    rows = regs["l4_langid_confusion"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r.n for r in rows) == docs.count()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for rs in by_lang.values():
+        assert abs(sum(r.share_of_true for r in rs) - 1.0) < 1e-4
+
+
+def test_pareto_shares_monotone(spark, regs):
+    rows = {r.top_pct: r for r in regs["w14_pareto_share"](spark, SF).collect()}
+    assert set(rows) == {1, 5, 20}
+    # more customers -> more cumulative share; shares in (0, 1]
+    assert rows[1].revenue_share <= rows[5].revenue_share <= rows[20].revenue_share
+    assert rows[1].n_top_customers <= rows[5].n_top_customers <= rows[20].n_top_customers
+    for r in rows.values():
+        assert 0.0 < r.revenue_share <= 1.0
+        # top customers by revenue concentrate: share >= pct/100
+        assert r.revenue_share >= r.top_pct / 100.0

@@ -1,0 +1,167 @@
+"""Distributed k-means (Lloyd refinement) and cluster-blocked semantic
+dedup over embedding columns.
+
+Scale shape (the 100 TB story)
+------------------------------
+Assignment is a pure narrow projection: the k x d centroid model is
+embedded as literals (the standard broadcast-model Lloyd step — MLlib's
+KMeans does the same collect-k-centroids-per-iteration), so each scan
+partition assigns its rows independently with ZERO shuffle.  The only
+shuffles are the centroid recomputation (posexplode -> groupBy
+(cluster, dim), map-side partial agg: shuffle volume is k*d partial
+sums per task, independent of row count) and the final per-cluster
+count.  Driver state is O(k*d) doubles — model, not data.
+
+Cross-engine determinism
+------------------------
+Centroid means of IEEE doubles are summation-order-dependent, so a
+naive float mean cannot hash-match a DuckDB oracle bit-for-bit.  Each
+component is therefore quantized to an exact integer count of 2^-40
+units — ``round(x * 2^40)`` is bit-identical in Spark and DuckDB (both
+round half away from zero, and x * 2^40 is an exact double product for
+float32 inputs) — summed exactly as two long limbs
+(fixedpoint.limb_split discipline: safe past 2^23 rows per cluster on
+one limb, unbounded with the split), and divided back out in a fixed
+order.  Both engines then see bit-identical centroids, so iteration-2
+assignment (argmin over macroscopically separated distances) agrees.
+
+Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540) prunes
+near-duplicate PAIRS inside each k-means cell only — the cell is the
+blocking key, turning an O(n^2) corpus self-join into per-cell joins.
+Cross-cell pairs are deliberately out of scope (that approximation IS
+the published algorithm); at 100 TB the cell id becomes the partition
+key and each cell's pair join is independent work.
+
+Reference parity: kompactor.ts has no clustering surface; this is part
+of the driver-mandated LLM-pipeline extension (dedup/similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kompactor_spark import fixedpoint as fx
+
+#: Quantization scale for exact centroid sums: 2^40 units per 1.0.
+SCALE_BITS = 40
+SCALE = float(1 << SCALE_BITS)
+
+
+def _dist2_to_literal(v, centroid: list[float]) -> F.Column:
+    """Squared L2 distance from array column ``v`` to a literal centroid,
+    folded in index order (deterministic given identical inputs)."""
+    cv = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(v, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_literal(emb: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Add ``cluster`` = argmin_c dist(v, c) as a shuffle-free projection.
+
+    ``emb`` needs columns (vec_id, v: array<double>).  Ties break on the
+    smaller centroid id via struct ordering — deterministic.
+    """
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2_to_literal(F.col("v"), cv).alias("d2"),
+                    F.lit(int(cid)).alias("cid"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+    )
+    return emb.withColumn("cluster", best["cid"])
+
+
+def exact_mean_centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cluster elementwise mean, exact: quantize -> limb-sum longs ->
+    recombine in DECIMAL(38) -> one double division chain.
+
+    Input needs (cluster, v: array<double>); returns
+    (cluster, pos, cd) with ``cd`` bit-identical to DuckDB's
+    ``CAST(SUM(CAST(round(x*2^40) AS BIGINT)) AS DOUBLE)/2^40/n``.
+    """
+    flat = assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+    q = F.round(F.col("x") * F.lit(SCALE)).cast("long")
+    hi, lo = fx.limb_split(q)
+    agg = flat.select("cluster", "pos", hi.alias("hi"), lo.alias("lo")).groupBy(
+        "cluster", "pos"
+    ).agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"), F.count(F.lit(1)).alias("n"))
+    total = (
+        F.col("shi").cast("decimal(38,0)") * F.lit(fx.LIMB).cast("decimal(7,0)")
+        + F.col("slo").cast("decimal(38,0)")
+    ).cast("double")
+    return agg.select(
+        "cluster", "pos", (total / F.lit(SCALE) / F.col("n").cast("double")).alias("cd")
+    )
+
+
+def _collect_centroids(cent_long: DataFrame) -> list[tuple[int, list[float]]]:
+    """(cluster, pos, cd) rows -> [(cid, [c0..cd-1]), ...].  O(k*d) model
+    state — the broadcast-model step of Lloyd's, not a data collect."""
+    rows = cent_long.collect()
+    byc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        byc.setdefault(r["cluster"], {})[r["pos"]] = r["cd"]
+    return [
+        (cid, [comps[p] for p in sorted(comps)]) for cid, comps in sorted(byc.items())
+    ]
+
+
+def seed_centroids(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """Deterministic seeds: the k lowest vec_ids, verbatim (a public
+    k-means deterministic-init convention for reproducible pipelines)."""
+    rows = emb.where(F.col("vec_id") < k).select("vec_id", "v").collect()
+    return [(int(r["vec_id"]), [float(x) for x in r["v"]]) for r in sorted(rows)]
+
+
+def kmeans_refine(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """``iters`` Lloyd iterations from deterministic seeds; returns the
+    final assignment (vec_id, v, cluster)."""
+    cents = seed_centroids(emb, k)
+    assigned = assign_literal(emb, cents)
+    for _ in range(iters - 1):
+        cents = _collect_centroids(exact_mean_centroids(assigned))
+        assigned = assign_literal(emb, cents)
+    return assigned
+
+
+def semantic_dedup_pairs(emb: DataFrame, k: int = 8, threshold: float = 0.25) -> DataFrame:
+    """SemDeDup: cosine-similar pairs inside each k-means cell.
+
+    Returns (id_a, id_b, cluster_id, cosine) with id_a < id_b.  The
+    self-join key is (cluster) — per-cell quadratic, never corpus-wide.
+    """
+    assigned = kmeans_refine(emb, k=k, iters=2).select(
+        F.col("vec_id"), F.col("v"), F.col("cluster")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (nrm("a") * nrm("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.col("a.cluster").alias("cluster_id"),
+            cos.alias("cos_raw"),
+        )
+        .where(F.col("cos_raw") >= threshold)
+    )

@@ -2104,3 +2104,161 @@ def l4_langid_confusion(spark, sf_dir):
         )
         .orderBy("lang", "lang_guess")
     )
+
+
+# --------------------------------------------------------------------------
+# L7c / L2g — deterministic 2-iteration Lloyd k-means + SemDeDup.
+# Shared oracle CTE chain: seeds = vec_id < 8 verbatim; iteration-1
+# assignment; EXACT quantized centroid means (round(x*2^40) -> BIGINT
+# sum -> fixed-order division chain, bit-identical to the engine's
+# limb-split path in operators/cluster.py); iteration-2 assignment.
+# --------------------------------------------------------------------------
+_KMEANS_CTE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    a1 AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rn
+        FROM e CROSS JOIN c0) WHERE rn = 1),
+    flat AS (SELECT a1.cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+             FROM e JOIN a1 USING (vec_id)),
+    m1 AS (SELECT cluster, pos,
+                  CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                    / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS cd
+           FROM flat GROUP BY cluster, pos),
+    c1 AS (SELECT cluster AS cid, list(cd ORDER BY pos) AS cv FROM m1 GROUP BY cluster),
+    a2 AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, c1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, c1.cv), c1.cid) AS rn
+        FROM e CROSS JOIN c1) WHERE rn = 1)
+"""
+
+
+@register(
+    "l7_kmeans_refine",
+    oracle=_KMEANS_CTE
+    + """
+    SELECT a2.cluster AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           round(any_value(nrm), 6) + 0.0 AS centroid_norm
+    FROM a2 JOIN (SELECT cluster, sqrt(SUM(cd * cd)) AS nrm
+                  FROM m1 GROUP BY cluster) nm ON nm.cluster = a2.cluster
+    GROUP BY a2.cluster
+    ORDER BY cluster_id
+    """,
+)
+def l7_kmeans_refine(spark, sf_dir):
+    """Distributed Lloyd's (2 iterations, k=8, deterministic seeds).
+
+    operators/cluster.py carries the scale analysis: assignment is a
+    shuffle-free broadcast-model projection; centroid recompute shuffles
+    only k*d partial limb sums per task.  Exact quantized means make the
+    refined model bit-identical to the DuckDB oracle, so the iteration-2
+    cluster census hash-matches — an ITERATIVE algorithm under the hash
+    gate, not just one pass."""
+    from kompactor_spark.operators import cluster as C
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = C.seed_centroids(emb, k=8)
+    a1 = C.assign_literal(emb, cents)
+    m1 = C.exact_mean_centroids(a1)
+    c1 = C._collect_centroids(m1)
+    a2 = C.assign_literal(emb, c1)
+    norms = m1.groupBy("cluster").agg(F.sqrt(F.sum(F.col("cd") * F.col("cd"))).alias("nrm"))
+    return (
+        a2.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .join(norms, "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_points",
+            (F.round("nrm", 6) + F.lit(0.0)).alias("centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "l2_semantic_dedup",
+    oracle=_KMEANS_CTE
+    + """
+    , asg AS (SELECT e.vec_id, e.v, a2.cluster FROM e JOIN a2 USING (vec_id))
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.cluster AS cluster_id,
+           round(list_cosine_similarity(a.v, b.v), 6) + 0.0 AS cosine
+    FROM asg a JOIN asg b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): near-dup pairs INSIDE each k-means
+    cell — the cell is the blocking key, so the self-join is per-cell
+    quadratic, never corpus-wide.  Cross-cell misses are the published
+    algorithm's own approximation, and the oracle encodes the identical
+    cell-blocked semantics."""
+    from kompactor_spark.operators import cluster as C
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        C.semantic_dedup_pairs(emb, k=8, threshold=0.25)
+        .select(
+            "id_a",
+            "id_b",
+            "cluster_id",
+            (F.round("cos_raw", 6) + F.lit(0.0)).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# L4o — per-document character-level Shannon entropy (gibberish /
+# compression-artifact quality signal; complements doc_stats ratios and
+# the corpus-LM surprisal score).  One explode -> two hash aggs, all
+# JVM-side; shuffle volume is (doc, char) pairs with map-side combine.
+# --------------------------------------------------------------------------
+@register(
+    "l4_char_entropy",
+    oracle="""
+    WITH flat AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents),
+    cnt AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+            FROM flat GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+            FROM cnt GROUP BY doc_id)
+    SELECT c.doc_id, any_value(t.n_distinct_chars) AS n_distinct_chars,
+           round(-SUM((c.c / t.n) * ln(c.c / t.n)), 6) + 0.0 AS char_entropy
+    FROM cnt c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def l4_char_entropy(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    flat = fan_out(T("documents")).select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    cnt = flat.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars")
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n_distinct_chars").alias("n_distinct_chars"),
+            (F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2262,3 +2262,79 @@ def l4_char_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L6q — END-TO-END training-data pipeline in one declarative plan:
+# quality gate -> exact dedup (canonical = min doc_id per text) ->
+# deterministic md5 split -> per-(split, source) census.  Each stage is
+# individually proven elsewhere (l6_quality_filter, l1_exact_dedup,
+# l6_train_val_split); the composite shows they FUSE into a single
+# Catalyst plan — one scan, three shuffles (dedup groupBy, census
+# groupBy; the gate and split are narrow) — instead of three
+# materialized passes, which is the difference between 3x and 1x the
+# corpus scan cost at 100 TB.
+# --------------------------------------------------------------------------
+@register(
+    "l6_e2e_pipeline",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 20
+        AND CAST(len(replace(text, ' ', '')) AS DOUBLE)
+              / len(string_split(text, ' ')) <= 12
+    ),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
+             min_by(n_tokens, doc_id) AS n_tokens
+      FROM gated GROUP BY text
+    ),
+    split AS (
+      SELECT source, n_tokens,
+             CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'f8' THEN 'train'
+                  WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'fc' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM split GROUP BY split, source
+    ORDER BY split, source
+    """,
+)
+def l6_e2e_pipeline(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ts = F.split("text", " ")
+    gated = (
+        fan_out(T("documents"))
+        .select("doc_id", "source", "text", F.size(ts).alias("n_tokens"))
+        .where(
+            (F.size(ts) >= 20)
+            & (
+                F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(ts)
+                <= 12
+            )
+        )
+    )
+    deduped = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = deduped.select(
+        "source",
+        "n_tokens",
+        F.when(h < "f8", "train").when(h < "fc", "val").otherwise("test").alias("split"),
+    )
+    return (
+        split.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        )
+        .orderBy("split", "source")
+    )

@@ -428,3 +428,20 @@ def test_pareto_shares_monotone(spark, regs):
         assert 0.0 < r.revenue_share <= 1.0
         # top customers by revenue concentrate: share >= pct/100
         assert r.revenue_share >= r.top_pct / 100.0
+
+
+def test_e2e_pipeline_single_scan_and_conservation(spark, regs):
+    df = regs["l6_e2e_pipeline"](spark, SF)
+    # One declarative plan = ONE scan of documents (gate/dedup/split/census
+    # fuse; no re-reads between stages).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    rows = df.collect()
+    assert rows
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    # census counts can't exceed the gated corpus, and dedup can't create docs
+    docs = load_table(spark, SF, "documents").count()
+    assert 0 < sum(r.n_docs for r in rows) <= docs
+    for r in rows:
+        # every surviving doc passed the >= 20 token gate
+        assert r.n_tokens_total >= 20 * r.n_docs

@@ -2338,3 +2338,72 @@ def l6_e2e_pipeline(spark, sf_dir):
         )
         .orderBy("split", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# L6r — temperature-based language rebalancing (alpha-sampling, the
+# multilingual-corpus recipe from the mT5/XLM-R line of work): sampling
+# mass p_l ~ n_l^alpha with alpha=0.3 flattens the language skew (en is
+# downsampled hard, tail languages keep nearly everything) while a
+# deterministic md5 rank picks WHICH docs survive — reproducible and
+# partitioning-independent. Shape: per-language count table (5 rows) ->
+# one-row normalizer broadcast -> keep-quota broadcast against a single
+# rank-windowed corpus scan. At 100 TB the quota table stays KBs.
+# --------------------------------------------------------------------------
+@register(
+    "l6_temperature_sample",
+    oracle="""
+    WITH w AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS cnt
+               FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(POW(cnt, 0.3)) AS z, SUM(cnt) AS n FROM w),
+    keep AS (SELECT lang, cnt,
+                    CAST(floor(0.5 * n * POW(cnt, 0.3) / z) AS BIGINT) AS k
+             FROM w, tot),
+    ranked AS (SELECT doc_id, lang,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)),
+                                                  doc_id) AS rn
+               FROM documents)
+    SELECT r.lang,
+           CAST(any_value(k2.cnt) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS kept,
+           round(CAST(count(*) AS DOUBLE) / any_value(k2.cnt), 6) + 0.0 AS keep_rate
+    FROM ranked r JOIN keep k2 ON r.lang = k2.lang
+    WHERE r.rn <= k2.k
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def l6_temperature_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    w = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    tot = w.agg(
+        F.sum(F.pow("cnt", F.lit(0.3))).alias("z"), F.sum("cnt").alias("n")
+    )
+    keep = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.floor(F.lit(0.5) * F.col("n") * F.pow("cnt", F.lit(0.3)) / F.col("z"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    h = F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h, "doc_id"))
+    return (
+        docs.select("doc_id", "lang", rn.alias("rn"))
+        .join(F.broadcast(keep), "lang")
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.any_value("cnt").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("kept"),
+            (
+                F.round(F.count(F.lit(1)).cast("double") / F.any_value("cnt"), 6)
+                + F.lit(0.0)
+            ).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

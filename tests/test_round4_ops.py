@@ -445,3 +445,19 @@ def test_e2e_pipeline_single_scan_and_conservation(spark, regs):
     for r in rows:
         # every surviving doc passed the >= 20 token gate
         assert r.n_tokens_total >= 20 * r.n_docs
+
+
+def test_temperature_sample_flattens_language_skew(spark, regs):
+    rows = regs["l6_temperature_sample"](spark, SF).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    kept = sum(r.kept for r in rows)
+    # target is half the corpus (floor rounding loses at most one doc/lang)
+    assert abs(kept - 0.5 * total) <= len(rows) + 1
+    for r in rows:
+        assert 0 < r.kept <= r.n_docs
+    # alpha < 1 flattens: bigger languages get LOWER keep rates
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    for lo, hi in zip(by_n, by_n[1:]):
+        if lo.n_docs < hi.n_docs:
+            assert lo.keep_rate >= hi.keep_rate - 1e-9

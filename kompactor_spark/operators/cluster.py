@@ -165,3 +165,93 @@ def semantic_dedup_pairs(emb: DataFrame, k: int = 8, threshold: float = 0.25) ->
         )
         .where(F.col("cos_raw") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each vector into n_sub subspaces,
+# k-means each subspace independently, store one code per subspace.
+# Here: one exact-quantized Lloyd refinement from deterministic seeds
+# (subvectors of vec_id < k), same bit-reproducibility discipline as
+# kmeans_refine.  Scale shape: the codebook is n_sub*k*(d/n_sub) doubles
+# (KBs — broadcast), training shuffles only codebook-sized partial sums,
+# and encoding is a broadcast join + per-(vec, sub) argmin — linear in
+# corpus size with no corpus-wide shuffle wider than (vec, sub, code).
+# ---------------------------------------------------------------------------
+
+
+def _subspace_rows(emb: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
+    """(vec_id, v) -> (vec_id, sub, sv): one row per subspace slice."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice("v", s * sub_dim + 1, sub_dim).alias("sv"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    return emb.select("vec_id", F.inline(slices))
+
+
+def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Argmin code per (vec_id, sub) against codebook (sub, code, cv);
+    ties break on the smaller code.  Keeps sv for downstream training."""
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d2"), F.col("code"))
+    return (
+        subs.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", "sv", "code", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "d2")
+    )
+
+
+def pq_codebook(emb: DataFrame, n_sub: int = 8, k: int = 16):
+    """Train a PQ codebook (1 exact Lloyd refinement) and encode.
+
+    Returns (assignments, centroid_means): assignments = (vec_id, sub,
+    code) after refinement; centroid_means = (sub, code, pos, cd) long
+    format with ``cd`` exact-quantized (bit-identical cross-engine).
+    """
+    sub_dim = len(emb.select("v").first()[0]) // n_sub
+    subs = _subspace_rows(emb, n_sub, sub_dim)
+    c0 = subs.where(F.col("vec_id") < k).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    a1 = _pq_assign(subs, c0)
+    flat = a1.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+    q = F.round(F.col("x") * F.lit(SCALE)).cast("long")
+    hi, lo = fx.limb_split(q)
+    m1 = (
+        flat.select("sub", "code", "pos", hi.alias("hi"), lo.alias("lo"))
+        .groupBy("sub", "code", "pos")
+        .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "sub",
+            "code",
+            "pos",
+            (
+                (
+                    F.col("shi").cast("decimal(38,0)") * F.lit(fx.LIMB).cast("decimal(7,0)")
+                    + F.col("slo").cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(SCALE)
+                / F.col("n").cast("double")
+            ).alias("cd"),
+        )
+    )
+    c1 = m1.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+        ).alias("cv")
+    )
+    a2 = _pq_assign(subs, c1).select("vec_id", "sub", "code")
+    return a2, m1

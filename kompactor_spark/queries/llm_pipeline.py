@@ -2407,3 +2407,69 @@ def l6_temperature_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# L3g — product-quantization codebook (Jégou et al. 2011): 8 subspaces
+# x 16 codes, one exact-quantized Lloyd refinement from deterministic
+# seeds, then the per-(subspace, code) census + refined centroid norms.
+# The PQ component of an IVF-PQ index: codes shrink a 64-dim float
+# vector to 8 bytes. operators/cluster.py::pq_codebook carries the
+# scale shape (KB codebook broadcast; no corpus-wide shuffle wider than
+# (vec, sub, code)).
+# --------------------------------------------------------------------------
+@register(
+    "l3g_pq_codebook",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT e.vec_id, s.sub, e.v[s.sub*8+1 : s.sub*8+8] AS sv
+             FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+    c0 AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 16),
+    a1 AS (SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, c0.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                                  ORDER BY list_distance(subs.sv, c0.cv), c0.code) AS rn
+        FROM subs JOIN c0 ON subs.sub = c0.sub) WHERE rn = 1),
+    flat AS (SELECT a1.sub, a1.code, generate_subscripts(subs.sv, 1) AS pos, unnest(subs.sv) AS x
+             FROM subs JOIN a1 ON subs.vec_id = a1.vec_id AND subs.sub = a1.sub),
+    m1 AS (SELECT sub, code, pos,
+                  CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                    / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS cd
+           FROM flat GROUP BY sub, code, pos),
+    c1 AS (SELECT sub, code, list(cd ORDER BY pos) AS cv FROM m1 GROUP BY sub, code),
+    a2 AS (SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, c1.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                                  ORDER BY list_distance(subs.sv, c1.cv), c1.code) AS rn
+        FROM subs JOIN c1 ON subs.sub = c1.sub) WHERE rn = 1)
+    SELECT a2.sub, a2.code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(any_value(nm.nrm), 6) + 0.0 AS centroid_norm
+    FROM a2 JOIN (SELECT sub, code, sqrt(SUM(cd*cd)) AS nrm
+                  FROM m1 GROUP BY sub, code) nm
+      ON nm.sub = a2.sub AND nm.code = a2.code
+    GROUP BY a2.sub, a2.code ORDER BY a2.sub, a2.code
+    """,
+)
+def l3g_pq_codebook(spark, sf_dir):
+    from kompactor_spark.operators import cluster as C
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a2, m1 = C.pq_codebook(emb, n_sub=8, k=16)
+    norms = m1.groupBy("sub", "code").agg(
+        F.sqrt(F.sum(F.col("cd") * F.col("cd"))).alias("nrm")
+    )
+    return (
+        a2.groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .join(norms, ["sub", "code"])
+        .select(
+            "sub",
+            "code",
+            "n_vecs",
+            (F.round("nrm", 6) + F.lit(0.0)).alias("centroid_norm"),
+        )
+        .orderBy("sub", "code")
+    )

@@ -106,3 +106,39 @@ def test_char_entropy_bounds(spark, sf_dir):
         assert r["n_distinct_chars"] >= 1
         # 0 <= H <= ln(alphabet size)
         assert -1e-9 <= r["char_entropy"] <= math.log(r["n_distinct_chars"]) + 1e-9
+
+
+def test_pq_codebook_codes_complete_and_refined(emb):
+    a2, m1 = C.pq_codebook(emb, n_sub=8, k=16)
+    rows = a2.collect()
+    n = emb.count()
+    # exactly one code per (vec, subspace); codes in range
+    assert len(rows) == n * 8
+    assert len({(r["vec_id"], r["sub"]) for r in rows}) == n * 8
+    assert all(0 <= r["code"] < 16 and 0 <= r["sub"] < 8 for r in rows)
+
+    # Lloyd monotonicity, per subspace: total quantization SSE with the
+    # refined codebook <= SSE with the seed codebook.
+    vecs = {r["vec_id"]: r["v"] for r in emb.collect()}
+    cb1: dict = {}
+    for r in m1.collect():
+        cb1.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["cd"]
+    cb1 = {k: [d[p] for p in sorted(d)] for k, d in cb1.items()}
+    seeds = {
+        (s, vid): vecs[vid][s * 8 : s * 8 + 8] for s in range(8) for vid in range(16)
+    }
+
+    def sse(codebook):
+        tot = 0.0
+        for vid, v in vecs.items():
+            for s in range(8):
+                sv = v[s * 8 : s * 8 + 8]
+                tot += min(
+                    sum((a - b) ** 2 for a, b in zip(sv, cv))
+                    for (s2, _), cv in codebook.items()
+                    if s2 == s
+                )
+        return tot
+
+    seed_cb = {(s, c): seeds[(s, c)] for s in range(8) for c in range(16)}
+    assert sse(cb1) <= sse(seed_cb) + 1e-9

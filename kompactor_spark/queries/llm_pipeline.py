@@ -1148,16 +1148,19 @@ def l4_bm25(spark, sf_dir):
     cols = [F.size(ts).cast("double").alias("dl")] + [
         _tf(t).alias(f"tf_{t}") for t in _BM25_TERMS
     ]
-    # Tokenize the text scan ONCE: eagerly localCheckpoint the narrow
+    # Tokenize the text scan ONCE: a LAZY localCheckpoint of the narrow
     # per-doc projection (doc_id + 4 doubles — tiny next to the text it
-    # came from), take the 1-row corpus stats as driver scalars, and
-    # score straight off the checkpoint — no second tokenize pass and no
-    # join. Unlike persist(), checkpoint blocks are released by the
+    # came from). The 1-row corpus stats aggregate over it is broadcast
+    # back with a cross join, so the whole query is ONE action: Spark
+    # executes the broadcast subtree first (tokenize + checkpoint + agg),
+    # then scores the main side straight off the checkpoint blocks — no
+    # second tokenize pass, no driver collect, no eager construction
+    # jobs. Unlike persist(), checkpoint blocks are released by the
     # ContextCleaner once the DataFrame is garbage-collected, so a
-    # 162-query session doesn't accumulate pinned storage (ADVICE r3).
+    # 190-query session doesn't accumulate pinned storage (ADVICE r3).
     # At 100 TB the checkpoint is rows x ~40 B (spills to disk if
-    # needed); the stats collect is one aggregated row, not data.
-    d = fan_out(T("documents")).select("doc_id", *cols).localCheckpoint(eager=True)
+    # needed); the broadcast is one aggregated row, not data.
+    d = fan_out(T("documents")).select("doc_id", *cols).localCheckpoint(eager=False)
     g = d.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg("dl").alias("avgdl"),
@@ -1167,17 +1170,18 @@ def l4_bm25(spark, sf_dir):
             .alias(f"df_{t}")
             for t in _BM25_TERMS
         ],
-    ).first()
-    n, avgdl = F.lit(float(g["n"])), F.lit(float(g["avgdl"]))
+    )
+    n, avgdl = F.col("n"), F.col("avgdl")
     norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl)
     score = None
     for t in _BM25_TERMS:
-        df_t = F.lit(float(g[f"df_{t}"]))
+        df_t = F.col(f"df_{t}")
         idf = F.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
         part = idf * (F.col(f"tf_{t}") * 2.2) / (F.col(f"tf_{t}") + norm)
         score = part if score is None else score + part
     return (
-        d.where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
+        d.crossJoin(F.broadcast(g))
+        .where(sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)

@@ -2477,3 +2477,122 @@ def l3g_pq_codebook(spark, sf_dir):
         )
         .orderBy("sub", "code")
     )
+
+
+# --------------------------------------------------------------------------
+# L3h — PQ asymmetric-distance top-k (the SEARCH half of IVF-PQ, Jégou
+# et al. 2011 §4): train the l3g codebook, encode the corpus to
+# (vec_id, sub, code), build the query's 8x16 distance lookup table
+# (one squared L2 per (subspace, code) against the query's slice), and
+# score every vector as the sum of its 8 LUT entries — never touching
+# the raw vectors at search time. At 100 TB the corpus side is 8 B of
+# codes per vector (32x smaller than 64-dim floats), the LUT is 128
+# doubles broadcast, and the only shuffle is the narrow
+# (vec_id, sub, code) re-agg; packing codes into one array per vec_id
+# at encode time removes even that (fold over a literal LUT).
+# All float sums are explicit fixed-order 8-term chains on BOTH
+# engines — no reliance on aggregate traversal order.
+# --------------------------------------------------------------------------
+def _sq_chain(terms):
+    """Left-associated a1 + a2 + ... chain (deterministic IEEE order)."""
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+@register(
+    "l3h_pq_adc_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT e.vec_id, s.sub, e.v[s.sub*8+1 : s.sub*8+8] AS sv
+             FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+    c0 AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 16),
+    a1 AS (SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, c0.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                                  ORDER BY list_distance(subs.sv, c0.cv), c0.code) AS rn
+        FROM subs JOIN c0 ON subs.sub = c0.sub) WHERE rn = 1),
+    flat AS (SELECT a1.sub, a1.code, generate_subscripts(subs.sv, 1) AS pos, unnest(subs.sv) AS x
+             FROM subs JOIN a1 ON subs.vec_id = a1.vec_id AND subs.sub = a1.sub),
+    m1 AS (SELECT sub, code, pos,
+                  CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                    / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS cd
+           FROM flat GROUP BY sub, code, pos),
+    c1 AS (SELECT sub, code, list(cd ORDER BY pos) AS cv FROM m1 GROUP BY sub, code),
+    a2 AS (SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, c1.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                                  ORDER BY list_distance(subs.sv, c1.cv), c1.code) AS rn
+        FROM subs JOIN c1 ON subs.sub = c1.sub) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    lut AS (SELECT c1.sub, c1.code,
+                   (qv[c1.sub*8+1] - cv[1]) * (qv[c1.sub*8+1] - cv[1])
+                 + (qv[c1.sub*8+2] - cv[2]) * (qv[c1.sub*8+2] - cv[2])
+                 + (qv[c1.sub*8+3] - cv[3]) * (qv[c1.sub*8+3] - cv[3])
+                 + (qv[c1.sub*8+4] - cv[4]) * (qv[c1.sub*8+4] - cv[4])
+                 + (qv[c1.sub*8+5] - cv[5]) * (qv[c1.sub*8+5] - cv[5])
+                 + (qv[c1.sub*8+6] - cv[6]) * (qv[c1.sub*8+6] - cv[6])
+                 + (qv[c1.sub*8+7] - cv[7]) * (qv[c1.sub*8+7] - cv[7])
+                 + (qv[c1.sub*8+8] - cv[8]) * (qv[c1.sub*8+8] - cv[8]) AS d2
+            FROM c1 CROSS JOIN q),
+    adc AS (SELECT a2.vec_id,
+                   SUM(CASE WHEN a2.sub = 0 THEN lut.d2 END) AS d0,
+                   SUM(CASE WHEN a2.sub = 1 THEN lut.d2 END) AS d1,
+                   SUM(CASE WHEN a2.sub = 2 THEN lut.d2 END) AS d2,
+                   SUM(CASE WHEN a2.sub = 3 THEN lut.d2 END) AS d3,
+                   SUM(CASE WHEN a2.sub = 4 THEN lut.d2 END) AS d4,
+                   SUM(CASE WHEN a2.sub = 5 THEN lut.d2 END) AS d5,
+                   SUM(CASE WHEN a2.sub = 6 THEN lut.d2 END) AS d6,
+                   SUM(CASE WHEN a2.sub = 7 THEN lut.d2 END) AS d7
+            FROM a2 JOIN lut ON a2.sub = lut.sub AND a2.code = lut.code
+            WHERE a2.vec_id <> 0
+            GROUP BY a2.vec_id)
+    SELECT vec_id,
+           round(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6) + 0.0 AS adc_d2
+    FROM adc
+    ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id
+    LIMIT 10
+    """,
+)
+def l3h_pq_adc_topk(spark, sf_dir):
+    from kompactor_spark.operators import cluster as C
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a2, m1 = C.pq_codebook(emb, n_sub=8, k=16)
+    # refined centroids as 1-based arrays (same shape as the oracle's c1)
+    c1 = m1.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+        ).alias("cv")
+    )
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("v").first()[0]]
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    diffs = [
+        F.element_at(qarr, (F.col("sub") * 8 + i).cast("int")) - F.element_at("cv", i)
+        for i in range(1, 9)
+    ]
+    lut = c1.select("sub", "code", _sq_chain([d * d for d in diffs]).alias("d2"))
+    per_sub = [
+        F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d{s}") for s in range(8)
+    ]
+    adc = (
+        a2.where(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(*per_sub)
+    )
+    total = _sq_chain([F.col(f"d{s}") for s in range(8)])
+    return (
+        adc.select(
+            "vec_id",
+            total.alias("_raw"),
+            (F.round(total, 6) + F.lit(0.0)).alias("adc_d2"),
+        )
+        .orderBy("_raw", "vec_id")
+        .limit(10)
+        .select("vec_id", "adc_d2")
+    )

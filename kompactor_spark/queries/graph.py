@@ -118,3 +118,110 @@ def g2_degree_centrality(spark, sf_dir):
         .orderBy(F.col("weighted_degree").desc(), "user_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# G3 — weighted PageRank (damping 0.85, 3 power iterations) over the G1
+# co-occurrence graph, top 25 nodes. The iterative-algorithm shape on
+# Spark: each iteration is one (src-keyed join + dst-keyed exact agg);
+# rank mass is quantized to 2^-40 units and summed as split-limb longs
+# (fixedpoint.py), so the per-node incoming sum is an INTEGER total —
+# immune to float aggregation order — and both engines rebuild the same
+# double from it (DuckDB sums the units as HUGEINT, Spark as two long
+# limbs recombined in DECIMAL(38) space; both casts are correctly
+# rounded). Every node of the symmetrized edge list has out-edges, so
+# there is no dangling-mass term. At 100 TB: ranks are node-keyed
+# (tiny next to edges), the join partitions by src on both sides and
+# reuses the edge partitioning across iterations; localCheckpoint the
+# rank frame per iteration to truncate lineage (3 iterations is shallow
+# enough to skip here).
+# --------------------------------------------------------------------------
+_PR_SCALE = 1099511627776.0  # 2^40, the repo's standard float-quantum
+
+_PR_ITER_SQL = """
+    c{k} AS (
+      SELECT e2.dst AS node,
+             SUM(CAST(round(p.pr * (CAST(e2.w AS DOUBLE) / ww.wout)
+                            * 1099511627776.0) AS BIGINT)) AS s
+      FROM e2
+      JOIN p{j} p ON p.node = e2.src
+      JOIN ww ON ww.src = e2.src
+      GROUP BY e2.dst),
+    p{k} AS (
+      SELECT node, 0.15 / nn + 0.85 * (CAST(s AS DOUBLE) / 1099511627776.0) AS pr
+      FROM c{k} CROSS JOIN n)"""
+
+
+@register(
+    "g3_pagerank",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // {NS_PER_HOUR} AS h, event_type
+      FROM events),
+    pairs AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM act a JOIN act b USING (h, event_type)
+      WHERE a.user_id < b.user_id),
+    e AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS w
+      FROM pairs GROUP BY u, v HAVING count(*) >= {_G1_MIN_W}),
+    e2 AS (
+      SELECT u AS src, v AS dst, w FROM e
+      UNION ALL
+      SELECT v AS src, u AS dst, w FROM e),
+    ww AS (SELECT src, CAST(SUM(w) AS DOUBLE) AS wout FROM e2 GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM ww),
+    p0 AS (SELECT src AS node, 1.0 / nn AS pr FROM ww CROSS JOIN n),
+    {_PR_ITER_SQL.format(k=1, j=0)},
+    {_PR_ITER_SQL.format(k=2, j=1)},
+    {_PR_ITER_SQL.format(k=3, j=2)}
+    SELECT node AS user_id, round(pr, 6) + 0.0 AS pagerank
+    FROM p3
+    ORDER BY pr DESC, node
+    LIMIT 25
+    """,
+)
+def g3_pagerank(spark, sf_dir):
+    from kompactor_spark import fixedpoint as fx
+
+    edges = g1_cooccurrence_graph(spark, sf_dir)
+    e2 = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    ww = e2.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
+    ndf = ww.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    p = ww.crossJoin(F.broadcast(ndf)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = F.col("pr") * (F.col("w").cast("double") / F.col("wout"))
+        hi, lo = fx.limb_split(F.round(contrib * F.lit(_PR_SCALE)).cast("long"))
+        c = (
+            e2.join(p, e2["src"] == p["node"])
+            .join(ww, "src")
+            .select(F.col("dst").alias("node"), hi.alias("hi"), lo.alias("lo"))
+            .groupBy("node")
+            .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"))
+        )
+        s_double = (
+            F.col("shi").cast("decimal(38,0)") * F.lit(fx.LIMB).cast("decimal(7,0)")
+            + F.col("slo").cast("decimal(38,0)")
+        ).cast("double")
+        p = c.crossJoin(F.broadcast(ndf)).select(
+            "node",
+            (
+                F.lit(0.15) / F.col("nn")
+                + F.lit(0.85) * (s_double / F.lit(_PR_SCALE))
+            ).alias("pr"),
+        )
+    return (
+        p.select(
+            F.col("node").alias("user_id"),
+            F.col("pr").alias("_raw"),
+            (F.round("pr", 6) + F.lit(0.0)).alias("pagerank"),
+        )
+        .orderBy(F.col("_raw").desc(), "user_id")
+        .limit(25)
+        .select("user_id", "pagerank")
+    )

@@ -2596,3 +2596,75 @@ def l3h_pq_adc_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "adc_d2")
     )
+
+
+# --------------------------------------------------------------------------
+# L7 — cluster purity: quality of the deterministic k-means clustering
+# against the embeddings' ground-truth labels. Per cluster: size,
+# majority label (ties to the smaller label) and purity = majority
+# count / size. The standard unsupervised-eval metric for the curation
+# clusters that drive SemDeDup / stratified sampling. Integer counting
+# end-to-end until one final division, so the hash gate is trivial;
+# the kmeans assignment reuses the exact-quantized Lloyd machinery
+# (operators/cluster.py) that is already bit-identical cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "l7_cluster_purity",
+    oracle=_KMEANS_CTE
+    + """
+    , lab AS (
+      SELECT a2.cluster, emb.label
+      FROM a2 JOIN embeddings emb ON emb.vec_id = a2.vec_id),
+    cnt AS (SELECT cluster, label, COUNT(*) AS c FROM lab GROUP BY cluster, label),
+    tot AS (SELECT cluster, SUM(c) AS n FROM cnt GROUP BY cluster),
+    maj AS (
+      SELECT cluster, label AS top_label, c AS top_count FROM (
+        SELECT cluster, label, c,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY c DESC, label) AS rn
+        FROM cnt) WHERE rn = 1)
+    SELECT maj.cluster AS cluster_id,
+           CAST(tot.n AS BIGINT) AS n_points,
+           CAST(maj.top_label AS INT) AS top_label,
+           CAST(maj.top_count AS BIGINT) AS top_count,
+           round(CAST(maj.top_count AS DOUBLE) / CAST(tot.n AS DOUBLE), 6) AS purity
+    FROM maj JOIN tot USING (cluster)
+    ORDER BY cluster_id
+    """,
+)
+def l7_cluster_purity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from kompactor_spark.operators import cluster as C
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a1 = C.assign_literal(emb, C.seed_centroids(emb, k=8))
+    a2 = C.assign_literal(emb, C._collect_centroids(C.exact_mean_centroids(a1)))
+    lab = a2.join(
+        T("embeddings").select("vec_id", F.col("label").cast("int").alias("label")),
+        "vec_id",
+    )
+    cnt = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("cluster").orderBy(F.col("c").desc(), "label")
+    maj = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"), F.col("c").alias("top_count"))
+    )
+    tot = cnt.groupBy("cluster").agg(F.sum("c").alias("n"))
+    return (
+        maj.join(tot, "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            F.col("n").cast("bigint").alias("n_points"),
+            F.col("top_label").cast("int").alias("top_label"),
+            F.col("top_count").cast("bigint").alias("top_count"),
+            F.round(
+                F.col("top_count").cast("double") / F.col("n").cast("double"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -83,14 +83,23 @@ _PRIORITY = [
     "l7_knn_classify",
     "l6_dedup_rate_by_source",
     "a20_mad",
-    # --- (f) re-confirmation sample of previously-green rows ---
+    # --- (f) more NEW round-4 oracle-backed ops (first driver grading;
+    # all bit-level green in the byte-hardened driver sim at sf0.01,
+    # which is the same data + compare the driver runs — higher-value
+    # slots than re-confirming rows that are green on unchanged code) ---
+    "g1_cooccurrence_graph",
+    "g2_degree_centrality",
+    "l7_kmeans_refine",
+    "l3g_pq_codebook",
+    "l2_semantic_dedup",
+    "l6_e2e_pipeline",
+    # --- 51+: remaining previously-green oracle rows, then rows-only ops ---
     "a7_list_agg",
     "k1_hour_compaction",
     "x1_tumbling_window",
     "j8b_asof_tolerance",
     "m2_latest_per_key",
     "f2_month_arithmetic",
-    # --- 51+: remaining previously-green oracle rows, then rows-only ops ---
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q21_waiting_suppliers",
@@ -130,6 +139,9 @@ _PRIORITY = [
     "f10_bitwise",
     "l5_multimodal_roundtrip",
     # new round-4 oracle-backed ops (grade in a future window rotation)
+    "l3h_pq_adc_topk",
+    "g3_pagerank",
+    "l7_cluster_purity",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

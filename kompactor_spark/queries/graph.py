@@ -49,7 +49,10 @@ _G1_MIN_W = 2
     ORDER BY u, v
     """,
 )
-def g1_cooccurrence_graph(spark, sf_dir):
+def _cooccurrence_edges(spark, sf_dir):
+    """Unsorted G1 edge list (u, v, w) — the shared input for G2/G3.
+    No global sort here: downstream consumers aggregate or join, so an
+    ordering would be shuffled away immediately."""
     T = loader(sf_dir, spark)
     act = (
         T("events")
@@ -68,8 +71,11 @@ def g1_cooccurrence_graph(spark, sf_dir):
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         .where(F.col("w") >= _G1_MIN_W)
-        .orderBy("u", "v")
     )
+
+
+def g1_cooccurrence_graph(spark, sf_dir):
+    return _cooccurrence_edges(spark, sf_dir).orderBy("u", "v")
 
 
 # --------------------------------------------------------------------------
@@ -105,7 +111,7 @@ def g1_cooccurrence_graph(spark, sf_dir):
     """,
 )
 def g2_degree_centrality(spark, sf_dir):
-    edges = g1_cooccurrence_graph(spark, sf_dir)
+    edges = _cooccurrence_edges(spark, sf_dir)
     ends = edges.select(F.col("u").alias("user_id"), "w").unionAll(
         edges.select(F.col("v").alias("user_id"), "w")
     )
@@ -130,11 +136,16 @@ def g2_degree_centrality(spark, sf_dir):
 # double from it (DuckDB sums the units as HUGEINT, Spark as two long
 # limbs recombined in DECIMAL(38) space; both casts are correctly
 # rounded). Every node of the symmetrized edge list has out-edges, so
-# there is no dangling-mass term. At 100 TB: ranks are node-keyed
-# (tiny next to edges), the join partitions by src on both sides and
-# reuses the edge partitioning across iterations; localCheckpoint the
-# rank frame per iteration to truncate lineage (3 iterations is shallow
-# enough to skip here).
+# there is no dangling-mass term.
+#
+# Lineage discipline (the part that makes iteration viable on Spark):
+# e2/ww are consumed by every iteration and p_k nests p_{k-1}, so
+# WITHOUT materialization the plan tree re-derives the quadratic edge
+# build once per reference — measured 20 s at sf0.1 (~13 edge-build
+# repetitions) vs 2.6 s with lazy localCheckpoints on e2, ww, and each
+# rank frame (computed once on first use, reused after, released by the
+# ContextCleaner). Same rule at 100 TB: checkpoint every frame an
+# iterative loop re-reads.
 # --------------------------------------------------------------------------
 _PR_SCALE = 1099511627776.0  # 2^40, the repo's standard float-quantum
 
@@ -185,11 +196,17 @@ _PR_ITER_SQL = """
 def g3_pagerank(spark, sf_dir):
     from kompactor_spark import fixedpoint as fx
 
-    edges = g1_cooccurrence_graph(spark, sf_dir)
-    e2 = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    edges = _cooccurrence_edges(spark, sf_dir)
+    e2 = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+        .localCheckpoint(eager=False)
     )
     ww = e2.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
+    # fold the out-weight into the edge frame ONCE: iterations then never
+    # re-join (or re-shuffle) the edge list — each is one broadcast of
+    # the node-keyed rank frame plus one dst-keyed aggregate
+    e2n = e2.join(ww, "src").localCheckpoint(eager=False)
     ndf = ww.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     p = ww.crossJoin(F.broadcast(ndf)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("nn")).alias("pr")
@@ -198,8 +215,7 @@ def g3_pagerank(spark, sf_dir):
         contrib = F.col("pr") * (F.col("w").cast("double") / F.col("wout"))
         hi, lo = fx.limb_split(F.round(contrib * F.lit(_PR_SCALE)).cast("long"))
         c = (
-            e2.join(p, e2["src"] == p["node"])
-            .join(ww, "src")
+            e2n.join(F.broadcast(p), e2n["src"] == p["node"])
             .select(F.col("dst").alias("node"), hi.alias("hi"), lo.alias("lo"))
             .groupBy("node")
             .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"))
@@ -208,12 +224,16 @@ def g3_pagerank(spark, sf_dir):
             F.col("shi").cast("decimal(38,0)") * F.lit(fx.LIMB).cast("decimal(7,0)")
             + F.col("slo").cast("decimal(38,0)")
         ).cast("double")
-        p = c.crossJoin(F.broadcast(ndf)).select(
-            "node",
-            (
-                F.lit(0.15) / F.col("nn")
-                + F.lit(0.85) * (s_double / F.lit(_PR_SCALE))
-            ).alias("pr"),
+        p = (
+            c.crossJoin(F.broadcast(ndf))
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("nn")
+                    + F.lit(0.85) * (s_double / F.lit(_PR_SCALE))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
         )
     return (
         p.select(

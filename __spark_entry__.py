@@ -144,6 +144,7 @@ _PRIORITY = [
     "l7_cluster_purity",
     "l3i_ivf_pq_topk",
     "s11_binaryfile_source",
+    "l2_tfidf_cosine_pairs",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

@@ -2816,3 +2816,133 @@ def l3i_ivf_pq_topk(spark, sf_dir):
         .limit(10)
         .select("vec_id", "adc_d2")
     )
+
+
+# --------------------------------------------------------------------------
+# L2h — sparse TF-IDF cosine near-dup pairs via an INVERTED INDEX (the
+# sparse-vector counterpart to l2_embedding_neardup): weight = tf *
+# ln(N/df), L2-normalize per doc, then pair dot products computed by a
+# self-join on the term (never all-pairs — only docs SHARING a surviving
+# term meet), with hot terms pruned at df <= 200 (the same skew
+# discipline as max_shingle_freq in operators/dedup.py; at 100 TB the
+# df cutoff is what bounds the per-term join fan-out). Both float
+# reductions (per-doc norm, per-pair dot product) are EXACT integer
+# sums of quantized terms (2^-30 / 2^-40 units, split-limb longs), so
+# the hash gate holds regardless of aggregation order, and the
+# similarity threshold compares the exact integer sum (s >= 0.4 * 2^40)
+# — no float-boundary flakiness.
+# --------------------------------------------------------------------------
+_TFIDF_MAX_DF = 200
+_TFIDF_S_NORM = 1073741824.0  # 2^30 (norm quantum; w^2 stays << 2^63)
+_TFIDF_S_DOT = 1099511627776.0  # 2^40 (dot quantum; |u_a*u_b| <= 1)
+_TFIDF_MIN_S = 439804651110  # round(0.4 * 2^40): cosine >= 0.4
+
+
+@register(
+    "l2_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM d),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(nn / CAST(dfreq.df AS DOUBLE)) AS w
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+          WHERE dfreq.df <= {_TFIDF_MAX_DF}),
+    nrm AS (SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(round(w * w * {_TFIDF_S_NORM}) AS BIGINT)) AS DOUBLE)
+                        / {_TFIDF_S_NORM}) AS nrm
+            FROM w GROUP BY doc_id),
+    u AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS u
+          FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 SUM(CAST(round(a.u * b.u * {_TFIDF_S_DOT}) AS BIGINT)) AS s
+          FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(CAST(s AS DOUBLE) / {_TFIDF_S_DOT}, 6) + 0.0 AS cosine
+    FROM p WHERE s >= {_TFIDF_MIN_S}
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_tfidf_cosine_pairs(spark, sf_dir):
+    from kompactor_spark import fixedpoint as fx
+
+    T = loader(sf_dir, spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    d = fan_out(T("documents")).select("doc_id", toks.alias("toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndf = d.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    w = (
+        tf.join(dfreq.where(F.col("df") <= _TFIDF_MAX_DF), "term")
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("nn") / F.col("df").cast("double"))).alias("w"),
+        )
+    )
+
+    def _exact(col, scale):
+        hi, lo = fx.limb_split(F.round(col * F.lit(scale)).cast("long"))
+        return hi, lo
+
+    nhi, nlo = _exact(F.col("w") * F.col("w"), _TFIDF_S_NORM)
+    nrm = (
+        w.select("doc_id", nhi.alias("hi"), nlo.alias("lo"))
+        .groupBy("doc_id")
+        .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"))
+        .select(
+            "doc_id",
+            F.sqrt(
+                (
+                    F.col("shi").cast("decimal(38,0)")
+                    * F.lit(fx.LIMB).cast("decimal(7,0)")
+                    + F.col("slo").cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(_TFIDF_S_NORM)
+            ).alias("nrm"),
+        )
+    )
+    u = (
+        w.join(nrm, "doc_id")
+        .where(F.col("nrm") > 0)
+        .select("doc_id", "term", (F.col("w") / F.col("nrm")).alias("u"))
+    )
+    a = u.select(F.col("doc_id").alias("id_a"), "term", F.col("u").alias("ua"))
+    b = u.select(F.col("doc_id").alias("id_b"), "term", F.col("u").alias("ub"))
+    phi, plo = _exact(F.col("ua") * F.col("ub"), _TFIDF_S_DOT)
+    s = (
+        a.join(b, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", phi.alias("hi"), plo.alias("lo"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shi").cast("decimal(38,0)")
+                * F.lit(fx.LIMB).cast("decimal(7,0)")
+                + F.col("slo").cast("decimal(38,0)")
+            ).alias("s"),
+        )
+    )
+    return (
+        s.where(F.col("s") >= F.lit(_TFIDF_MIN_S).cast("decimal(38,0)"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.round(F.col("s").cast("double") / F.lit(_TFIDF_S_DOT), 6)
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )

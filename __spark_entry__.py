@@ -145,6 +145,7 @@ _PRIORITY = [
     "l3i_ivf_pq_topk",
     "s11_binaryfile_source",
     "l2_tfidf_cosine_pairs",
+    "m7_dynamic_partition_overwrite",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

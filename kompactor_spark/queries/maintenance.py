@@ -305,3 +305,63 @@ def w13_wow_change(spark, sf_dir):
         )
         .orderBy("event_type", "week_ns")
     )
+
+
+# --------------------------------------------------------------------------
+# M7 — dynamic partition overwrite: rewrite ONLY the partitions present
+# in the incoming batch, leaving every other partition untouched — the
+# idempotent-backfill primitive the compaction pipeline and every
+# lakehouse maintenance job rely on (INSERT OVERWRITE ... PARTITION
+# semantics; Spark `partitionOverwriteMode=dynamic`). The query lands
+# events day-partitioned, then overwrites the d % 7 == 0 partitions
+# with corrected values; a full re-read must show exactly those
+# partitions replaced. A static-overwrite bug (truncate-all) or a
+# missed-partition bug changes the result set and fails the hash. At
+# 100 TB this is the only sane backfill shape: the job's write set IS
+# its partition set, no read-modify-write of the whole table.
+# --------------------------------------------------------------------------
+_NS_PER_DAY = 86_400_000_000_000
+
+
+@register(
+    "m7_dynamic_partition_overwrite",
+    oracle=f"""
+    WITH e AS (SELECT event_id, epoch_ns(ts) // {_NS_PER_DAY} AS d, value FROM events)
+    SELECT event_id, CAST(d AS BIGINT) AS d,
+           round(CASE WHEN d % 7 = 0 THEN value + 100.0 ELSE value END, 6) AS value
+    FROM e ORDER BY event_id
+    """,
+)
+def m7_dynamic_partition_overwrite(spark, sf_dir):
+    from kompactor_spark.sources import clear_scratch
+
+    T = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = clear_scratch("m7_day_partitioned_" + tag)
+    base = T("events").select(
+        "event_id",
+        F.expr(f"ts div {_NS_PER_DAY}").cast("long").alias("d"),
+        "value",
+    )
+    base.write.mode("overwrite").partitionBy("d").parquet(path)
+    # corrected batch: only the d % 7 == 0 partitions are in the write
+    # set, so ONLY those are replaced (dynamic mode) — static mode would
+    # truncate the whole table first and the re-read would lose rows
+    repl = base.where(F.col("d") % 7 == 0).withColumn(
+        "value", F.col("value") + F.lit(100.0)
+    )
+    (
+        repl.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "event_id",
+            F.col("d").cast("bigint").alias("d"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("event_id")
+    )

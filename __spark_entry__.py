@@ -146,6 +146,7 @@ _PRIORITY = [
     "s11_binaryfile_source",
     "l2_tfidf_cosine_pairs",
     "m7_dynamic_partition_overwrite",
+    "l4_tv_drift",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

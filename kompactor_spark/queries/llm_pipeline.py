@@ -2946,3 +2946,83 @@ def l2_tfidf_cosine_pairs(spark, sf_dir):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# L4p — token-distribution drift per source: total-variation distance
+# TV(source, corpus) = 0.5 * sum_term |p_term|source - p_term|corpus|.
+# The standard cheap detector for "this slice's language shifted" —
+# run per source / per crawl / per time window before mixing. The
+# per-term sum runs over the full (source x dictionary) grid (missing
+# terms contribute p=0), bounded by |dictionary| x |slices| — at 100 TB
+# the dictionary is pruned (df floor) exactly like the inverted index.
+# Absolute differences are quantized to 2^-40 and summed as split-limb
+# integers: hash-stable under any aggregation order.
+# --------------------------------------------------------------------------
+@register(
+    "l4_tv_drift",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                 FROM documents),
+    sc AS (SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term),
+    st AS (SELECT source, SUM(c) AS tot FROM sc GROUP BY source),
+    cc AS (SELECT term, SUM(c) AS c FROM sc GROUP BY term),
+    ct AS (SELECT SUM(c) AS tot FROM cc),
+    grid AS (SELECT st.source, cc.term, cc.c AS corpus_c FROM st CROSS JOIN cc),
+    diff AS (SELECT g.source,
+                    abs(COALESCE(CAST(sc.c AS DOUBLE), 0.0) / CAST(st.tot AS DOUBLE)
+                        - CAST(g.corpus_c AS DOUBLE) / CAST(ct.tot AS DOUBLE)) AS ad
+             FROM grid g
+             JOIN st ON st.source = g.source
+             CROSS JOIN ct
+             LEFT JOIN sc ON sc.source = g.source AND sc.term = g.term),
+    s AS (SELECT source,
+                 SUM(CAST(round(ad * 1099511627776.0) AS BIGINT)) AS sm
+          FROM diff GROUP BY source)
+    SELECT source,
+           round(0.5 * (CAST(sm AS DOUBLE) / 1099511627776.0), 6) + 0.0 AS tv_distance
+    FROM s ORDER BY source
+    """,
+)
+def l4_tv_drift(spark, sf_dir):
+    from kompactor_spark import fixedpoint as fx
+
+    T = loader(sf_dir, spark)
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    tok = fan_out(T("documents")).select(
+        "source", F.explode(toks).alias("term")
+    )
+    sc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    cc = sc.groupBy("term").agg(F.sum("c").alias("corpus_c"))
+    ct = cc.agg(F.sum("corpus_c").alias("ctot"))
+    grid = st.crossJoin(cc)
+    ad = F.abs(
+        F.coalesce(F.col("c").cast("double"), F.lit(0.0)) / F.col("tot").cast("double")
+        - F.col("corpus_c").cast("double") / F.col("ctot").cast("double")
+    )
+    hi, lo = fx.limb_split(F.round(ad * F.lit(1099511627776.0)).cast("long"))
+    s = (
+        grid.join(sc, ["source", "term"], "left")
+        .crossJoin(F.broadcast(ct))
+        .select("source", hi.alias("hi"), lo.alias("lo"))
+        .groupBy("source")
+        .agg(F.sum("hi").alias("shi"), F.sum("lo").alias("slo"))
+        .select(
+            "source",
+            (
+                F.col("shi").cast("decimal(38,0)")
+                * F.lit(fx.LIMB).cast("decimal(7,0)")
+                + F.col("slo").cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("sm"),
+        )
+    )
+    return s.select(
+        "source",
+        (
+            F.round(F.lit(0.5) * (F.col("sm") / F.lit(1099511627776.0)), 6)
+            + F.lit(0.0)
+        ).alias("tv_distance"),
+    ).orderBy("source")

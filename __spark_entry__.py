@@ -147,6 +147,7 @@ _PRIORITY = [
     "l2_tfidf_cosine_pairs",
     "m7_dynamic_partition_overwrite",
     "l4_tv_drift",
+    "x26_trend_slope",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

@@ -1186,3 +1186,77 @@ def x25_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X26 — exact per-series OLS trend slope: least-squares value-vs-time
+# slope per event_type, computed ENTIRELY from integer moments.
+# x = epoch seconds recentred to the series' min (keeps every moment
+# within long/HUGEINT range), y = value in exact cents (the testdata's
+# fixed-point unit). n, Σx, Σy, Σxy, Σx² are integer sums — order-free —
+# and the closed form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is evaluated in
+# DECIMAL(38)/HUGEINT space, so both engines produce the identical
+# double at the single final division. The standard drift detector for
+# counter/gauge series; at 100 TB it is one partial+final agg per
+# series (5 long sums in codegen), no window, no sort. Recentre bound:
+# moments stay in range for series spans to ~30 years and ~1e7
+# rows/series at cent scale (wider needs limb headroom, fixedpoint.py).
+# --------------------------------------------------------------------------
+@register(
+    "x26_trend_slope",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_ns(ts) // 1000000000 AS xs,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events),
+    r AS (
+      SELECT event_type, xs - MIN(xs) OVER (PARTITION BY event_type) AS x, yc AS y
+      FROM e),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sx2
+      FROM r GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_samples,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sx2 - sx * sx AS DOUBLE)) / 100.0, 6) + 0.0 AS slope_per_s
+    FROM m
+    WHERE n * sx2 - sx * sx <> 0
+    ORDER BY event_type
+    """,
+)
+def x26_trend_slope(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    e = T("events").select(
+        "event_type",
+        F.expr("ts div 1000000000").cast("long").alias("xs"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    x = (F.col("xs") - F.min("xs").over(Window.partitionBy("event_type"))).alias("x")
+    r = e.select("event_type", x, "y")
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return (
+        m.where(den != 0)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_samples"),
+            (
+                F.round((num.cast("double") / den.cast("double")) / F.lit(100.0), 6)
+                + F.lit(0.0)
+            ).alias("slope_per_s"),
+        )
+        .orderBy("event_type")
+    )

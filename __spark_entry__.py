@@ -148,6 +148,7 @@ _PRIORITY = [
     "m7_dynamic_partition_overwrite",
     "l4_tv_drift",
     "x26_trend_slope",
+    "w15_gini_revenue",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

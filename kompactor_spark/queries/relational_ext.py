@@ -954,3 +954,63 @@ def w14_pareto_share(spark, sf_dir):
         )
         .orderBy("top_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# W15 — exact Gini coefficient of customer revenue (the inequality
+# summary behind W14's Pareto shares): G = (2·Σ i·y_i − (n+1)·Σy)/(n·Σy)
+# over revenues sorted ascending (rank ties broken by customer key).
+# Revenue is exact cents, ranks are integers, so every moment is an
+# order-free integer sum; the single final division runs on
+# DECIMAL(38)/HUGEINT operands — bit-identical cross-engine. The global
+# rank is a single sort of the CUSTOMER aggregate (n_customers rows,
+# tiny next to orders); at 100 TB rank with repartitionByRange + a
+# per-partition offset (the same global-sort machinery as the O1 sink)
+# instead of one window partition.
+# --------------------------------------------------------------------------
+@register(
+    "w15_gini_revenue",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY o_custkey),
+    rk AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i FROM r),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(rev) AS HUGEINT) AS s,
+                 CAST(SUM(i * rev) AS HUGEINT) AS si
+          FROM rk)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(CAST(2 * si - (n + 1) * s AS DOUBLE)
+                 / CAST(n * s AS DOUBLE), 6) + 0.0 AS gini
+    FROM m
+    """,
+)
+def w15_gini_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    r = (
+        T("orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    rk = r.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),
+    )
+    m = rk.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rev").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("i").cast("long") * F.col("rev")).cast("decimal(38,0)").alias("si"),
+    )
+    num = F.lit(2).cast("decimal(38,0)") * F.col("si") - (
+        F.col("n") + F.lit(1).cast("decimal(38,0)")
+    ) * F.col("s")
+    den = F.col("n") * F.col("s")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.round(num.cast("double") / den.cast("double"), 6) + F.lit(0.0)).alias(
+            "gini"
+        ),
+    )

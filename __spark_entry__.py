@@ -149,6 +149,7 @@ _PRIORITY = [
     "l4_tv_drift",
     "x26_trend_slope",
     "w15_gini_revenue",
+    "s12_corrupt_tolerant_scan",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

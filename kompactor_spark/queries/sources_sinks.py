@@ -317,3 +317,49 @@ def s11_binaryfile_source(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# S12 — corrupt-file-tolerant scan: a landing directory at 100 TB
+# always contains some truncated/garbage objects (failed multipart
+# uploads, partial copies); `spark.sql.files.ignoreCorruptFiles`
+# (here per-read via the datasource option) lets the scan skip them
+# and return every row from the healthy files instead of failing the
+# whole job. The fixture writes a healthy parquet subset plus a
+# garbage .parquet file; the oracle is the healthy subset — so a
+# regression that either fails on the bad file or silently drops good
+# rows fails the compare.
+# --------------------------------------------------------------------------
+@register(
+    "s12_corrupt_tolerant_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey <= 5000
+    ORDER BY o_orderkey
+    """,
+)
+def s12_corrupt_tolerant_scan(spark, sf_dir):
+    import os
+
+    from kompactor_spark.sources import clear_scratch
+
+    T_ = loader(sf_dir, spark)
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    path = clear_scratch("s12_corrupt_" + tag)
+    (
+        T_("orders")
+        .where(F.col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    # a truncated upload: parquet magic but garbage body and no footer
+    with open(os.path.join(path, "part-corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1" + b"\x00garbage-truncated-object\x00" * 16)
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )

@@ -150,6 +150,7 @@ _PRIORITY = [
     "x26_trend_slope",
     "w15_gini_revenue",
     "s12_corrupt_tolerant_scan",
+    "m9_cdc_apply",
     "l6_incremental_dedup",
     "x18_rolling_zscore",
     "l6_contamination_score",

@@ -365,3 +365,97 @@ def m7_dynamic_partition_overwrite(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M9 — CDC apply with deletes: fold a change log of I/U/D operations
+# (multiple changes per key, ordered by a sequence number) into a
+# target snapshot — the Debezium/OLTP-extract merge shape that M1's
+# insert/update upsert doesn't cover. The ENGINE side implements the
+# generic algorithm (latest-op-wins window over the log, full outer
+# merge, D drops the key); the ORACLE states the closed-form expected
+# final state, so a wrong ordering (applying U after a later D), a
+# missed delete, or a dropped untouched key all fail the hash. Log
+# synthesized from key-modulo classes: %100 -> U(seq1, price*1.05),
+# %200 -> D(seq2), %400 -> I(seq3, reinsert 'R'/1.00) — so %400 keys
+# survive via reinsert, %200-only keys vanish, %100-only keys update.
+# At 100 TB: one shuffle of the (small) change log keyed like the
+# target; the merge join reuses the target's key partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "m9_cdc_apply",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderkey % 400 = 0 THEN 'R'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 400 = 0 THEN 1.0
+                WHEN o_orderkey % 100 = 0 THEN round(o_totalprice * 1.05, 2)
+                ELSE round(o_totalprice, 2) END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey % 200 = 0 AND o_orderkey % 400 <> 0)
+    ORDER BY o_orderkey
+    """,
+)
+def m9_cdc_apply(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    target = T("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    o = T("orders")
+    upd = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 1.05, 2).alias("o_totalprice"),
+    )
+    dels = o.where(F.col("o_orderkey") % 200 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    ins = o.where(F.col("o_orderkey") % 400 == 0).select(
+        "o_orderkey",
+        F.lit(3).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    log = upd.unionAll(dels).unionAll(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    t = target.alias("t")
+    c = latest.alias("c")
+    merged = t.join(c, F.col("t.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    has_change = F.col("c.op").isNotNull()
+    return (
+        merged.where(~(has_change & (F.col("c.op") == "D")))
+        .select(
+            F.coalesce(F.col("t.o_orderkey"), F.col("c.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            *[
+                F.when(has_change, F.col(f"c.{x}"))
+                .otherwise(F.col(f"t.{x}"))
+                .alias(x)
+                for x in cols
+            ],
+        )
+        .orderBy("o_orderkey")
+    )

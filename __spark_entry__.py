@@ -27,10 +27,11 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # round-3 red (x11, -0.0 rounding — fixed), (b) the 19 oracle-backed rows
 # no round has ever graded (14 TPC-H shapes + l3_batch_topk, l6 split/mix,
 # x16, x17), (c) the 10 queries whose oracle SQL gained the -0.0 `+ 0.0`
-# normalization this round, then (d) a re-confirmation sample of
-# previously-green rows. All 50 are oracle-backed (H-class) — enforced by
-# tests/test_registry.py. Rows already green in r01-r03 follow; none are
-# dropped.
+# normalization this round, (d) the 7 previously-green rows whose
+# implementation changed in round 4 and must re-grade under the new code,
+# then (e)+(f) 13 first gradings of new round-4 operators. All 50 are
+# oracle-backed (H-class) — enforced by tests/test_registry.py. Rows
+# already green in r01-r03 follow; none are dropped.
 _PRIORITY = [
     # --- (a) round-3 hash-miss: must re-grade green ---
     "x11_counter_rate",

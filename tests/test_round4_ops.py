@@ -503,3 +503,61 @@ def test_cluster_purity_bounds_and_census(spark, regs):
         assert 1 <= r.top_count <= r.n_points
         assert 0.0 < r.purity <= 1.0
         assert abs(r.purity - round(r.top_count / r.n_points, 6)) < 1e-12
+
+
+def test_ivf_pq_candidates_within_probed_cells(spark, regs):
+    rows = regs["l3i_ivf_pq_topk"](spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    ds = [r.adc_d2 for r in rows]
+    assert ds == sorted(ds) and all(d >= 0.0 for d in ds)
+    # IVF pruning: results are a subset of the plain-ADC ranking's corpus,
+    # and must exclude the query vector
+    assert all(r.vec_id != 0 for r in rows)
+
+
+def test_tfidf_cosine_pairs_bounds(spark, regs):
+    rows = regs["l2_tfidf_cosine_pairs"](spark, SF).collect()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0.4 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_tv_drift_bounds(spark, regs):
+    rows = regs["l4_tv_drift"](spark, SF).collect()
+    srcs = {r.source for r in rows}
+    docs = load_table(spark, SF, "documents")
+    assert srcs == {r.source for r in docs.select("source").distinct().collect()}
+    assert all(0.0 <= r.tv_distance <= 1.0 for r in rows)
+
+
+def test_gini_in_unit_interval(spark, regs):
+    row = regs["w15_gini_revenue"](spark, SF).first()
+    assert row.n_customers > 0
+    assert 0.0 <= row.gini < 1.0
+
+
+def test_partition_overwrite_preserves_row_count(spark, regs):
+    out = regs["m7_dynamic_partition_overwrite"](spark, SF)
+    n_events = load_table(spark, SF, "events").count()
+    assert out.count() == n_events  # dynamic mode never truncates other partitions
+
+
+def test_cdc_apply_delete_and_reinsert_semantics(spark, regs):
+    rows = regs["m9_cdc_apply"](spark, SF).collect()
+    keys = {r.o_orderkey for r in rows}
+    orders = {r.o_orderkey for r in load_table(spark, SF, "orders").select("o_orderkey").collect()}
+    for k in orders:
+        if k % 200 == 0 and k % 400 != 0:
+            assert k not in keys  # deleted
+        else:
+            assert k in keys
+    for r in rows:
+        if r.o_orderkey % 400 == 0:
+            assert r.o_orderstatus == "R" and r.o_totalprice == 1.0
+
+
+def test_trend_slope_covers_all_event_types(spark, regs):
+    rows = regs["x26_trend_slope"](spark, SF).collect()
+    types = {r.event_type for r in load_table(spark, SF, "events").select("event_type").distinct().collect()}
+    assert {r.event_type for r in rows} <= types
+    assert all(r.n_samples > 1 for r in rows)

@@ -159,6 +159,14 @@ _PRIORITY = [
     "l3e_sq8_quantize",
     "w11_funnel_conversion",
     "l2_containment_pairs",
+    "x23_max_concurrency",
+    "x27_interval_coverage",
+    "x28_latency_bands",
+    "a22_equi_depth_histogram",
+    "a23_ab_ztest",
+    "a24_chi_square",
+    "g4_triangle_count",
+    "l4_ttr_hapax",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -251,3 +251,67 @@ def g3_pagerank(spark, sf_dir):
         .limit(25)
         .select("user_id", "pagerank")
     )
+
+
+# --------------------------------------------------------------------------
+# G4 — triangle counting (per-vertex participation, top 25). Triangles
+# are the base primitive of clustering-coefficient / community-density
+# analysis. Shape: the canonical two-join wedge closure over the
+# ORIENTED edge list (u < v, so each triangle a<b<c is materialized
+# exactly once): wedges = e(a,b) ⋈ e(b,c) on the shared middle vertex,
+# closed by an equi-join back onto e(a,c). Per-vertex counts come from
+# exploding the three corners — one narrow pass over the triangle set.
+#
+# 100 TB shape: both joins are hash equi-joins on vertex keys — never a
+# cross join — and the wedge fan-out is bounded by per-vertex out-degree
+# in the orientation. The standard refinement at scale is degree
+# orientation (direct each edge from its lower-degree endpoint), which
+# bounds wedge counts by O(E^1.5) regardless of skew; the u<v
+# orientation here keeps the oracle twin expressible while the join
+# topology is identical.
+# --------------------------------------------------------------------------
+@register(
+    "g4_triangle_count",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // {NS_PER_HOUR} AS h, event_type
+      FROM events),
+    p AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM act a JOIN act b USING (h, event_type)
+      WHERE a.user_id < b.user_id),
+    e AS (
+      SELECT u, v FROM p GROUP BY u, v
+      HAVING count(*) >= {_G1_MIN_W}),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    corners AS (
+      SELECT a AS user_id FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY user_id
+    ORDER BY n_triangles DESC, user_id
+    LIMIT 25
+    """,
+)
+def g4_triangle_count(spark, sf_dir):
+    # The edge frame feeds all three join legs — without materialization
+    # the quadratic co-occurrence build would run three times (the G3
+    # lineage lesson). Checkpoint once; blocks released by the cleaner.
+    e = _cooccurrence_edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=False)
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(closing, ["a", "c"])
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
+    return (
+        corners.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "user_id")
+        .limit(25)
+    )

@@ -3026,3 +3026,54 @@ def l4_tv_drift(spark, sf_dir):
             + F.lit(0.0)
         ).alias("tv_distance"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# L4n — lexical richness per source (new round 4): type-token ratio and
+# hapax-legomenon share, the vocabulary-diversity diagnostics that
+# separate natural text from templated/boilerplate output (template
+# corpora collapse TTR; hapax share drops toward 0). Shape: one
+# tokenize+explode pass → (source, token) counts → per-source rollup —
+# two shuffles, both keyed, with map-side partial aggregation; all
+# counts are exact BIGINTs and the two ratios are single closed-form
+# divisions, so the output is bit-deterministic cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "l4_ttr_hapax",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    tc AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+           round(CAST(COUNT(*) FILTER (WHERE c = 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+    FROM tc GROUP BY source
+    ORDER BY source
+    """,
+)
+def l4_ttr_hapax(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    tc = (
+        fan_out(T("documents"))
+        .select("source", F.explode(X.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_types = F.count(F.lit(1)).cast("bigint")
+    n_hapax = F.count(F.when(F.col("c") == 1, 1)).cast("bigint")
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            n_types.alias("n_types"),
+            n_hapax.alias("n_hapax"),
+            F.round(n_types.cast("double") / F.sum("c").cast("double"), 6).alias("ttr"),
+            F.round(n_hapax.cast("double") / n_types.cast("double"), 6).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )

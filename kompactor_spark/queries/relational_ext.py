@@ -1014,3 +1014,195 @@ def w15_gini_revenue(spark, sf_dir):
             "gini"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# A22 — equi-depth (decile) histogram of order value (new round 4): cut
+# points are the 9 exact interpolated percentiles of o_totalprice (one
+# distributed aggregate — percentile parity with quantile_cont is
+# driver-proven by a9), broadcast as a single row over a second
+# bucketing scan; membership is "count of cuts strictly below the
+# value", deterministic in both engines even at tied cut values. Per
+# bucket: count, min, max, and an exact DECIMAL sum presented as
+# DOUBLE. This is the scalable exact equi-depth shape — no global
+# row_number/ntile window (which would serialize the whole table
+# through one reducer); cut points are a constant-size aggregate.
+# --------------------------------------------------------------------------
+_A22_PROBS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "a22_equi_depth_histogram",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, {_A22_PROBS}) AS cs FROM orders),
+    b AS (
+      SELECT o_totalprice AS p,
+             1 + len(list_filter(cs, c -> c < o_totalprice)) AS bucket
+      FROM orders, cuts)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(p) AS lo,
+           MAX(p) AS hi,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM b GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def a22_equi_depth_histogram(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    o = T("orders").select(F.col("o_totalprice").alias("p"))
+    probs = ", ".join(str(q) for q in _A22_PROBS)
+    cuts = o.agg(F.expr(f"percentile(p, array({probs}))").alias("cs"))
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select("p", (F.lit(1) + F.expr("size(filter(cs, c -> c < p))")).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+            F.sum(dec("p")).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# A23 — two-sample A/B z-test (new round 4): users are deterministically
+# assigned to variants by md5 parity (the engine-portable random split —
+# same mechanism as l6_train_val_split), the per-variant mean/variance
+# of event value comes from exact DECIMAL power sums (the a16 mechanism:
+# integer-exact partials, order-independent, so the only float ops are
+# the closed-form final expressions — bit-identical cross-engine), and
+# the Welch z statistic is computed per event_type. One scan, one
+# shuffle on the 5-key group; conditional aggregation instead of a
+# pivot. The experiment-analysis primitive at any scale.
+# --------------------------------------------------------------------------
+@register(
+    "a23_ab_ztest",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN md5('ab:' || CAST(user_id AS VARCHAR)) < '8' THEN 0 ELSE 1 END AS v,
+             CAST(value AS DECIMAL(18,6)) AS x
+      FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+             CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS n_b,
+             CAST(SUM(x) FILTER (WHERE v = 0) AS DOUBLE) AS s1a,
+             CAST(SUM(x * x) FILTER (WHERE v = 0) AS DOUBLE) AS s2a,
+             CAST(SUM(x) FILTER (WHERE v = 1) AS DOUBLE) AS s1b,
+             CAST(SUM(x * x) FILTER (WHERE v = 1) AS DOUBLE) AS s2b
+      FROM t GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+           round(s1a / n_a, 6) AS mean_a,
+           round(s1b / n_b, 6) AS mean_b,
+           round((s1a / n_a - s1b / n_b)
+                 / sqrt(((s2a - s1a * s1a / n_a) / (n_a - 1)) / n_a
+                        + ((s2b - s1b * s1b / n_b) / (n_b - 1)) / n_b),
+                 6) + 0.0 AS z_welch
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def a23_ab_ztest(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    h = F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")))
+    x = F.col("value").cast("decimal(18,6)")
+    t = T("events").select(
+        "event_type", F.when(h < "8", 0).otherwise(1).alias("v"), x.alias("x")
+    )
+    a, b = F.col("v") == 0, F.col("v") == 1
+    s = t.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(b, 1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(a, F.col("x"))).cast("double").alias("s1a"),
+        F.sum(F.when(a, F.col("x") * F.col("x"))).cast("double").alias("s2a"),
+        F.sum(F.when(b, F.col("x"))).cast("double").alias("s1b"),
+        F.sum(F.when(b, F.col("x") * F.col("x"))).cast("double").alias("s2b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s1a, s2a, s1b, s2b = F.col("s1a"), F.col("s2a"), F.col("s1b"), F.col("s2b")
+    var_a = (s2a - s1a * s1a / n_a) / (n_a - 1)
+    var_b = (s2b - s1b * s1b / n_b) / (n_b - 1)
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(s1a / n_a, 6).alias("mean_a"),
+        F.round(s1b / n_b, 6).alias("mean_b"),
+        (F.round((s1a / n_a - s1b / n_b) / F.sqrt(var_a / n_a + var_b / n_b), 6) + F.lit(0.0)).alias(
+            "z_welch"
+        ),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# A24 — chi-square independence cells (new round 4): the contingency
+# table of event_type × md5-parity cohort with per-row expected counts
+# and chi-square contributions. Observed counts are exact BIGINTs; the
+# expected counts and contributions are closed-form doubles over those
+# integers (no float aggregation anywhere), so the statistic is
+# bit-deterministic cross-engine. Column totals are a 1-row aggregate
+# of the already-aggregated 5-row table — constant-size at any input
+# scale, broadcast back via cross join.
+# --------------------------------------------------------------------------
+@register(
+    "a24_chi_square",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN md5('chi:' || CAST(user_id AS VARCHAR)) < '8' THEN 0 ELSE 1 END AS g
+      FROM events),
+    ct AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE g = 0) AS BIGINT) AS o0,
+             CAST(COUNT(*) FILTER (WHERE g = 1) AS BIGINT) AS o1
+      FROM t GROUP BY event_type),
+    tot AS (
+      SELECT CAST(SUM(o0) AS DOUBLE) AS c0, CAST(SUM(o1) AS DOUBLE) AS c1,
+             CAST(SUM(o0 + o1) AS DOUBLE) AS n
+      FROM ct)
+    SELECT event_type, o0, o1,
+           round((o0 + o1) * c0 / n, 6) AS e0,
+           round((o0 + o1) * c1 / n, 6) AS e1,
+           round((o0 - (o0 + o1) * c0 / n) * (o0 - (o0 + o1) * c0 / n) / ((o0 + o1) * c0 / n)
+                 + (o1 - (o0 + o1) * c1 / n) * (o1 - (o0 + o1) * c1 / n) / ((o0 + o1) * c1 / n),
+                 6) + 0.0 AS chi2_contrib
+    FROM ct, tot
+    ORDER BY event_type
+    """,
+)
+def a24_chi_square(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    h = F.md5(F.concat(F.lit("chi:"), F.col("user_id").cast("string")))
+    t = T("events").select("event_type", F.when(h < "8", 0).otherwise(1).alias("g"))
+    ct = t.groupBy("event_type").agg(
+        F.count(F.when(F.col("g") == 0, 1)).cast("bigint").alias("o0"),
+        F.count(F.when(F.col("g") == 1, 1)).cast("bigint").alias("o1"),
+    )
+    tot = ct.agg(
+        F.sum("o0").cast("double").alias("c0"),
+        F.sum("o1").cast("double").alias("c1"),
+        F.sum(F.col("o0") + F.col("o1")).cast("double").alias("n"),
+    )
+    o0, o1 = F.col("o0"), F.col("o1")
+    rt = o0 + o1
+    e0 = rt * F.col("c0") / F.col("n")
+    e1 = rt * F.col("c1") / F.col("n")
+    return (
+        ct.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "o0",
+            "o1",
+            F.round(e0, 6).alias("e0"),
+            F.round(e1, 6).alias("e1"),
+            (F.round((o0 - e0) * (o0 - e0) / e0 + (o1 - e1) * (o1 - e1) / e1, 6) + F.lit(0.0)).alias(
+                "chi2_contrib"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1260,3 +1260,179 @@ def x26_trend_slope(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# X23 — peak concurrency via the sweep line (new round 4): each event
+# opens a 5-minute activity interval [ts, ts+5m); the question "what was
+# the maximum number of simultaneously open intervals, and when was it
+# first reached" is the capacity-planning primitive (max concurrent
+# sessions / connections / jobs). Shape: pointize each interval into a
+# +1/-1 delta row (a union, no shuffle), one running-sum window per
+# event_type, then a peak lookup that REUSES the same hash partitioning
+# (window partitionBy == groupBy key → Catalyst plans zero extra
+# exchanges). Output is O(series), input-linear work, one shuffle.
+#
+# Tie discipline: ordering is (t, d) with closes (-1) sorting before
+# opens (+1), so touching intervals [a,b) [b,c) never double-count —
+# half-open semantics, identical in both engines because the default
+# RANGE frame includes all peers of the full ordering key.
+# --------------------------------------------------------------------------
+_X23_HOLD_NS = 300_000_000_000  # 5-minute activity window
+
+
+@register(
+    "x23_max_concurrency",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, epoch_ns(ts) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, epoch_ns(ts) + {_X23_HOLD_NS}, -1 FROM events),
+    run AS (
+      SELECT event_type, t, d,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d) AS c
+      FROM pts),
+    mx AS (
+      SELECT event_type, MAX(c) AS peak FROM run GROUP BY event_type)
+    SELECT r.event_type,
+           CAST(m.peak AS BIGINT) AS peak_concurrency,
+           CAST(MIN(r.t) AS BIGINT) AS first_peak_ns
+    FROM run r JOIN mx m ON r.event_type = m.event_type AND r.c = m.peak
+    GROUP BY r.event_type, m.peak
+    ORDER BY r.event_type
+    """,
+)
+def x23_max_concurrency(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events").select("event_type", F.col("ts").alias("t"))
+    pts = ev.select("event_type", "t", F.lit(1).alias("d")).unionByName(
+        ev.select("event_type", (F.col("t") + F.lit(_X23_HOLD_NS)).alias("t"), F.lit(-1).alias("d"))
+    )
+    w_run = Window.partitionBy("event_type").orderBy("t", "d")
+    w_all = Window.partitionBy("event_type")
+    run = pts.withColumn("c", F.sum("d").over(w_run))
+    return (
+        run.withColumn("peak", F.max("c").over(w_all))
+        .where(F.col("c") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("c").cast("bigint").alias("peak_concurrency"),
+            F.min("t").cast("bigint").alias("first_peak_ns"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# X28 — hour-of-day latency bands (new round 4): per (event_type,
+# hour-of-day 0-23), the p50/p95/p99 of `value` plus sample count — the
+# standard observability dashboard percentile-band panel, exposing
+# diurnal load patterns. Exact interpolated percentiles (Spark
+# percentile == DuckDB quantile_cont, parity driver-proven by a9);
+# single shuffle on the ~120-key group — at 100 TB the group count is
+# still tiny, so AQE coalesces the agg exchange to a handful of tasks
+# while the scan parallelism stays wide.
+# --------------------------------------------------------------------------
+@register(
+    "x28_latency_bands",
+    oracle=f"""
+    SELECT event_type,
+           CAST((epoch_ns(ts) // {NS_PER_HOUR}) % 24 AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type, hour_of_day
+    ORDER BY event_type, hour_of_day
+    """,
+)
+def x28_latency_bands(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    hod = ((F.col("ts") / F.lit(NS_PER_HOUR)).cast("bigint") % 24).alias("hour_of_day")
+    return (
+        T("events")
+        .select("event_type", hod, "value")
+        .groupBy("event_type", "hour_of_day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# X27 — merged-interval coverage (new round 4): per user, the total
+# wall-clock time covered by the union of their 5-minute activity
+# intervals, and how many disjoint activity islands that union has —
+# the gaps-and-islands primitive behind billable-time, uptime-%, and
+# session-stitching queries. Shape: one keyed window pass (island
+# breaks where an interval starts after the running max end of all
+# prior intervals), then two keyed aggregations on the SAME user key —
+# one shuffle total. Coverage arithmetic is all int64 ns: exact, no
+# float drift. Ties broken by unique event_id so both engines see the
+# same ROWS-frame order.
+# --------------------------------------------------------------------------
+@register(
+    "x27_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS t,
+             epoch_ns(ts) + {_X23_HOLD_NS} AS e
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, t, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR t > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (
+      SELECT user_id, t, e,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM m),
+    g AS (
+      SELECT user_id, island, MIN(t) AS s, MAX(e) AS en
+      FROM isl GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(en - s) AS BIGINT) AS covered_ns
+    FROM g GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x27_interval_coverage(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    iv = T("events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("t"),
+        (F.col("ts") + F.lit(_X23_HOLD_NS)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("e").over(w_prev)
+    brk = F.when(prev_end.isNull() | (F.col("t") > prev_end), 1).otherwise(0)
+    isl = iv.withColumn("island", F.sum(brk).over(w_run))
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(F.min("t").alias("s"), F.max("e").alias("en"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("en") - F.col("s")).cast("bigint").alias("covered_ns"),
+        )
+        .orderBy("user_id")
+    )

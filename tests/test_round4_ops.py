@@ -561,3 +561,81 @@ def test_trend_slope_covers_all_event_types(spark, regs):
     types = {r.event_type for r in load_table(spark, SF, "events").select("event_type").distinct().collect()}
     assert {r.event_type for r in rows} <= types
     assert all(r.n_samples > 1 for r in rows)
+
+
+def test_max_concurrency_bounds(spark, regs):
+    rows = regs["x23_max_concurrency"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    per_type = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    for r in rows:
+        # peak is at least 1 and can never exceed the series event count
+        assert 1 <= r.peak_concurrency <= per_type[r.event_type]
+        assert r.first_peak_ns > 0
+
+
+def test_interval_coverage_bounds(spark, regs):
+    rows = regs["x27_interval_coverage"](spark, SF).collect()
+    hold = 300_000_000_000
+    ev = load_table(spark, SF, "events")
+    per_user = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    assert {r.user_id for r in rows} == set(per_user)
+    for r in rows:
+        n = per_user[r.user_id]
+        # union of n intervals of length `hold` covers between `hold`
+        # (all overlapping) and n*hold (all disjoint) nanoseconds
+        assert hold <= r.covered_ns <= n * hold
+        assert 1 <= r.n_islands <= n
+
+
+def test_latency_bands_monotone_percentiles(spark, regs):
+    rows = regs["x28_latency_bands"](spark, SF).collect()
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        assert r.p50 <= r.p95 <= r.p99
+        assert r.n >= 1
+
+
+def test_equi_depth_buckets_near_uniform(spark, regs):
+    rows = regs["a22_equi_depth_histogram"](spark, SF).collect()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    # equi-depth: every bucket within 2x of the ideal share (ties and
+    # interpolation can shift boundaries slightly, never grossly)
+    ideal = n_orders / 10
+    assert all(0.5 * ideal <= r.n <= 2.0 * ideal for r in rows)
+    # bucket value ranges are disjoint and ordered
+    for lo_r, hi_r in zip(rows, rows[1:]):
+        assert lo_r.hi <= hi_r.lo
+
+
+def test_ab_ztest_split_is_balanced_and_finite(spark, regs):
+    rows = regs["a23_ab_ztest"](spark, SF).collect()
+    for r in rows:
+        assert r.n_a > 0 and r.n_b > 0
+        # md5 parity split should be roughly even (binomial, wide margin)
+        assert 0.2 <= r.n_a / (r.n_a + r.n_b) <= 0.8
+        assert math.isfinite(r.z_welch)
+
+
+def test_chi_square_row_identities(spark, regs):
+    rows = regs["a24_chi_square"](spark, SF).collect()
+    # expected counts preserve row totals and contributions are >= 0
+    for r in rows:
+        assert abs((r.e0 + r.e1) - (r.o0 + r.o1)) < 1e-3
+        assert r.chi2_contrib >= 0.0
+
+
+def test_triangle_counts_consistent_with_edges(spark, regs):
+    rows = regs["g4_triangle_count"](spark, SF).collect()
+    for r in rows:
+        assert r.n_triangles >= 1
+
+
+def test_ttr_hapax_bounds(spark, regs):
+    rows = regs["l4_ttr_hapax"](spark, SF).collect()
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 <= r.n_hapax <= r.n_types
+        assert 0.0 < r.ttr <= 1.0
+        assert 0.0 <= r.hapax_share <= 1.0

@@ -167,6 +167,10 @@ _PRIORITY = [
     "a24_chi_square",
     "g4_triangle_count",
     "l4_ttr_hapax",
+    "x29_last_touch_attribution",
+    "j16_band_join_lookup",
+    "m10_skew_report",
+    "g5_neighbor_jaccard",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

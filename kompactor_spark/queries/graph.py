@@ -315,3 +315,84 @@ def g4_triangle_count(spark, sf_dir):
         .orderBy(F.col("n_triangles").desc(), "user_id")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# G5 — neighborhood Jaccard similarity (new round 4): for every G1 edge
+# (u,v), |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the symmetrized adjacency —
+# the classic link-prediction / community-strength feature. Shape:
+# common-neighbor counts come from the same bounded per-neighborhood
+# pair expansion as the G1 build (adjacency self-join on the shared
+# neighbor, u<v orientation), degrees are one keyed count, and both
+# attach to the edge list by vertex-keyed equi-joins — no all-pairs
+# stage anywhere. Jaccard is a closed-form division over exact BIGINTs.
+# --------------------------------------------------------------------------
+@register(
+    "g5_neighbor_jaccard",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // {NS_PER_HOUR} AS h, event_type
+      FROM events),
+    p AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM act a JOIN act b USING (h, event_type)
+      WHERE a.user_id < b.user_id),
+    e AS (
+      SELECT u, v FROM p GROUP BY u, v
+      HAVING count(*) >= {_G1_MIN_W}),
+    adj AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY src),
+    cn AS (
+      SELECT a1.src AS u, a2.src AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM adj a1 JOIN adj a2 ON a1.dst = a2.dst
+      WHERE a1.src < a2.src
+      GROUP BY a1.src, a2.src)
+    SELECT e.u, e.v,
+           COALESCE(cn.common, 0) AS common,
+           round(CAST(COALESCE(cn.common, 0) AS DOUBLE)
+                 / (du.d + dv.d - COALESCE(cn.common, 0)), 6) AS jaccard
+    FROM e
+    JOIN deg du ON du.src = e.u
+    JOIN deg dv ON dv.src = e.v
+    LEFT JOIN cn ON cn.u = e.u AND cn.v = e.v
+    ORDER BY jaccard DESC, e.u, e.v
+    LIMIT 25
+    """,
+)
+def g5_neighbor_jaccard(spark, sf_dir):
+    # adj feeds the degree count AND both legs of the common-neighbor
+    # self-join — checkpoint once (same lineage discipline as G3/G4).
+    e = _cooccurrence_edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=False)
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a1 = adj.select(F.col("src").alias("cu"), F.col("dst").alias("x"))
+    a2 = adj.select(F.col("src").alias("cv"), F.col("dst").alias("x"))
+    cn = (
+        a1.join(a2, "x")
+        .where(F.col("cu") < F.col("cv"))
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
+    common = F.coalesce(F.col("common"), F.lit(0))
+    return (
+        e.join(du, "u")
+        .join(dv, "v")
+        .join(cn, (F.col("u") == F.col("cu")) & (F.col("v") == F.col("cv")), "left")
+        .select(
+            "u",
+            "v",
+            common.cast("bigint").alias("common"),
+            F.round(common.cast("double") / (F.col("du") + F.col("dv") - common), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(25)
+    )

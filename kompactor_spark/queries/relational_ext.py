@@ -1206,3 +1206,105 @@ def a24_chi_square(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# J16 — broadcast band-join lookup (new round 4): classify every event
+# value into a rate band from a tiny banded dimension ([lo, hi) ranges
+# with a multiplier — the billing / rating-table shape) and charge it.
+# The non-equi join condition would force a nested-loop join in
+# general; with the band table broadcast it is a BroadcastNestedLoop
+# over K=3 rows per event — linear work, no shuffle of the fact side.
+# Charges are exact DECIMAL products aggregated per (event_type, band).
+# --------------------------------------------------------------------------
+_J16_BANDS = [(0.0, 50.0, "low", "1.00"), (50.0, 200.0, "mid", "1.25"), (200.0, None, "high", "1.50")]
+
+
+@register(
+    "j16_band_join_lookup",
+    oracle="""
+    WITH bands(lo, hi, band, mult) AS (
+      VALUES (0.0, 50.0, 'low', CAST('1.00' AS DECIMAL(6,2))),
+             (50.0, 200.0, 'mid', CAST('1.25' AS DECIMAL(6,2))),
+             (200.0, 1e309, 'high', CAST('1.50' AS DECIMAL(6,2))))
+    SELECT e.event_type, b.band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6)) * b.mult) AS DOUBLE) AS charged
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY e.event_type, b.band
+    ORDER BY e.event_type, b.band
+    """,
+)
+def j16_band_join_lookup(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    rows = [
+        (lo, float("inf") if hi is None else hi, band, mult)
+        for lo, hi, band, mult in _J16_BANDS
+    ]
+    bands = spark.createDataFrame(rows, "lo double, hi double, band string, mult string").select(
+        "lo", "hi", "band", F.col("mult").cast("decimal(6,2)").alias("mult")
+    )
+    e = T("events")
+    return (
+        e.join(F.broadcast(bands), (e.value >= F.col("lo")) & (e.value < F.col("hi")))
+        .groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("mult")).cast("double").alias("charged"),
+        )
+        .orderBy("event_type", "band")
+    )
+
+
+# --------------------------------------------------------------------------
+# M10 — join-key skew diagnostic (new round 4): the pre-flight report a
+# 100 TB join needs — per-key row counts for the heaviest keys, each
+# key's share of the table, and the cumulative share of the top keys
+# (decides broadcast vs salt vs AQE-skew-split). One keyed count, a
+# constant-size total broadcast back, ranking window over the top slice
+# only. Diagnostic semantics are exact: counts BIGINT, shares
+# closed-form divisions.
+# --------------------------------------------------------------------------
+@register(
+    "m10_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+    r AS (
+      SELECT user_id, n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+      FROM c)
+    SELECT r.user_id, r.n,
+           round(r.n / tot.t, 6) AS share,
+           round(SUM(r.n) OVER (ORDER BY r.rk
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.t,
+                 6) AS cum_share
+    FROM r, tot
+    WHERE r.rk <= 20
+    ORDER BY r.rk
+    """,
+)
+def m10_skew_report(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("events").groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    # Top slice FIRST via orderBy+limit (TakeOrderedAndProject: per-task
+    # heaps + one 20-row merge — distributed top-k). The ranking windows
+    # below then run over 20 rows, never over |distinct keys| rows; a
+    # global window before the cut would serialize every key through one
+    # reducer at 100 TB.
+    top = c.orderBy(F.col("n").desc(), "user_id").limit(20)
+    r = top.withColumn("rk", F.row_number().over(Window.orderBy(F.col("n").desc(), "user_id")))
+    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            F.round(F.sum("n").over(cum) / F.col("t"), 6).alias("cum_share"),
+            "rk",
+        )
+        .orderBy("rk")
+        .drop("rk")
+    )

@@ -1436,3 +1436,82 @@ def x27_interval_coverage(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# X29 — last-touch attribution (new round 4): every `purchase` is
+# attributed to the user's most recent preceding touch event (click /
+# view) within a 24 h lookback, else to '(none)' — the marketing /
+# growth attribution primitive. Shape: the as-of mechanism of
+# operators/asof.py (union the two streams, one keyed window pass with
+# last(..., ignorenulls)) — never a per-conversion range join. Ordering
+# is (ts, kind, event_id): touches sort before a conversion at the same
+# instant, unique event_id makes the ROWS frame order identical in both
+# engines. Output is a per-channel conversion census.
+# --------------------------------------------------------------------------
+_X29_LOOKBACK_NS = 24 * NS_PER_HOUR
+
+
+@register(
+    "x29_last_touch_attribution",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, epoch_ns(ts) AS t, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+             CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+             CASE WHEN event_type IN ('click', 'view') THEN epoch_ns(ts) END AS touch_t
+      FROM events
+      WHERE event_type IN ('purchase', 'click', 'view')),
+    w AS (
+      SELECT user_id, t, is_conv,
+             last_value(touch IGNORE NULLS) OVER win AS last_touch,
+             last_value(touch_t IGNORE NULLS) OVER win AS last_touch_t
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, is_conv, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT COALESCE(CASE WHEN t - last_touch_t <= {_X29_LOOKBACK_NS} THEN last_touch END,
+                    '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM w
+    WHERE is_conv = 1
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def x29_last_touch_attribution(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    is_touch = F.col("event_type").isin("click", "view")
+    u = (
+        T("events")
+        .where(F.col("event_type").isin("purchase", "click", "view"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            "event_id",
+            (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+            F.when(is_touch, F.col("event_type")).alias("touch"),
+            F.when(is_touch, F.col("ts")).alias("touch_t"),
+        )
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w = u.select(
+        "t",
+        "is_conv",
+        F.last("touch", ignorenulls=True).over(win).alias("last_touch"),
+        F.last("touch_t", ignorenulls=True).over(win).alias("last_touch_t"),
+    )
+    attributed = F.coalesce(
+        F.when(F.col("t") - F.col("last_touch_t") <= F.lit(_X29_LOOKBACK_NS), F.col("last_touch")),
+        F.lit("(none)"),
+    )
+    return (
+        w.where(F.col("is_conv") == 1)
+        .select(attributed.alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
+        .orderBy("channel")
+    )

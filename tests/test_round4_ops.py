@@ -639,3 +639,38 @@ def test_ttr_hapax_bounds(spark, regs):
         assert 0 <= r.n_hapax <= r.n_types
         assert 0.0 < r.ttr <= 1.0
         assert 0.0 <= r.hapax_share <= 1.0
+
+
+def test_last_touch_attribution_census(spark, regs):
+    rows = regs["x29_last_touch_attribution"](spark, SF).collect()
+    n_purchases = (
+        load_table(spark, SF, "events").where(F.col("event_type") == "purchase").count()
+    )
+    assert sum(r.n_conversions for r in rows) == n_purchases
+    assert {r.channel for r in rows} <= {"click", "view", "(none)"}
+
+
+def test_band_join_covers_every_event(spark, regs):
+    rows = regs["j16_band_join_lookup"](spark, SF).collect()
+    n_events = load_table(spark, SF, "events").count()
+    assert sum(r.n for r in rows) == n_events  # bands partition [0, inf)
+    assert all(r.charged > 0 for r in rows)
+
+
+def test_skew_report_shares(spark, regs):
+    rows = regs["m10_skew_report"](spark, SF).collect()
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert len(rows) == min(20, n_users)
+    # descending counts, cumulative share monotone and <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.n >= b.n
+        assert a.cum_share <= b.cum_share + 1e-9
+    assert rows[-1].cum_share <= 1.0 + 1e-9
+    assert all(0 < r.share <= r.cum_share + 1e-9 for r in rows)
+
+
+def test_neighbor_jaccard_bounds(spark, regs):
+    rows = regs["g5_neighbor_jaccard"](spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.common >= 0

@@ -171,6 +171,9 @@ _PRIORITY = [
     "j16_band_join_lookup",
     "m10_skew_report",
     "g5_neighbor_jaccard",
+    "x30_rate_spike",
+    "x31_cohort_ltv",
+    "l7f_dimension_stats",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

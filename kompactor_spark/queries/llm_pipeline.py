@@ -3077,3 +3077,64 @@ def l4_ttr_hapax(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# L7f — embedding dimension health (new round 4): per-dimension moments
+# across the whole corpus — the screen for dead (zero-variance) and
+# collapsed (offset-mean) embedding dimensions that silently degrade
+# ANN recall and clustering. Shape: posexplode to the flat (vec, dim,
+# value) stream (the SQ8/PQ pattern — scan-linear, no shuffle wider
+# than the 64-key dim group), per-element DECIMAL(18,9) quantization
+# (a pure cast, no accumulation), then exact DECIMAL power sums (a16
+# mechanism) per dimension — count/mean/variance/min/max are all
+# bit-deterministic cross-engine under any partitioning.
+# --------------------------------------------------------------------------
+@register(
+    "l7f_dimension_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      FROM embeddings),
+    s AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xd) AS s1,
+             SUM(xd * xd) AS s2,
+             MIN(xd) AS mn,
+             MAX(xd) AS mx
+      FROM flat GROUP BY dim)
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           round(CAST(s1 AS DOUBLE) / n, 6) + 0.0 AS mean_x,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                 / (n - 1), 6) + 0.0 AS var_x,
+           CAST(mn AS DOUBLE) AS min_x,
+           CAST(mx AS DOUBLE) AS max_x
+    FROM s
+    ORDER BY dim
+    """,
+)
+def l7f_dimension_stats(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    flat = T("embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    xd = F.col("x").cast("decimal(18,9)")
+    s = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(xd * xd).alias("s2"),
+        F.min(xd).alias("mn"),
+        F.max(xd).alias("mx"),
+    )
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    return s.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        (F.round(s1d / F.col("n"), 6) + F.lit(0.0)).alias("mean_x"),
+        (F.round((s2d - s1d * s1d / F.col("n")) / (F.col("n") - 1), 6) + F.lit(0.0)).alias(
+            "var_x"
+        ),
+        F.col("mn").cast("double").alias("min_x"),
+        F.col("mx").cast("double").alias("max_x"),
+    ).orderBy("dim")

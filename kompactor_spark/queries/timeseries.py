@@ -1515,3 +1515,124 @@ def x29_last_touch_attribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_conversions"))
         .orderBy("channel")
     )
+
+
+# --------------------------------------------------------------------------
+# X30 — sliding-window rate spikes (new round 4): per user, the number
+# of events inside the trailing 10-minute window at every event, the
+# worst (max) such burst, and how many events sat in an over-threshold
+# burst — the rate-limiter / abuse-detection primitive. A RANGE frame
+# over the int64-ns time axis (not ROWS: simultaneous events must all
+# count), one keyed window pass, exact BIGINT arithmetic throughout;
+# the per-user rollup reuses the window's hash partitioning.
+# --------------------------------------------------------------------------
+_X30_WIN_NS = 600_000_000_000  # trailing 10 minutes
+_X30_THRESH = 5
+
+
+@register(
+    "x30_rate_spike",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                            RANGE BETWEEN {_X30_WIN_NS} PRECEDING AND CURRENT ROW)
+               AS in_window
+      FROM events)
+    SELECT user_id,
+           CAST(MAX(in_window) AS BIGINT) AS peak_rate,
+           CAST(COUNT(*) FILTER (WHERE in_window >= {_X30_THRESH}) AS BIGINT)
+             AS n_burst_events
+    FROM r GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x30_rate_spike(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-_X30_WIN_NS, 0)
+    )
+    r = T("events").select(
+        "user_id", F.count(F.lit(1)).over(w).alias("in_window")
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.max("in_window").cast("bigint").alias("peak_rate"),
+            F.count(F.when(F.col("in_window") >= _X30_THRESH, 1))
+            .cast("bigint")
+            .alias("n_burst_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# X31 — cohort LTV curve (new round 4): users are cohorted by first-seen
+# epoch-week; per (cohort_week, weeks_since_cohort) the purchase revenue
+# and the cohort's CUMULATIVE revenue — the lifetime-value triangle that
+# extends the x10 retention triangle with money. Revenue partials are
+# exact DECIMALs; the cumulative sum runs on the already-aggregated
+# O(weeks²) grid (tiny at any input scale), staying in DECIMAL until
+# the final DOUBLE presentation. First-seen derivation is one keyed
+# min-aggregate joined back on the SAME user key — no broadcast hint:
+# the user dim can itself be billions of rows at 100 TB, so the join
+# strategy is left to AQE (auto-broadcast when it fits, else both
+# sides already hash on user_id and the exchange is shared).
+# --------------------------------------------------------------------------
+_NS_PER_WEEK = 7 * 24 * NS_PER_HOUR
+
+
+@register(
+    "x31_cohort_ltv",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(epoch_ns(ts)) // {_NS_PER_WEEK} AS cohort_week
+      FROM events GROUP BY user_id),
+    rev AS (
+      SELECT f.cohort_week,
+             epoch_ns(e.ts) // {_NS_PER_WEEK} - f.cohort_week AS weeks_since,
+             CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS revenue
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2)
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(weeks_since AS BIGINT) AS weeks_since,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM rev
+    ORDER BY cohort_week, weeks_since
+    """,
+)
+def x31_cohort_ltv(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    first_seen = ev.groupBy("user_id").agg(
+        (F.min("ts") / F.lit(_NS_PER_WEEK)).cast("bigint").alias("cohort_week")
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.col("ts") / F.lit(_NS_PER_WEEK)).cast("bigint") - F.col("cohort_week")).alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("revenue"))
+    )
+    cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return rev.select(
+        F.col("cohort_week").cast("bigint").alias("cohort_week"),
+        F.col("weeks_since").cast("bigint").alias("weeks_since"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(cum).cast("double").alias("cum_revenue"),
+    ).orderBy("cohort_week", "weeks_since")

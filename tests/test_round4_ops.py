@@ -674,3 +674,39 @@ def test_neighbor_jaccard_bounds(spark, regs):
     for r in rows:
         assert 0.0 <= r.jaccard <= 1.0
         assert r.common >= 0
+
+
+def test_rate_spike_bounds(spark, regs):
+    rows = regs["x30_rate_spike"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    per_user = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    assert {r.user_id for r in rows} == set(per_user)
+    for r in rows:
+        assert 1 <= r.peak_rate <= per_user[r.user_id]
+        assert 0 <= r.n_burst_events <= per_user[r.user_id]
+
+
+def test_cohort_ltv_cumulative_monotone(spark, regs):
+    rows = regs["x31_cohort_ltv"](spark, SF).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for seq in by_cohort.values():
+        assert [r.weeks_since for r in seq] == sorted(r.weeks_since for r in seq)
+        assert all(r.weeks_since >= 0 for r in seq)
+        cum = 0.0
+        for r in seq:
+            assert r.revenue > 0
+            cum += r.revenue
+            assert abs(r.cum_revenue - cum) < 1e-6 * max(1.0, cum)
+
+
+def test_dimension_stats_one_row_per_dim(spark, regs):
+    rows = regs["l7f_dimension_stats"](spark, SF).collect()
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    dims = load_table(spark, SF, "embeddings").select(F.size("embedding")).first()[0]
+    assert len(rows) == dims
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.var_x >= 0.0
+        assert r.min_x <= r.mean_x <= r.max_x

@@ -174,6 +174,9 @@ _PRIORITY = [
     "x30_rate_spike",
     "x31_cohort_ltv",
     "l7f_dimension_stats",
+    "j17_point_in_time_join",
+    "x32_alert_episodes",
+    "f13_row_fingerprint",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -459,3 +459,95 @@ def m9_cdc_apply(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# J17 — point-in-time (SCD-2) dimension join (new round 4): each
+# `purchase` fact is joined to the dimension state that was valid AT
+# the fact's timestamp — the temporally-correct enrichment every
+# as-was report and ML feature backfill needs (joining to the CURRENT
+# state leaks the future). The dimension is the m8-style change stream
+# (signup events = state versions per user). Shape: the as-of union+
+# window mechanism (operators/asof.py) — dim changes and facts merge
+# into ONE keyed window pass with last(..., ignorenulls), never a
+# per-fact interval probe; at 100 TB that is one shuffle on the
+# shared user key. The oracle proves equivalence against the explicit
+# validity-interval join. Tie discipline: a state change at the exact
+# fact instant applies (dim kind sorts first); unique event_id breaks
+# remaining ties identically in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "j17_point_in_time_join",
+    oracle="""
+    WITH scd AS (
+      SELECT user_id,
+             epoch_ns(ts) AS valid_from,
+             lead(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_ns(ts), event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS version,
+             round(value, 6) + 0.0 AS state_value
+      FROM events WHERE event_type = 'signup'),
+    f AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS t,
+             round(value, 6) + 0.0 AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.user_id, f.event_id, CAST(f.t AS BIGINT) AS ts_ns,
+           f.purchase_value,
+           CAST(scd.version AS BIGINT) AS state_version,
+           scd.state_value
+    FROM f JOIN scd
+      ON f.user_id = scd.user_id
+     AND f.t >= scd.valid_from
+     AND (scd.valid_to IS NULL OR f.t < scd.valid_to)
+    ORDER BY f.user_id, f.t, f.event_id
+    """,
+)
+def j17_point_in_time_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    ts_us = F.col("ts") - F.col("ts") % 1000  # µs floor: DuckDB truncates
+    # ns-encoded parquet timestamps to µs, so ordering-sensitive ops
+    # must compare at µs grain (m8/x18 policy)
+    dim = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        ts_us.alias("t"),
+        "event_id",
+        F.lit(0).alias("kind"),
+        (F.round("value", 6) + F.lit(0.0)).alias("state"),
+        F.lit(None).cast("double").alias("fact_value"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us.alias("t"),
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("state"),
+        (F.round("value", 6) + F.lit(0.0)).alias("fact_value"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = dim.unionByName(fact).select(
+        "user_id",
+        "t",
+        "event_id",
+        "kind",
+        "fact_value",
+        F.last("state", ignorenulls=True).over(w).alias("state_value"),
+        F.sum((F.col("kind") == 0).cast("long")).over(w).alias("state_version"),
+    )
+    return (
+        merged.where((F.col("kind") == 1) & F.col("state_value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("t").cast("bigint").alias("ts_ns"),
+            F.col("fact_value").alias("purchase_value"),
+            F.col("state_version").cast("bigint").alias("state_version"),
+            "state_value",
+        )
+        .orderBy("user_id", "ts_ns", "event_id")
+    )

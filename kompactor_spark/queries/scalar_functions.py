@@ -548,3 +548,58 @@ def r5b_chsql_strings(spark, sf_dir):
         ip.alias("ip"),
         ch.IPv4StringToNum(ip).alias("ip_roundtrip"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# F13 — content-addressed row fingerprints (new round 4): a canonical
+# per-row digest (md5 + sha256 over a '|'-joined canonical string of
+# the row's stable columns) with a per-nation integrity census — the
+# primitive behind CDC row diffing, replication verification, and
+# content-addressed dedup at 100 TB (hash shuffles replace full-row
+# comparisons). Only integer/string columns enter the canonical form
+# (float-to-string rendering differs across engines — documented
+# exclusion, same rule as the repo's money discipline). min/max digests
+# give a cheap per-partition checksum pair.
+# --------------------------------------------------------------------------
+@register(
+    "f13_row_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT c_nationkey,
+             md5(c_name || '|' || CAST(c_custkey AS VARCHAR) || '|'
+                 || CAST(c_nationkey AS VARCHAR)) AS h_md5,
+             sha256(c_name || '|' || CAST(c_custkey AS VARCHAR) || '|'
+                    || CAST(c_nationkey AS VARCHAR)) AS h_sha
+      FROM customer)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT h_md5) AS BIGINT) AS n_distinct,
+           MIN(h_sha) AS min_sha,
+           MAX(h_sha) AS max_sha
+    FROM h GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def f13_row_fingerprint(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    canon = F.concat_ws(
+        "|",
+        F.col("c_name"),
+        F.col("c_custkey").cast("string"),
+        F.col("c_nationkey").cast("string"),
+    )
+    h = T("customer").select(
+        "c_nationkey",
+        F.md5(canon).alias("h_md5"),
+        F.sha2(canon, 256).alias("h_sha"),
+    )
+    return (
+        h.groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("h_md5").cast("bigint").alias("n_distinct"),
+            F.min("h_sha").alias("min_sha"),
+            F.max("h_sha").alias("max_sha"),
+        )
+        .orderBy("nationkey")
+    )

@@ -1304,7 +1304,9 @@ _X23_HOLD_NS = 300_000_000_000  # 5-minute activity window
 )
 def x23_max_concurrency(spark, sf_dir):
     T = loader(sf_dir, spark)
-    ev = T("events").select("event_type", F.col("ts").alias("t"))
+    # µs floor (x18 policy): ordering-sensitive ts must match DuckDB's
+    # µs-truncated view if the data ships ns-encoded
+    ev = T("events").select("event_type", (F.col("ts") - F.col("ts") % 1000).alias("t"))
     pts = ev.select("event_type", "t", F.lit(1).alias("d")).unionByName(
         ev.select("event_type", (F.col("t") + F.lit(_X23_HOLD_NS)).alias("t"), F.lit(-1).alias("d"))
     )
@@ -1407,11 +1409,12 @@ def x28_latency_bands(spark, sf_dir):
 )
 def x27_interval_coverage(spark, sf_dir):
     T = loader(sf_dir, spark)
+    ts_us = F.col("ts") - F.col("ts") % 1000  # µs floor (x18 policy)
     iv = T("events").select(
         "user_id",
         "event_id",
-        F.col("ts").alias("t"),
-        (F.col("ts") + F.lit(_X23_HOLD_NS)).alias("e"),
+        ts_us.alias("t"),
+        (ts_us + F.lit(_X23_HOLD_NS)).alias("e"),
     )
     w_prev = (
         Window.partitionBy("user_id")
@@ -1486,11 +1489,11 @@ def x29_last_touch_attribution(spark, sf_dir):
         .where(F.col("event_type").isin("purchase", "click", "view"))
         .select(
             "user_id",
-            F.col("ts").alias("t"),
+            (F.col("ts") - F.col("ts") % 1000).alias("t"),  # µs floor
             "event_id",
             (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
             F.when(is_touch, F.col("event_type")).alias("touch"),
-            F.when(is_touch, F.col("ts")).alias("touch_t"),
+            F.when(is_touch, F.col("ts") - F.col("ts") % 1000).alias("touch_t"),
         )
     )
     win = (
@@ -1551,12 +1554,13 @@ def x30_rate_spike(spark, sf_dir):
     T = loader(sf_dir, spark)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts_us")
         .rangeBetween(-_X30_WIN_NS, 0)
     )
     r = T("events").select(
-        "user_id", F.count(F.lit(1)).over(w).alias("in_window")
-    )
+        "user_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_us"),  # µs floor
+    ).select("user_id", F.count(F.lit(1)).over(w).alias("in_window"))
     return (
         r.groupBy("user_id")
         .agg(
@@ -1636,3 +1640,99 @@ def x31_cohort_ltv(spark, sf_dir):
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(cum).cast("double").alias("cum_revenue"),
     ).orderBy("cohort_week", "weeks_since")
+
+
+# --------------------------------------------------------------------------
+# X32 — alert episodes (new round 4): the x18 rolling-z anomalies are
+# raw point alerts; operators need EPISODES — consecutive anomalies
+# (within a 1 h re-arm gap, per user) merged into one incident with
+# start/end, size, and worst severity. Composes the x18 frame with the
+# x27 gaps-and-islands pass: both windows share the user key, so the
+# whole pipeline is one shuffle. Severity max runs over z-scores that
+# are already rounded per x18's boundary discipline — deterministic
+# cross-engine. This is the alert-dedup/incident-rollup primitive of
+# every monitoring stack.
+# --------------------------------------------------------------------------
+_X32_REARM_NS = NS_PER_HOUR
+
+
+@register(
+    "x32_alert_episodes",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value FROM events),
+    w AS (
+      SELECT user_id, event_id, ts_ns, value,
+             avg(value) OVER win AS mu,
+             stddev_samp(value) OVER win AS sd,
+             count(*) OVER win AS n_win
+      FROM s
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns
+                     RANGE BETWEEN {_Z_WIN_NS} PRECEDING AND CURRENT ROW)),
+    a AS (
+      SELECT user_id, event_id, ts_ns,
+             abs(round((value - mu) / sd, 6) + 0.0) AS sev
+      FROM w
+      WHERE n_win >= 5 AND sd > 0
+        AND abs(round((value - mu) / sd, 6) + 0.0) >= 3.0),
+    m AS (
+      SELECT user_id, event_id, ts_ns, sev,
+             CASE WHEN lag(ts_ns) OVER wo IS NULL
+                       OR ts_ns - lag(ts_ns) OVER wo > {_X32_REARM_NS}
+                  THEN 1 ELSE 0 END AS brk
+      FROM a
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    isl AS (
+      SELECT user_id, ts_ns, sev,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+      FROM m)
+    SELECT user_id, CAST(episode AS BIGINT) AS episode,
+           CAST(MIN(ts_ns) AS BIGINT) AS start_ns,
+           CAST(MAX(ts_ns) AS BIGINT) AS end_ns,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           MAX(sev) AS peak_severity
+    FROM isl GROUP BY user_id, episode
+    ORDER BY user_id, episode
+    """,
+)
+def x32_alert_episodes(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    s = T("events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),  # µs floor (x18 policy)
+        "value",
+    )
+    win = (
+        Window.partitionBy("user_id").orderBy("ts_ns").rangeBetween(-_Z_WIN_NS, 0)
+    )
+    w = s.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        "value",
+        F.avg("value").over(win).alias("mu"),
+        F.stddev_samp("value").over(win).alias("sd"),
+        F.count("*").over(win).alias("n_win"),
+    )
+    sev = F.abs(F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6) + F.lit(0.0))
+    a = w.where((F.col("n_win") >= 5) & (F.col("sd") > 0) & (sev >= 3.0)).select(
+        "user_id", "event_id", "ts_ns", sev.alias("sev")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    prev_ts = F.lag("ts_ns").over(wo)
+    brk = F.when(prev_ts.isNull() | (F.col("ts_ns") - prev_ts > _X32_REARM_NS), 1).otherwise(0)
+    isl = a.withColumn(
+        "episode", F.sum(brk).over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        isl.groupBy("user_id", F.col("episode").cast("bigint").alias("episode"))
+        .agg(
+            F.min("ts_ns").cast("bigint").alias("start_ns"),
+            F.max("ts_ns").cast("bigint").alias("end_ns"),
+            F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+            F.max("sev").alias("peak_severity"),
+        )
+        .orderBy("user_id", "episode")
+    )

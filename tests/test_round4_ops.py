@@ -710,3 +710,40 @@ def test_dimension_stats_one_row_per_dim(spark, regs):
         assert r.n == n_vecs
         assert r.var_x >= 0.0
         assert r.min_x <= r.mean_x <= r.max_x
+
+
+def test_point_in_time_join_state_precedes_fact(spark, regs):
+    rows = regs["j17_point_in_time_join"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    sign = {}
+    for r in (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", (F.col("ts") - F.col("ts") % 1000).alias("t"), "value")
+        .collect()
+    ):
+        sign.setdefault(r.user_id, []).append((r.t, r.value))
+    for r in rows:
+        states = sorted(t for t, _ in sign[r.user_id])
+        # version counts exactly the signups at-or-before the purchase
+        assert r.state_version == sum(1 for t in states if t <= r.ts_ns)
+        assert r.state_version >= 1
+
+
+def test_alert_episodes_subset_of_x18(spark, regs):
+    eps = regs["x32_alert_episodes"](spark, SF).collect()
+    alerts = regs["x18_rolling_zscore"](spark, SF).collect()
+    n_alerts = len(alerts)
+    assert sum(r.n_alerts for r in eps) == n_alerts
+    for r in eps:
+        assert r.start_ns <= r.end_ns
+        assert r.peak_severity >= 3.0
+
+
+def test_row_fingerprint_no_collisions(spark, regs):
+    rows = regs["f13_row_fingerprint"](spark, SF).collect()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    for r in rows:
+        assert r.n_distinct == r.n_rows  # canonical rows are unique
+        assert len(r.min_sha) == 64 and len(r.max_sha) == 64
+        assert r.min_sha <= r.max_sha

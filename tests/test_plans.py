@@ -312,3 +312,55 @@ def test_z6_aqe_skew_join_split(spark):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_x23_single_exchange_for_window_and_peak(spark, Q):
+    """X23: the running-sum window, the per-series peak window, and the
+    final groupBy all key on event_type — exactly ONE hashpartitioning
+    exchange on event_type may appear (plus the union-side scans)."""
+    p = plan(spark, Q["x23_max_concurrency"](spark, SF))
+    n_hash = p.count("hashpartitioning(event_type")
+    assert n_hash == 1, f"expected 1 event_type exchange, plan has {n_hash}:\n{p}"
+
+
+def test_a22_no_global_window(spark, Q):
+    """A22: equi-depth bucketing must NOT use a global ntile/row_number
+    window (the single-reducer scale-killer); cuts come from an exact
+    percentile AGGREGATE and join back as a broadcast."""
+    p = plan(spark, Q["a22_equi_depth_histogram"](spark, SF))
+    assert "Window" not in p
+    assert "percentile" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_j16_band_join_is_broadcast_nested_loop(spark, Q):
+    """J16: the K-row band dim is broadcast; the fact side is never
+    exchanged below the join (nested-loop over a constant inner side is
+    the RIGHT plan here)."""
+    p = plan(spark, Q["j16_band_join_lookup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+    below = p.split("BroadcastNestedLoopJoin")[1]
+    assert "hashpartitioning(value" not in below
+
+
+def test_m10_top_slice_is_take_ordered(spark, Q):
+    """M10: the heavy-key slice comes from TakeOrderedAndProject (never
+    a full global sort or a window over all keys before the cut)."""
+    p = plan(spark, Q["m10_skew_report"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_x30_range_frame_single_user_exchange(spark, Q):
+    """X30: the sliding-rate window and the per-user rollup share one
+    user_id exchange."""
+    p = plan(spark, Q["x30_rate_spike"](spark, SF))
+    assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_j17_single_user_exchange(spark, Q):
+    """J17: the whole PIT join is ONE keyed window pass — a single
+    user_id exchange over the unioned change+fact stream, no join
+    operator at all."""
+    p = plan(spark, Q["j17_point_in_time_join"](spark, SF))
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p  # union+window mechanism, not an interval join

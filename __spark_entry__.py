@@ -177,6 +177,10 @@ _PRIORITY = [
     "j17_point_in_time_join",
     "x32_alert_episodes",
     "f13_row_fingerprint",
+    "a25_weighted_median",
+    "l4_vocab_coverage",
+    "l6_source_diversity",
+    "g6_degree_assortativity",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -396,3 +396,78 @@ def g5_neighbor_jaccard(spark, sf_dir):
         .orderBy(F.col("jaccard").desc(), "u", "v")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# G6 — degree assortativity (new round 4): the Pearson correlation of
+# endpoint degrees over the symmetrized edge list — one scalar that
+# says whether hubs attach to hubs (r>0, social networks) or to leaves
+# (r<0, infrastructure/fraud topologies). Every power sum (Σd_u, Σd_v,
+# Σd_u², Σd_v², Σd_u·d_v) is an exact BIGINT over integer degrees, so
+# the correlation is a closed-form double from exact integers —
+# bit-deterministic cross-engine with no decimal machinery needed.
+# Shape: adjacency degree count + two vertex-keyed joins back onto the
+# edge list, then one global scalar aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "g6_degree_assortativity",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // {NS_PER_HOUR} AS h, event_type
+      FROM events),
+    p AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM act a JOIN act b USING (h, event_type)
+      WHERE a.user_id < b.user_id),
+    e AS (
+      SELECT u, v FROM p GROUP BY u, v
+      HAVING count(*) >= {_G1_MIN_W}),
+    adj AS (
+      SELECT u AS src, v AS dst FROM e
+      UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY src),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(du.d) AS BIGINT) AS s_u,
+             CAST(SUM(dv.d) AS BIGINT) AS s_v,
+             CAST(SUM(du.d * du.d) AS BIGINT) AS s_uu,
+             CAST(SUM(dv.d * dv.d) AS BIGINT) AS s_vv,
+             CAST(SUM(du.d * dv.d) AS BIGINT) AS s_uv
+      FROM adj
+      JOIN deg du ON du.src = adj.src
+      JOIN deg dv ON dv.src = adj.dst)
+    SELECT m,
+           round((CAST(s_uv AS DOUBLE) - CAST(s_u AS DOUBLE) * s_v / m)
+                 / (sqrt(CAST(s_uu AS DOUBLE) - CAST(s_u AS DOUBLE) * s_u / m)
+                    * sqrt(CAST(s_vv AS DOUBLE) - CAST(s_v AS DOUBLE) * s_v / m)),
+                 6) + 0.0 AS assortativity
+    FROM s
+    """,
+)
+def g6_degree_assortativity(spark, sf_dir):
+    e = _cooccurrence_edges(spark, sf_dir).select("u", "v")
+    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)  # degree count + both endpoint joins
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("src").alias("j_src"), F.col("d").alias("du"))
+    dv = deg.select(F.col("src").alias("j_dst"), F.col("d").alias("dv"))
+    s = (
+        adj.join(du, adj.src == du.j_src)
+        .join(dv, adj.dst == dv.j_dst)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("du").cast("bigint").alias("s_u"),
+            F.sum("dv").cast("bigint").alias("s_v"),
+            F.sum(F.col("du") * F.col("du")).cast("bigint").alias("s_uu"),
+            F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("s_vv"),
+            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("s_uv"),
+        )
+    )
+    m = F.col("m")
+    num = F.col("s_uv").cast("double") - F.col("s_u").cast("double") * F.col("s_v") / m
+    den = F.sqrt(
+        F.col("s_uu").cast("double") - F.col("s_u").cast("double") * F.col("s_u") / m
+    ) * F.sqrt(F.col("s_vv").cast("double") - F.col("s_v").cast("double") * F.col("s_v") / m)
+    return s.select("m", (F.round(num / den, 6) + F.lit(0.0)).alias("assortativity"))

@@ -3138,3 +3138,120 @@ def l7f_dimension_stats(spark, sf_dir):
         F.col("mn").cast("double").alias("min_x"),
         F.col("mx").cast("double").alias("max_x"),
     ).orderBy("dim")
+
+
+# --------------------------------------------------------------------------
+# L4o — vocabulary coverage (new round 4): what fraction of all corpus
+# token OCCURRENCES the top-K token TYPES cover — the estimate behind
+# every "how big must the vocab be" truncation decision. The top-K set
+# comes from orderBy+limit (TakeOrderedAndProject with the freq-desc/
+# token-asc total order — never a global rank window over the whole
+# vocabulary), its BIGINT frequency sum is exact, and coverage is one
+# closed-form division.
+# --------------------------------------------------------------------------
+_L4O_KS = (100, 1000)
+
+
+@register(
+    "l4_vocab_coverage",
+    oracle=f"""
+    WITH tc AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM tc),
+    r AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, t ASC) AS rn FROM tc),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _L4O_KS)})
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           (SELECT CAST(SUM(freq) AS BIGINT) FROM r WHERE rn <= ks.k) AS covered,
+           tot.total,
+           round(CAST((SELECT SUM(freq) FROM r WHERE rn <= ks.k) AS DOUBLE)
+                 / tot.total, 6) AS coverage
+    FROM ks, tot
+    ORDER BY k
+    """,
+)
+def l4_vocab_coverage(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    tc = (
+        fan_out(T("documents"))
+        .select(F.explode(X.tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)  # feeds the total AND each top-K slice
+    )
+    tot = tc.agg(F.sum("freq").cast("bigint").alias("total"))
+    outs = None
+    for k in _L4O_KS:
+        topk = tc.orderBy(F.col("freq").desc(), F.col("t").asc()).limit(k)
+        cov = topk.agg(F.sum("freq").cast("bigint").alias("covered")).select(
+            F.lit(k).cast("bigint").alias("k"), "covered"
+        )
+        outs = cov if outs is None else outs.unionByName(cov)
+    return (
+        outs.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "covered",
+            "total",
+            F.round(F.col("covered").cast("double") / F.col("total"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# L6q — corpus source diversity (new round 4): per language, the
+# Shannon entropy of the source distribution and the effective source
+# count exp(H) — the mixture-health number a training-data curator
+# watches (collapsing diversity = one source dominating the mix).
+# Determinism: each −p·ln p term is quantized to 2⁻⁴⁰ units and summed
+# as exact BIGINTs (the G3/fixedpoint pattern), so the entropy total is
+# immune to float summation order; both engines rebuild the same
+# double.
+# --------------------------------------------------------------------------
+_DIV_SCALE = 1099511627776.0  # 2^40
+
+
+@register(
+    "l6_source_diversity",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY lang),
+    q AS (
+      SELECT c.lang,
+             CAST(round(-(CAST(c.n AS DOUBLE) / t.total)
+                        * ln(CAST(c.n AS DOUBLE) / t.total)
+                        * {_DIV_SCALE}) AS BIGINT) AS units
+      FROM c JOIN t ON c.lang = t.lang)
+    SELECT q.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           round(CAST(SUM(q.units) AS DOUBLE) / {_DIV_SCALE}, 6) + 0.0 AS entropy,
+           round(exp(CAST(SUM(q.units) AS DOUBLE) / {_DIV_SCALE}), 6) AS effective_sources
+    FROM q GROUP BY q.lang
+    ORDER BY q.lang
+    """,
+)
+def l6_source_diversity(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    c = T("documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    q = c.join(t, "lang").select(
+        "lang", F.round(-p * F.log(p) * F.lit(_DIV_SCALE)).cast("bigint").alias("units")
+    )
+    h = F.sum("units").cast("double") / F.lit(_DIV_SCALE)
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            (F.round(h, 6) + F.lit(0.0)).alias("entropy"),
+            F.round(F.exp(h), 6).alias("effective_sources"),
+        )
+        .orderBy("lang")
+    )

@@ -1308,3 +1308,60 @@ def m10_skew_report(spark, sf_dir):
         .orderBy("rk")
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# A25 — exact weighted median (new round 4): the 50%-of-WEIGHT cut
+# (here: the l_extendedprice at which half the shipped QUANTITY sits
+# below), which is what "median order value" should almost always mean
+# and which plain quantile_cont cannot express. One keyed cumulative-
+# weight window with a unique (orderkey, linenumber) tie-break, an
+# exact DECIMAL half-total threshold, and a MIN over qualifying rows —
+# every comparison happens on exact decimals, bit-deterministic
+# cross-engine. Same single-shuffle shape as every keyed window op.
+# --------------------------------------------------------------------------
+@register(
+    "a25_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+               (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+               (PARTITION BY l_returnflag) AS w
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(MAX(w) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN cw * 2 >= w THEN l_extendedprice END) AS weighted_median
+    FROM c
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a25_weighted_median(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    c = T("lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(win).alias("cw"),
+        F.sum(qty).over(wall).alias("w"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.max("w").cast("double").alias("total_weight"),
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("w"), F.col("l_extendedprice"))
+            ).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )

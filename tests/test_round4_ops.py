@@ -747,3 +747,42 @@ def test_row_fingerprint_no_collisions(spark, regs):
         assert r.n_distinct == r.n_rows  # canonical rows are unique
         assert len(r.min_sha) == 64 and len(r.max_sha) == 64
         assert r.min_sha <= r.max_sha
+
+
+def test_weighted_median_is_weight_balanced(spark, regs):
+    rows = regs["a25_weighted_median"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    for r in rows:
+        grp = [(x.l_extendedprice, x.l_quantity) for x in li if x.l_returnflag == r.l_returnflag]
+        below = sum(q for p, q in grp if p < r.weighted_median)
+        at_or_below = sum(q for p, q in grp if p <= r.weighted_median)
+        total = sum(q for _, q in grp)
+        assert abs(total - r.total_weight) < 1e-6
+        # defining property of the weighted median cut
+        assert below * 2 < total + 1e-9 <= at_or_below * 2 + 1e-9
+
+
+def test_vocab_coverage_monotone_in_k(spark, regs):
+    rows = regs["l4_vocab_coverage"](spark, SF).collect()
+    assert [r.k for r in rows] == sorted(r.k for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.covered <= b.covered and a.total == b.total
+    for r in rows:
+        assert 0 < r.covered <= r.total
+        assert 0.0 < r.coverage <= 1.0
+
+
+def test_source_diversity_entropy_bounds(spark, regs):
+    rows = regs["l6_source_diversity"](spark, SF).collect()
+    for r in rows:
+        assert r.entropy >= 0.0
+        # 1 <= exp(H) <= n_sources (max entropy = uniform over sources)
+        assert 1.0 - 1e-6 <= r.effective_sources <= r.n_sources + 1e-6
+
+
+def test_assortativity_in_unit_interval(spark, regs):
+    row = regs["g6_degree_assortativity"](spark, SF).first()
+    assert row.m > 0
+    assert -1.0 <= row.assortativity <= 1.0

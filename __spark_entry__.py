@@ -181,6 +181,8 @@ _PRIORITY = [
     "l4_vocab_coverage",
     "l6_source_diversity",
     "g6_degree_assortativity",
+    "x33_active_user_stickiness",
+    "l6_length_profile",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

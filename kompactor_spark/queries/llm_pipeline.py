@@ -3255,3 +3255,45 @@ def l6_source_diversity(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# L6r — per-source length profile (new round 4): the dataset-card
+# length panel — document count, token-count percentiles (p10/p50/p90),
+# mean tokens, and total tokens per source. Token counts are exact
+# BIGINTs from one tokenize pass; percentile interpolation parity is
+# driver-proven (a9); mean via exact integer sum / count. One shuffle
+# on the source key.
+# --------------------------------------------------------------------------
+@register(
+    "l6_length_profile",
+    oracle="""
+    WITH t AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.1), 6) AS p10,
+           round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 6) AS p90
+    FROM t GROUP BY source
+    ORDER BY source
+    """,
+)
+def l6_length_profile(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    t = T("documents").select("source", X.token_count("text").cast("bigint").alias("n_tokens"))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6).alias("mean_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.1)"), 6).alias("p10"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("source")
+    )

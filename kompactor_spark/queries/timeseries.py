@@ -1736,3 +1736,63 @@ def x32_alert_episodes(spark, sf_dir):
         )
         .orderBy("user_id", "episode")
     )
+
+
+# --------------------------------------------------------------------------
+# X33 — DAU/WAU stickiness (new round 4): per day, the exact count of
+# distinct active users that day (DAU), in the trailing 7 days (WAU),
+# and the DAU/WAU stickiness ratio — the engagement triple on every
+# product dashboard. Exact sliding-window distinct does NOT decompose
+# into mergeable per-day partials, so the scalable exact shape is:
+# dedup to (user, day) once (the only pass over raw events), then join
+# the 7-day trailing spine against that dedup — work is
+# O(active-pairs × 7), never a rescan of raw events; the sketch
+# alternative for approximate rollups is A17's mergeable HLL.
+# --------------------------------------------------------------------------
+_DAY_NS = 24 * NS_PER_HOUR
+
+
+@register(
+    "x33_active_user_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS day
+      FROM events),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM ud) d
+      JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+)
+def x33_active_user_stickiness(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ud = (
+        T("events")
+        .select("user_id", (F.col("ts") / F.lit(_DAY_NS)).cast("bigint").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds DAU, the spine, and the WAU join
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    spine = ud.select("day").distinct().select(F.col("day").alias("d"))
+    wau = (
+        spine.join(ud, (F.col("day") >= F.col("d") - 6) & (F.col("day") <= F.col("d")))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

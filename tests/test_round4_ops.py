@@ -786,3 +786,20 @@ def test_assortativity_in_unit_interval(spark, regs):
     row = regs["g6_degree_assortativity"](spark, SF).first()
     assert row.m > 0
     assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_stickiness_bounds(spark, regs):
+    rows = regs["x33_active_user_stickiness"](spark, SF).collect()
+    for r in rows:
+        assert 1 <= r.dau <= r.wau  # trailing-7 superset of the day
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_length_profile_identities(spark, regs):
+    rows = regs["l6_length_profile"](spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.p10 <= r.p50 <= r.p90
+        assert r.p10 <= r.mean_tokens <= r.total_tokens
+        assert abs(r.mean_tokens - r.total_tokens / r.n_docs) < 1e-3

@@ -364,3 +364,18 @@ def test_j17_single_user_exchange(spark, Q):
     p = plan(spark, Q["j17_point_in_time_join"](spark, SF))
     assert p.count("hashpartitioning(user_id") == 1
     assert "Join" not in p  # union+window mechanism, not an interval join
+
+
+def test_a25_window_and_rollup_share_exchange(spark, Q):
+    """A25: cumulative-weight window and the final groupBy both key on
+    l_returnflag — exactly one exchange on that key."""
+    p = plan(spark, Q["a25_weighted_median"](spark, SF))
+    assert p.count("hashpartitioning(l_returnflag") == 1
+
+
+def test_l4_vocab_coverage_no_global_rank_window(spark, Q):
+    """L4o: the top-K slices come from TakeOrderedAndProject — no rank
+    window over the whole vocabulary."""
+    p = plan(spark, Q["l4_vocab_coverage"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "Window" not in p

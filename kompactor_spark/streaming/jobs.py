@@ -508,3 +508,97 @@ def threshold_crossing_stream(events: DataFrame, theta: float = 0.9) -> DataFram
     return events.groupBy("user_id").applyInPandasWithState(
         update, CROSSING_SCHEMA, _CROSSING_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
+
+
+CONC_SCHEMA = "event_type string, ts_ns long, peak long"
+_CONC_STATE_SCHEMA = "ends array<long>, peak long"
+_CONC_HOLD_NS = 300_000_000_000  # x23's 5-minute activity window
+
+
+def concurrency_stream(events: DataFrame) -> DataFrame:
+    """X23-stream: continuous peak-concurrency tracking — the streaming
+    twin of the batch ``x23_max_concurrency`` sweep line. Each event
+    opens a 5-minute interval; a row is emitted whenever a series sets
+    a NEW peak of simultaneously-open intervals (capacity alerts fire
+    on these rows, silence otherwise). State per event_type is the list
+    of still-open interval end-times plus the running peak — bounded by
+    the peak concurrency itself (never by stream length): open ends
+    older than the hold window are pruned as event time advances.
+
+    Batch path: the same pointized ±1 running count over a ROWS frame
+    ordered (t, d, event_id) — processing order identical to the
+    stream's (ends at t close before a start at t counts itself) — with
+    new-peak rows selected against the running max so far. The
+    equivalence test compares the two event-for-event.
+    """
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        ts_us = F.col("ts") - F.col("ts") % 1000
+        base = events.select(
+            "event_type", ts_us.alias("t"), F.col("event_id").alias("eid")
+        )
+        pts = base.select(
+            "event_type", "t", F.lit(1).alias("d"), "eid"
+        ).unionByName(
+            base.select(
+                "event_type",
+                (F.col("t") + F.lit(_CONC_HOLD_NS)).alias("t"),
+                F.lit(-1).alias("d"),
+                "eid",
+            )
+        )
+        wo = Window.partitionBy("event_type").orderBy("t", "d", "eid")
+        run = pts.select(
+            "event_type",
+            "t",
+            "d",
+            "eid",
+            F.sum("d").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        ).withColumn(
+            "prev_max",
+            F.max("c").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        return run.where(
+            (F.col("d") == 1)
+            & (F.col("prev_max").isNull() | (F.col("c") > F.col("prev_max")))
+        ).select(
+            "event_type", F.col("t").alias("ts_ns"), F.col("c").cast("long").alias("peak")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ends, peak = list(state.get[0]), int(state.get[1])
+        else:
+            ends, peak = [], 0
+        out_ts, out_peak = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.assign(ts_us=pdf["ts"] - pdf["ts"] % 1000).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            for t in pdf["ts_us"]:
+                t = int(t)
+                ends = [e for e in ends if e > t]  # close expired intervals first
+                ends.append(t + _CONC_HOLD_NS)
+                if len(ends) > peak:
+                    peak = len(ends)
+                    out_ts.append(t)
+                    out_peak.append(peak)
+        state.update((ends, peak))
+        yield pd.DataFrame(
+            {
+                "event_type": [str(key[0])] * len(out_ts),
+                "ts_ns": out_ts,
+                "peak": out_peak,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update, CONC_SCHEMA, _CONC_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )

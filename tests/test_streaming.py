@@ -440,3 +440,39 @@ def test_x22_stream_threshold_crossings(spark, src, tmp_path):
          ).select("user_id", "event_id", "ts_ns", "prev_value", "value", "direction").collect())
     )
     assert streamed == batch and len(batch) > 0
+
+
+def test_x23_stream_concurrency_incremental_matches_batch(spark, src, tmp_path):
+    """X23-stream: new-peak rows appended across micro-batches equal the
+    batch sweep-line's new-peak rows exactly (bounded open-interval
+    state, emission only on peak increase)."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = (
+        J.concurrency_stream(stream)
+        .writeStream.format("memory")
+        .queryName("x23s")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_x23"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = _canon(spark.sql("SELECT * FROM x23s"), ["event_type", "ts_ns", "peak"])
+    batch = _canon(
+        J.concurrency_stream(spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))),
+        ["event_type", "ts_ns", "peak"],
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
+    # peaks are strictly increasing per series
+    by_type: dict = {}
+    for et, ts, pk in streamed:
+        by_type.setdefault(et, []).append((ts, pk))
+    for seq in by_type.values():
+        seq.sort()
+        peaks = [pk for _, pk in seq]
+        assert peaks == sorted(set(peaks))

@@ -159,6 +159,15 @@ def build_parser() -> argparse.ArgumentParser:
         default="",
         help="comma-separated extra group keys for --export-rollup (default: none)",
     )
+    p.add_argument(
+        "--skew-report",
+        default=None,
+        metavar="KEY_COL",
+        help="print the top-20 heaviest values of KEY_COL in the "
+        "(--db, --table) table with per-key share and cumulative share — "
+        "the pre-flight diagnostic for choosing broadcast vs salting vs "
+        "AQE skew-split on a join key",
+    )
     return p
 
 
@@ -224,6 +233,42 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 f"{hosts[0]}: z-ordered export db={args.db} table={args.table} "
                 f"by {cols} -> {args.export_zorder} ({n} rows, {args.zorder_files} files)"
             )
+            return 0
+        if args.skew_report is not None:
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            from kompactor_spark.compaction.readers import read_table
+
+            hosts = [h for h in args.hosts.split(",") if h]
+            if len(hosts) != 1:
+                print("--skew-report requires exactly one --hosts entry", file=sys.stderr)
+                return 2
+            df = read_table(spark, args.data_dir, hosts[0], args.db, args.table)
+            key = args.skew_report
+            c = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            tot = c.agg(F.sum("n").cast("double").alias("t"))
+            top = c.orderBy(F.col("n").desc(), key).limit(20)
+            r = top.withColumn(
+                "rk", F.row_number().over(Window.orderBy(F.col("n").desc(), key))
+            )
+            cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+            rows = (
+                r.crossJoin(F.broadcast(tot))
+                .select(
+                    key,
+                    "n",
+                    F.round(F.col("n") / F.col("t"), 4).alias("share"),
+                    F.round(F.sum("n").over(cum) / F.col("t"), 4).alias("cum_share"),
+                )
+                .collect()
+            )
+            print(f"{hosts[0]}: key skew for db={args.db} table={args.table} key={key}")
+            for row in rows:
+                print(
+                    f"  {row[key]!r:>20}  n={row['n']:<10} share={row['share']:<8} "
+                    f"cum={row['cum_share']}"
+                )
             return 0
         if args.export_rollup is not None:
             from kompactor_spark.compaction.readers import read_table

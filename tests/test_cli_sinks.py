@@ -333,3 +333,22 @@ def test_cli_export_rollup_exact_reaggregation(spark, tmp_path):
         assert (o.n, o.value_sum, o.v_min_units, o.v_max_units) == (
             r.n, r.value_sum, r.v_min_units, r.v_max_units
         )
+
+
+def test_cli_skew_report(spark, tmp_path, capsys):
+    """CLI --skew-report: top-key census over the catalog-scoped table,
+    shares sum to <= 1 and print in descending order."""
+    from tests import fixtures_compaction as FXC
+    from kompactor_spark.cli import main as cli_main
+
+    root = str(tmp_path / "lake")
+    FXC.basic_hour(root)
+    rc = cli_main(
+        [root, "--hosts", FXC.HOST, "--db", "0", "--table", "3", "--skew-report", "tag1"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "key skew" in out and "share=" in out
+    shares = [float(line.split("share=")[1].split()[0]) for line in out.splitlines() if "share=" in line]
+    assert shares and all(0 < s <= 1.0 for s in shares)

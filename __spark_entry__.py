@@ -183,6 +183,8 @@ _PRIORITY = [
     "g6_degree_assortativity",
     "x33_active_user_stickiness",
     "l6_length_profile",
+    "m11_basket_lift",
+    "x34_rolling_slope",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

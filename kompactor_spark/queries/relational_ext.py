@@ -1365,3 +1365,85 @@ def a25_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# M11 — market-basket pair lift (new round 4): support / confidence /
+# lift for part pairs that co-occur in the same order — the association
+# -rule primitive behind "bought together" recommenders. Shape: pair
+# generation is a per-order self-join (bounded by order line count,
+# never corpus-quadratic — same bucketed-expansion discipline as G1),
+# per-part supports are one keyed count, and every statistic is a
+# closed-form double over exact BIGINT counts. Pairs below min-support
+# are cut BEFORE the support joins.
+# --------------------------------------------------------------------------
+_M11_MIN_PAIRS = 3
+
+
+@register(
+    "m11_basket_lift",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem),
+    sup AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s FROM li GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(COUNT(*) AS BIGINT) AS both
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_M11_MIN_PAIRS})
+    SELECT p.p1, p.p2, p.both, s1.s AS s1, s2.s AS s2,
+           round(CAST(p.both AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(p.both AS DOUBLE) / s1.s, 6) AS confidence,
+           round(CAST(p.both AS DOUBLE) * n.n_orders
+                 / (CAST(s1.s AS DOUBLE) * s2.s), 6) AS lift
+    FROM pairs p
+    JOIN sup s1 ON s1.l_partkey = p.p1
+    JOIN sup s2 ON s2.l_partkey = p.p2
+    CROSS JOIN n
+    ORDER BY lift DESC, p.p1, p.p2
+    LIMIT 25
+    """,
+)
+def m11_basket_lift(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    li = (
+        T("lineitem").select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
+    )  # feeds the pair self-join (twice), supports, and the order census
+    n = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("both"))
+        .where(F.col("both") >= _M11_MIN_PAIRS)
+    )
+    s1 = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
+    s2 = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))
+    both_d = F.col("both").cast("double")
+    return (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "both",
+            "s1",
+            "s2",
+            F.round(both_d / F.col("n_orders"), 6).alias("support"),
+            F.round(both_d / F.col("s1"), 6).alias("confidence"),
+            F.round(
+                both_d * F.col("n_orders") / (F.col("s1").cast("double") * F.col("s2")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(25)
+    )

@@ -1796,3 +1796,101 @@ def x33_active_user_stickiness(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# X34 — rolling OLS trend slope (new round 4): per event, the
+# least-squares slope (per second) of the trailing K=8 samples — the
+# local-trend smoother behind "is this metric ramping" alerts,
+# complementing x26's global per-series slope and x19's EWMA level.
+# Determinism: the K-sample window is materialized as explicit lag
+# columns and every Σx, Σy, Σxy, Σx² is written as a FIXED-ORDER
+# left-associated sum expression (both engines parse a+b+c the same
+# way), so the float arithmetic is bit-identical — the x19 finite-
+# window discipline applied to regression. Emitted only once the
+# window is full; x origin at the oldest sample keeps magnitudes tiny.
+# --------------------------------------------------------------------------
+_X34_K = 8
+
+
+def _x34_sums(terms: list[str]) -> str:
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "x34_rolling_slope",
+    oracle=(
+        lambda K=_X34_K: f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value FROM events),
+    l AS (
+      SELECT user_id, event_id, ts_ns,
+             {", ".join(
+                 f"lag(value, {i}) OVER w AS y{i}, lag(ts_ns, {i}) OVER w AS t{i}"
+                 for i in range(K))}
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    x AS (
+      SELECT user_id, event_id, ts_ns,
+             {", ".join(
+                 f"CAST(t{i} - t{K - 1} AS DOUBLE) / 1e9 AS x{i}, y{i}"
+                 for i in range(K))}
+      FROM l WHERE t{K - 1} IS NOT NULL)
+    SELECT user_id, event_id, ts_ns,
+           round(({K} * {_x34_sums([f"x{i} * y{i}" for i in range(K)])}
+                  - {_x34_sums([f"x{i}" for i in range(K)])}
+                    * {_x34_sums([f"y{i}" for i in range(K)])})
+                 / ({K} * {_x34_sums([f"x{i} * x{i}" for i in range(K)])}
+                    - {_x34_sums([f"x{i}" for i in range(K)])}
+                      * {_x34_sums([f"x{i}" for i in range(K)])}),
+                 6) + 0.0 AS slope_per_s
+    FROM x
+    ORDER BY user_id, ts_ns, event_id
+    """
+    )(),
+)
+def x34_rolling_slope(spark, sf_dir):
+    K = _X34_K
+    T = loader(sf_dir, spark)
+    s = T("events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts") - F.col("ts") % 1000).alias("ts_ns"),  # µs floor
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    l = s.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        *[F.lag("value", i).over(w).alias(f"y{i}") for i in range(K)],
+        *[F.lag("ts_ns", i).over(w).alias(f"t{i}") for i in range(K)],
+    )
+    x = l.where(F.col(f"t{K - 1}").isNotNull()).select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        *[
+            ((F.col(f"t{i}") - F.col(f"t{K - 1}")).cast("double") / F.lit(1e9)).alias(f"x{i}")
+            for i in range(K)
+        ],
+        *[F.col(f"y{i}") for i in range(K)],
+    )
+
+    def fixed_sum(cols):
+        e = cols[0]
+        for c in cols[1:]:
+            e = e + c
+        return e
+
+    sx = fixed_sum([F.col(f"x{i}") for i in range(K)])
+    sy = fixed_sum([F.col(f"y{i}") for i in range(K)])
+    sxy = fixed_sum([F.col(f"x{i}") * F.col(f"y{i}") for i in range(K)])
+    sxx = fixed_sum([F.col(f"x{i}") * F.col(f"x{i}") for i in range(K)])
+    slope = (F.lit(K) * sxy - sx * sy) / (F.lit(K) * sxx - sx * sx)
+    return x.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_s"),
+    ).orderBy("user_id", "ts_ns", "event_id")

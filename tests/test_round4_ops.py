@@ -803,3 +803,30 @@ def test_length_profile_identities(spark, regs):
         assert r.p10 <= r.p50 <= r.p90
         assert r.p10 <= r.mean_tokens <= r.total_tokens
         assert abs(r.mean_tokens - r.total_tokens / r.n_docs) < 1e-3
+
+
+def test_basket_lift_identities(spark, regs):
+    rows = regs["m11_basket_lift"](spark, SF).collect()
+    for r in rows:
+        assert r.p1 < r.p2
+        assert r.both >= 3
+        assert r.both <= min(r.s1, r.s2)
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence <= 1.0
+        assert r.lift > 0.0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_rolling_slope_full_window_only(spark, regs):
+    rows = regs["x34_rolling_slope"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    per_user = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        # exactly count-K+1 full windows per user (K=8)
+        assert len(rs) == max(0, per_user[u] - 7)
+        for r in rs:
+            assert math.isfinite(r.slope_per_s)

@@ -1303,24 +1303,18 @@ _X23_HOLD_NS = 300_000_000_000  # 5-minute activity window
     """,
 )
 def x23_max_concurrency(spark, sf_dir):
+    from kompactor_spark.operators.sweepline import peak_concurrency
+
     T = loader(sf_dir, spark)
     # µs floor (x18 policy): ordering-sensitive ts must match DuckDB's
     # µs-truncated view if the data ships ns-encoded
-    ev = T("events").select("event_type", (F.col("ts") - F.col("ts") % 1000).alias("t"))
-    pts = ev.select("event_type", "t", F.lit(1).alias("d")).unionByName(
-        ev.select("event_type", (F.col("t") + F.lit(_X23_HOLD_NS)).alias("t"), F.lit(-1).alias("d"))
+    ts_us = F.col("ts") - F.col("ts") % 1000
+    iv = T("events").select(
+        "event_type", ts_us.alias("t"), (ts_us + F.lit(_X23_HOLD_NS)).alias("e")
     )
-    w_run = Window.partitionBy("event_type").orderBy("t", "d")
-    w_all = Window.partitionBy("event_type")
-    run = pts.withColumn("c", F.sum("d").over(w_run))
     return (
-        run.withColumn("peak", F.max("c").over(w_all))
-        .where(F.col("c") == F.col("peak"))
-        .groupBy("event_type")
-        .agg(
-            F.max("c").cast("bigint").alias("peak_concurrency"),
-            F.min("t").cast("bigint").alias("first_peak_ns"),
-        )
+        peak_concurrency(iv, "event_type", "t", "e")
+        .withColumnRenamed("first_peak", "first_peak_ns")
         .orderBy("event_type")
     )
 
@@ -1408,6 +1402,8 @@ def x28_latency_bands(spark, sf_dir):
     """,
 )
 def x27_interval_coverage(spark, sf_dir):
+    from kompactor_spark.operators.sweepline import interval_coverage
+
     T = loader(sf_dir, spark)
     ts_us = F.col("ts") - F.col("ts") % 1000  # µs floor (x18 policy)
     iv = T("events").select(
@@ -1416,27 +1412,9 @@ def x27_interval_coverage(spark, sf_dir):
         ts_us.alias("t"),
         (ts_us + F.lit(_X23_HOLD_NS)).alias("e"),
     )
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_end = F.max("e").over(w_prev)
-    brk = F.when(prev_end.isNull() | (F.col("t") > prev_end), 1).otherwise(0)
-    isl = iv.withColumn("island", F.sum(brk).over(w_run))
     return (
-        isl.groupBy("user_id", "island")
-        .agg(F.min("t").alias("s"), F.max("e").alias("en"))
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
-            F.sum(F.col("en") - F.col("s")).cast("bigint").alias("covered_ns"),
-        )
+        interval_coverage(iv, "user_id", "t", "e", "event_id")
+        .withColumnRenamed("covered", "covered_ns")
         .orderBy("user_id")
     )
 

@@ -246,3 +246,71 @@ def test_binned_interval_join_matches_naive(spark, data):
         if s <= t <= s + ln
     }
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# Sweep-line primitives ≡ brute force, for ANY keyed interval set —
+# including zero-length intervals, touching endpoints ([a,b) [b,c) never
+# double-count), duplicate starts, and fully-nested intervals.
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_peak_concurrency_matches_brute_force(spark, data):
+    from kompactor_spark.operators.sweepline import peak_concurrency
+
+    ivs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(1, 40)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    rows = [(k, s, s + ln) for k, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = {r.k: (r.peak_concurrency, r.first_peak) for r in peak_concurrency(df, "k", "s", "e").collect()}
+    for key in {k for k, _, _ in ivs}:
+        own = [(s, e) for k, s, e in rows if k == key]
+        # brute force: evaluate open-interval count at every start point
+        best, best_t = 0, None
+        for t in sorted({s for s, _ in own}):
+            c = sum(1 for s, e in own if s <= t < e)
+            if c > best:
+                best, best_t = c, t
+        assert got[key] == (best, best_t)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_interval_coverage_matches_brute_force(spark, data):
+    from kompactor_spark.operators.sweepline import interval_coverage
+
+    ivs = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(1, 40)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    rows = [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(ivs)]
+    df = spark.createDataFrame(rows, "tb long, k long, s long, e long")
+    got = {r.k: (r.n_islands, r.covered) for r in interval_coverage(df, "k", "s", "e", "tb").collect()}
+    for key in {k for k, _, _ in ivs}:
+        own = sorted((s, e) for _, k, s, e in rows if k == key)
+        # brute force: merge sorted intervals
+        merged = []
+        for s, e in own:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        assert got[key] == (len(merged), sum(e - s for s, e in merged))

@@ -185,6 +185,7 @@ _PRIORITY = [
     "l6_length_profile",
     "m11_basket_lift",
     "x34_rolling_slope",
+    "x35_seasonality_strength",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -1872,3 +1872,74 @@ def x34_rolling_slope(spark, sf_dir):
         "ts_ns",
         (F.round(slope, 6) + F.lit(0.0)).alias("slope_per_s"),
     ).orderBy("user_id", "ts_ns", "event_id")
+
+
+# --------------------------------------------------------------------------
+# X35 — seasonality strength (new round 4): per event_type, the share
+# of value variance explained by the hour-of-day profile (the
+# correlation ratio η² = SS_between / SS_total over the 24 hour-of-day
+# cells) — "is this series diurnal" as one number, the test that
+# decides whether a seasonal-naive forecast (x24) is even applicable.
+# Exactness: every sum of squares is derived from DECIMAL power sums
+# (a16 mechanism) per (type, hour) cell and per type — the two SS
+# values are closed-form doubles over exact decimals, so η² is
+# bit-deterministic cross-engine. One scan, one 120-cell shuffle, one
+# 5-row rollup.
+# --------------------------------------------------------------------------
+@register(
+    "x35_seasonality_strength",
+    oracle=f"""
+    WITH cell AS (
+      SELECT event_type,
+             (epoch_ns(ts) // {NS_PER_HOUR}) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+             SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS s2
+      FROM events GROUP BY 1, 2),
+    t AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s1) AS DOUBLE) AS s1,
+             CAST(SUM(s2) AS DOUBLE) AS s2,
+             SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS ss_cells
+      FROM cell GROUP BY event_type)
+    SELECT event_type, n,
+           round(s2 - s1 * s1 / n, 6) AS ss_total,
+           round(ss_cells - s1 * s1 / n, 6) + 0.0 AS ss_between,
+           round((ss_cells - s1 * s1 / n) / (s2 - s1 * s1 / n), 6) + 0.0 AS eta_sq
+    FROM t
+    ORDER BY event_type
+    """,
+)
+def x35_seasonality_strength(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    v = F.col("value").cast("decimal(18,6)")
+    hod = ((F.col("ts") / F.lit(NS_PER_HOUR)).cast("bigint") % 24).alias("hod")
+    cell = (
+        T("events")
+        .select("event_type", hod, v.alias("v"))
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+    )
+    t = cell.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("double").alias("s1"),
+        F.sum("s2").cast("double").alias("s2"),
+        F.sum(F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")).alias(
+            "ss_cells"
+        ),
+    )
+    grand = F.col("s1") * F.col("s1") / F.col("n")
+    return t.select(
+        "event_type",
+        "n",
+        F.round(F.col("s2") - grand, 6).alias("ss_total"),
+        (F.round(F.col("ss_cells") - grand, 6) + F.lit(0.0)).alias("ss_between"),
+        (F.round((F.col("ss_cells") - grand) / (F.col("s2") - grand), 6) + F.lit(0.0)).alias(
+            "eta_sq"
+        ),
+    ).orderBy("event_type")

@@ -830,3 +830,12 @@ def test_rolling_slope_full_window_only(spark, regs):
         assert len(rs) == max(0, per_user[u] - 7)
         for r in rs:
             assert math.isfinite(r.slope_per_s)
+
+
+def test_seasonality_strength_bounds(spark, regs):
+    rows = regs["x35_seasonality_strength"](spark, SF).collect()
+    for r in rows:
+        assert r.ss_total > 0
+        # variance decomposition: 0 <= SS_between <= SS_total
+        assert -1e-6 <= r.ss_between <= r.ss_total + 1e-6
+        assert -1e-6 <= r.eta_sq <= 1.0 + 1e-6

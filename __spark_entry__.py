@@ -186,6 +186,8 @@ _PRIORITY = [
     "m11_basket_lift",
     "x34_rolling_slope",
     "x35_seasonality_strength",
+    "a26_benford",
+    "x36_count_autocorrelation",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

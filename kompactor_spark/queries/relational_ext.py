@@ -1447,3 +1447,55 @@ def m11_basket_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "p1", "p2")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# A26 — Benford first-digit audit (new round 4): the observed
+# first-significant-digit distribution of order values against
+# Benford's law expectation log10(1+1/d) — the classic fraud /
+# fabricated-data screen for financial columns. Digit extraction is
+# integer/string arithmetic (no float log in the grouping key),
+# observed counts are exact BIGINTs, and expectation + deviation are
+# closed-form doubles per digit row — bit-deterministic cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "a26_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(c.n / t.total, 6) AS observed,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS expected,
+           round(c.n / t.total - log10(1.0 + 1.0 / c.digit), 6) + 0.0 AS deviation
+    FROM c, t
+    ORDER BY c.digit
+    """,
+)
+def a26_benford(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    digit = F.substring(dec("o_totalprice").cast("string"), 1, 1).cast("bigint")
+    c = (
+        T("orders")
+        .where(F.col("o_totalprice") >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed"),
+            F.round(expected, 6).alias("expected"),
+            (F.round(F.col("n") / F.col("total") - expected, 6) + F.lit(0.0)).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -1943,3 +1943,109 @@ def x35_seasonality_strength(spark, sf_dir):
             "eta_sq"
         ),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X36 — hourly-count autocorrelation (new round 4): per event_type, the
+# lag-1 and lag-24 autocorrelation of the hourly event-count series —
+# ACF(1) measures short-term persistence, ACF(24) confirms the diurnal
+# cycle x35 quantifies. The series is the hourly count spine
+# (zero-filled so lags align on REAL calendar hours, reusing the x7
+# driver-built spine discipline); all correlation power sums are exact
+# BIGINTs over integer counts, so both ACFs are closed-form doubles —
+# bit-deterministic cross-engine.
+# --------------------------------------------------------------------------
+def _x36_acf_sql(lag: int) -> str:
+    return f"""
+      SELECT event_type, {lag} AS lag_hours,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM (SELECT event_type, n AS x,
+                   lag(n, {lag}) OVER (PARTITION BY event_type ORDER BY hour_ns) AS y
+            FROM spine)
+      WHERE y IS NOT NULL
+      GROUP BY event_type"""
+
+
+@register(
+    "x36_count_autocorrelation",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (epoch_ns(min(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmin,
+             (epoch_ns(max(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmax
+      FROM events),
+    grid AS (
+      SELECT t.event_type, gs.h AS hour_ns
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(hmin, hmax, {NS_PER_HOUR})) AS h
+                  FROM bounds) gs),
+    actual AS (
+      SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hour_ns,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT g.event_type, g.hour_ns, COALESCE(a.n, 0) AS n
+      FROM grid g LEFT JOIN actual a
+        ON g.event_type = a.event_type AND g.hour_ns = a.hour_ns),
+    s AS ({_x36_acf_sql(1)} UNION ALL {_x36_acf_sql(24)})
+    SELECT event_type, CAST(lag_hours AS BIGINT) AS lag_hours, n_pairs,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_pairs)
+                 / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_pairs)
+                    * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_pairs)),
+                 6) + 0.0 AS acf
+    FROM s
+    ORDER BY event_type, lag_hours
+    """,
+)
+def x36_count_autocorrelation(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    b = ev.agg(
+        (F.min("ts") - F.min("ts") % NS_PER_HOUR).alias("hmin"),
+        (F.max("ts") - F.max("ts") % NS_PER_HOUR).alias("hmax"),
+    ).first()
+    spine_hours = ev.select("event_type").distinct().select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(int(b["hmin"])), F.lit(int(b["hmax"])), F.lit(NS_PER_HOUR))
+        ).alias("hour_ns"),
+    )
+    actual = ev.groupBy(
+        "event_type", (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("hour_ns")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spine = spine_hours.join(actual, ["event_type", "hour_ns"], "left").select(
+        "event_type", "hour_ns", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_ns")
+    outs = []
+    for lag in (1, 24):
+        pairs = spine.select(
+            "event_type",
+            F.col("n").alias("x"),
+            F.lag("n", lag).over(w).alias("y"),
+        ).where(F.col("y").isNotNull())
+        outs.append(
+            pairs.groupBy("event_type").agg(
+                F.lit(lag).cast("bigint").alias("lag_hours"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum("x").cast("bigint").alias("sx"),
+                F.sum("y").cast("bigint").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+                F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            )
+        )
+    s = outs[0].unionByName(outs[1])
+    n = F.col("n_pairs")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    den = F.sqrt(
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    ) * F.sqrt(F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n)
+    return s.select(
+        "event_type",
+        "lag_hours",
+        "n_pairs",
+        (F.round(num / den, 6) + F.lit(0.0)).alias("acf"),
+    ).orderBy("event_type", "lag_hours")

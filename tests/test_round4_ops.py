@@ -839,3 +839,20 @@ def test_seasonality_strength_bounds(spark, regs):
         # variance decomposition: 0 <= SS_between <= SS_total
         assert -1e-6 <= r.ss_between <= r.ss_total + 1e-6
         assert -1e-6 <= r.eta_sq <= 1.0 + 1e-6
+
+
+def test_benford_is_a_distribution(spark, regs):
+    rows = regs["a26_benford"](spark, SF).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.expected for r in rows) - 1.0) < 1e-3  # Benford sums to 1 over 1..9
+    for r in rows:
+        assert abs(r.deviation - round(r.observed - r.expected, 6)) < 2e-6
+
+
+def test_autocorrelation_bounds(spark, regs):
+    rows = regs["x36_count_autocorrelation"](spark, SF).collect()
+    for r in rows:
+        assert r.lag_hours in (1, 24)
+        assert r.n_pairs > 0
+        assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9

@@ -314,3 +314,55 @@ def test_interval_coverage_matches_brute_force(spark, data):
             else:
                 merged.append((s, e))
         assert got[key] == (len(merged), sum(e - s for s, e in merged))
+
+
+# --------------------------------------------------------------------------
+# Weighted median ≡ brute force: the cumulative-weight window cut must
+# pick the first value (in (value, tiebreak) order) at which twice the
+# running weight reaches the group total — for ANY weights including
+# ties on the value column and weight-1 degenerate groups.
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_weighted_median_matches_brute_force(spark, data):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 1), st.integers(0, 50), st.integers(1, 20)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, g, float(v), w) for i, (g, v, w) in enumerate(rows)],
+        "tb long, g long, v double, w long",
+    )
+    win = (
+        Window.partitionBy("g").orderBy("v", "tb").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("g")
+    c = df.select(
+        "g", "v", F.sum("w").over(win).alias("cw"), F.sum("w").over(wall).alias("tw")
+    )
+    got = {
+        r.g: r.wm
+        for r in c.groupBy("g")
+        .agg(F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v"))).alias("wm"))
+        .collect()
+    }
+    for g in {g for g, _, _ in rows}:
+        own = sorted((v, i, w) for i, (gg, v, w) in enumerate(rows) if gg == g)
+        total = sum(w for _, _, w in own)
+        run = 0
+        for v, _, w in own:
+            run += w
+            if run * 2 >= total:
+                assert got[g] == float(v)
+                break

@@ -188,6 +188,8 @@ _PRIORITY = [
     "x35_seasonality_strength",
     "a26_benford",
     "x36_count_autocorrelation",
+    "x37_cross_type_correlation",
+    "x38_cumulative_crossover",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -2049,3 +2049,172 @@ def x36_count_autocorrelation(spark, sf_dir):
         "n_pairs",
         (F.round(num / den, 6) + F.lit(0.0)).alias("acf"),
     ).orderBy("event_type", "lag_hours")
+
+
+# --------------------------------------------------------------------------
+# X37 — cross-series correlation matrix (new round 4): the lag-0
+# Pearson correlation of hourly event counts between every pair of
+# event types — which workloads move together (shared driver) and
+# which anti-correlate (cannibalization). Rides the same zero-filled
+# hour spine as x36; the pair expansion is a spine self-join on the
+# hour key (K² pairs of a K-series census, trivially bounded); all
+# power sums are exact BIGINTs.
+# --------------------------------------------------------------------------
+@register(
+    "x37_cross_type_correlation",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (epoch_ns(min(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmin,
+             (epoch_ns(max(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmax
+      FROM events),
+    grid AS (
+      SELECT t.event_type, gs.h AS hour_ns
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(hmin, hmax, {NS_PER_HOUR})) AS h
+                  FROM bounds) gs),
+    actual AS (
+      SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hour_ns,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT g.event_type, g.hour_ns, COALESCE(a.n, 0) AS n
+      FROM grid g LEFT JOIN actual a
+        ON g.event_type = a.event_type AND g.hour_ns = a.hour_ns),
+    s AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(a.n) AS BIGINT) AS sx, CAST(SUM(b.n) AS BIGINT) AS sy,
+             CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+             CAST(SUM(b.n * b.n) AS BIGINT) AS syy,
+             CAST(SUM(a.n * b.n) AS BIGINT) AS sxy
+      FROM spine a JOIN spine b ON a.hour_ns = b.hour_ns
+      WHERE a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_hours,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n_hours)
+                 / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n_hours)
+                    * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_hours)),
+                 6) + 0.0 AS corr_counts
+    FROM s
+    ORDER BY type_a, type_b
+    """,
+)
+def x37_cross_type_correlation(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    b = ev.agg(
+        (F.min("ts") - F.min("ts") % NS_PER_HOUR).alias("hmin"),
+        (F.max("ts") - F.max("ts") % NS_PER_HOUR).alias("hmax"),
+    ).first()
+    grid = ev.select("event_type").distinct().select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(int(b["hmin"])), F.lit(int(b["hmax"])), F.lit(NS_PER_HOUR))
+        ).alias("hour_ns"),
+    )
+    actual = ev.groupBy(
+        "event_type", (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("hour_ns")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spine = grid.join(actual, ["event_type", "hour_ns"], "left").select(
+        "event_type", "hour_ns", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)  # both legs of the pair self-join
+    a = spine.select(F.col("event_type").alias("type_a"), "hour_ns", F.col("n").alias("x"))
+    bb = spine.select(F.col("event_type").alias("type_b"), "hour_ns", F.col("n").alias("y"))
+    s = (
+        a.join(bb, "hour_ns")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+    )
+    n = F.col("n_hours")
+    num = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / n
+    den = F.sqrt(
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / n
+    ) * F.sqrt(F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / n)
+    return s.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        (F.round(num / den, 6) + F.lit(0.0)).alias("corr_counts"),
+    ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# X38 — cumulative crossover detection (new round 4, the TPC-DS Q51
+# archetype): track the running cumulative totals of two series
+# ('click' vs 'view' hourly counts) and emit the hours where the lead
+# CHANGES hands — the "when did web overtake store" business question.
+# One spine, two running windows on the same hour ordering, a lag to
+# detect the sign flip; all arithmetic on exact BIGINTs.
+# --------------------------------------------------------------------------
+@register(
+    "x38_cumulative_crossover",
+    oracle=f"""
+    WITH h AS (
+      SELECT (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hour_ns,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS b
+      FROM events GROUP BY 1),
+    c AS (
+      SELECT hour_ns,
+             SUM(a) OVER w AS ca, SUM(b) OVER w AS cb
+      FROM h
+      WINDOW w AS (ORDER BY hour_ns ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+      SELECT hour_ns, ca, cb,
+             CASE WHEN ca > cb THEN 1 WHEN ca < cb THEN -1 ELSE 0 END AS lead_sign,
+             lag(CASE WHEN ca > cb THEN 1 WHEN ca < cb THEN -1 ELSE 0 END)
+               OVER (ORDER BY hour_ns) AS prev_sign
+      FROM c)
+    SELECT CAST(hour_ns AS BIGINT) AS hour_ns,
+           CAST(ca AS BIGINT) AS cum_click, CAST(cb AS BIGINT) AS cum_view,
+           CAST(lead_sign AS BIGINT) AS lead_sign
+    FROM s
+    WHERE prev_sign IS NOT NULL AND lead_sign != prev_sign
+    ORDER BY hour_ns
+    """,
+)
+def x38_cumulative_crossover(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    h = (
+        T("events")
+        .groupBy((F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("hour_ns"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).cast("bigint").alias("a"),
+            F.count(F.when(F.col("event_type") == "view", 1)).cast("bigint").alias("b"),
+        )
+    )
+    # The hourly census is tiny (one row per hour) — the single-partition
+    # global window here is over aggregated data, the same spine class as
+    # x7/x12, not over raw events.
+    w = Window.orderBy("hour_ns").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "hour_ns", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    sign = (
+        F.when(F.col("ca") > F.col("cb"), 1).when(F.col("ca") < F.col("cb"), -1).otherwise(0)
+    )
+    s = c.select(
+        "hour_ns",
+        "ca",
+        "cb",
+        sign.alias("lead_sign"),
+        F.lag(sign).over(Window.orderBy("hour_ns")).alias("prev_sign"),
+    )
+    return (
+        s.where(F.col("prev_sign").isNotNull() & (F.col("lead_sign") != F.col("prev_sign")))
+        .select(
+            F.col("hour_ns").cast("bigint").alias("hour_ns"),
+            F.col("ca").cast("bigint").alias("cum_click"),
+            F.col("cb").cast("bigint").alias("cum_view"),
+            F.col("lead_sign").cast("bigint").alias("lead_sign"),
+        )
+        .orderBy("hour_ns")
+    )

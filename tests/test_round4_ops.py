@@ -856,3 +856,31 @@ def test_autocorrelation_bounds(spark, regs):
         assert r.lag_hours in (1, 24)
         assert r.n_pairs > 0
         assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+
+
+def test_cross_type_correlation_pairs(spark, regs):
+    rows = regs["x37_cross_type_correlation"](spark, SF).collect()
+    types = {
+        r.event_type
+        for r in load_table(spark, SF, "events").select("event_type").distinct().collect()
+    }
+    k = len(types)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert -1.0 - 1e-9 <= r.corr_counts <= 1.0 + 1e-9
+
+
+def test_cumulative_crossover_alternates(spark, regs):
+    rows = regs["x38_cumulative_crossover"](spark, SF).collect()
+    # consecutive crossover rows must carry different lead signs
+    for a, b in zip(rows, rows[1:]):
+        assert a.hour_ns < b.hour_ns
+        assert a.lead_sign != b.lead_sign
+    for r in rows:
+        if r.lead_sign == 1:
+            assert r.cum_click > r.cum_view
+        elif r.lead_sign == -1:
+            assert r.cum_click < r.cum_view
+        else:
+            assert r.cum_click == r.cum_view

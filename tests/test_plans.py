@@ -319,8 +319,11 @@ def test_x23_single_exchange_for_window_and_peak(spark, Q):
     final groupBy all key on event_type — exactly ONE hashpartitioning
     exchange on event_type may appear (plus the union-side scans)."""
     p = plan(spark, Q["x23_max_concurrency"](spark, SF))
-    n_hash = p.count("hashpartitioning(event_type")
-    assert n_hash == 1, f"expected 1 event_type exchange, plan has {n_hash}:\n{p}"
+    # the sweepline operator aliases the series key to `k` internally —
+    # count ALL hash exchanges: the two windows and the groupBy must
+    # share exactly one
+    n_hash = p.count("hashpartitioning(")
+    assert n_hash == 1, f"expected 1 series-key exchange, plan has {n_hash}:\n{p}"
 
 
 def test_a22_no_global_window(spark, Q):

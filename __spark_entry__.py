@@ -190,6 +190,7 @@ _PRIORITY = [
     "x36_count_autocorrelation",
     "x37_cross_type_correlation",
     "x38_cumulative_crossover",
+    "j8c_asof_forward",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

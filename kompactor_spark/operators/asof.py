@@ -30,6 +30,11 @@ def asof_join(
     Output: all left columns + right's columns (minus the key). Right
     columns are NULL when no prior-or-equal right row exists. Column
     names of the two sides (besides ``on``) must be disjoint.
+
+    Tie note: among RIGHT rows sharing the exact match timestamp the
+    winner is unspecified (same as DuckDB ASOF) — project only columns
+    that are functionally determined by (key, ts) if ties are possible,
+    or pre-dedup the right side to one row per (key, ts).
     """
     left_payload_cols = [c for c in left.columns if c != on]
     right_payload_cols = [c for c in right.columns if c != on]
@@ -68,6 +73,64 @@ def asof_join(
         .where(F.col("_asof_side") == 1)
     )
 
+    out_cols: list[Column] = [F.col(on)]
+    out_cols += [F.col(f"_asof_left.{c}").alias(c) for c in left_payload_cols]
+    out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
+    return matched.select(*out_cols)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Forward inclusive as-of left join: for each left row, the
+    EARLIEST right row with ``right_ts >= left_ts`` sharing the key
+    (the "next event after" direction — time-to-resolution, next-restock
+    lookups). Same union+window mechanism as the backward join, with
+    the running ``last`` over preceding rows replaced by a ``first``
+    over following rows; at equal ts the right row sorts after the left
+    row so the match is inclusive. One shuffle on the key.
+    """
+    left_payload_cols = [c for c in left.columns if c != on]
+    right_payload_cols = [c for c in right.columns if c != on]
+    overlap = set(left_payload_cols) & set(right_payload_cols)
+    if overlap:
+        raise ValueError(f"asof_join_forward requires disjoint non-key columns, overlap: {sorted(overlap)}")
+
+    right_struct_t = right.select(
+        F.struct(*[F.col(c) for c in right_payload_cols]).alias("s")
+    ).schema["s"].dataType.simpleString()
+    left_struct_t = left.select(
+        F.struct(*[F.col(c) for c in left_payload_cols]).alias("s")
+    ).schema["s"].dataType.simpleString()
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),  # left BEFORE right at equal ts → inclusive
+        F.struct(*[F.col(c) for c in left_payload_cols]).alias("_asof_left"),
+        F.lit(None).cast(right_struct_t).alias("_asof_right"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(left_struct_t).alias("_asof_left"),
+        F.struct(*[F.col(c) for c in right_payload_cols]).alias("_asof_right"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn("_asof_match", F.first("_asof_right", ignorenulls=True).over(w))
+        .where(F.col("_asof_side") == 0)
+    )
     out_cols: list[Column] = [F.col(on)]
     out_cols += [F.col(f"_asof_left.{c}").alias(c) for c in left_payload_cols]
     out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]

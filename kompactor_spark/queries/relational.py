@@ -747,3 +747,39 @@ def u3_except(spark, sf_dir):
     c = T("customer").select(F.col("c_nationkey").alias("nk"))
     s = T("supplier").select(F.col("s_nationkey").alias("nk"))
     return c.subtract(s).orderBy("nk")  # subtract == EXCEPT (distinct semantics)
+
+
+# --------------------------------------------------------------------------
+# J8c — forward as-of join (new round 4): for each error event, the
+# user's NEXT purchase at-or-after it — time-to-recovery / did-the-user
+# -come-back analysis. Same single-shuffle union+window mechanism as J8
+# (operators/asof.py::asof_join_forward), mirrored to a first-over-
+# following frame; oracle is DuckDB's native forward ASOF (e.ts <= s.ts).
+# --------------------------------------------------------------------------
+@register(
+    "j8c_asof_forward",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_ns(e.ts) AS err_ts, epoch_ns(p.ts) AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    ORDER BY e.event_id
+    """,
+)
+def j8c_asof_forward(spark, sf_dir):
+    from kompactor_spark.operators.asof import asof_join_forward
+
+    T = loader(sf_dir, spark)
+    us = lambda: F.col("ts") - F.col("ts") % 1000  # µs floor, J8 policy  # noqa: E731
+    ev = T("events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", us().alias("err_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us().alias("next_purchase_ts")
+    )
+    return (
+        asof_join_forward(errors, purchases, on="user_id", left_ts="err_ts", right_ts="next_purchase_ts")
+        .select("event_id", "user_id", "err_ts", "next_purchase_ts")
+        .orderBy("event_id")
+    )

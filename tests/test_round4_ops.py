@@ -884,3 +884,22 @@ def test_cumulative_crossover_alternates(spark, regs):
             assert r.cum_click < r.cum_view
         else:
             assert r.cum_click == r.cum_view
+
+
+def test_asof_forward_next_at_or_after(spark, regs):
+    rows = regs["j8c_asof_forward"](spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    us = (F.col("ts") - F.col("ts") % 1000).alias("t")
+    purchases: dict = {}
+    for r in ev.where(F.col("event_type") == "error").select("event_id").collect():
+        pass
+    for r in ev.where(F.col("event_type") == "purchase").select("user_id", us).collect():
+        purchases.setdefault(r.user_id, []).append(r.t)
+    n_errors = ev.where(F.col("event_type") == "error").count()
+    assert len(rows) == n_errors  # left join: every error appears
+    for r in rows:
+        cand = sorted(t for t in purchases.get(r.user_id, []) if t >= r.err_ts)
+        if cand:
+            assert r.next_purchase_ts == cand[0]
+        else:
+            assert r.next_purchase_ts is None

@@ -3297,3 +3297,36 @@ def l6_length_profile(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# L5d — audio feature extraction (new round 4): REAL PCM16 decode
+# (operators/multimodal.py: raw 16-bit samples, numpy-only — no format
+# stub) over a synthesized deterministic audio column, yielding
+# RMS / peak / zero-crossing-rate / duration per clip. Same plumbing
+# contract as the image path: one mapInPandas pass, Arrow-batched,
+# payloads never shuffle. PY-class (sample-domain DSP is not
+# SQL-expressible): rows-only driver check + golden tests pin the
+# features against closed-form sine ground truth.
+# --------------------------------------------------------------------------
+@register("l5_audio_features")
+def l5_audio_features(spark, sf_dir):
+    from kompactor_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_audio,
+    )
+
+    T = loader(sf_dir, spark)
+    base = T("documents").select(F.col("doc_id")).where(F.col("doc_id") % 4 == 0)
+    media = synthesize_audio(base, "doc_id")
+    return (
+        extract_audio_features(media)
+        .select(
+            "media_id",
+            F.round("rms", 6).alias("rms"),
+            F.round("peak", 6).alias("peak"),
+            F.round("zcr_hz", 2).alias("zcr_hz"),
+            F.round("duration_s", 6).alias("duration_s"),
+        )
+        .orderBy("media_id")
+    )

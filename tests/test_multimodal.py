@@ -116,3 +116,41 @@ def test_phash_deterministic_and_collision_rejected(spark):
         ids = [i for i, x in enumerate(hs) if x == h]
         pix = [synth_pixels(i).tobytes() for i in ids]
         assert len(set(pix)) == len(pix)  # colliding images are NOT equal
+
+
+def test_pcm16_roundtrip_quantization_bound():
+    import numpy as np
+
+    from kompactor_spark.operators.multimodal import decode_pcm16, encode_pcm16, synth_audio
+
+    s = synth_audio(13)
+    rt = decode_pcm16(encode_pcm16(s))
+    assert rt.shape == s.shape
+    # 16-bit quantization: error bounded by half a code step
+    assert float(np.max(np.abs(rt - s))) <= 0.5 / 32767.0 * 1.01
+
+
+def test_audio_features_match_sine_ground_truth(spark):
+    import math
+
+    from kompactor_spark.operators.multimodal import extract_audio_features, synthesize_audio
+
+    base = spark.range(0, 8).selectExpr("id AS doc_id")
+    rows = {r.media_id: r for r in extract_audio_features(synthesize_audio(base, "doc_id")).collect()}
+    assert set(rows) == set(range(8))
+    for mid, r in rows.items():
+        freq = 100.0 + 20.0 * (mid % 50)
+        # sine: RMS = A/sqrt(2), peak = A, ZCR = f (within discretization)
+        assert math.isclose(r.rms, 0.5 / math.sqrt(2), rel_tol=5e-3)
+        assert math.isclose(r.peak, 0.5, rel_tol=5e-3)
+        assert abs(r.zcr_hz - freq) <= 2.0
+        assert math.isclose(r.duration_s, 4096 / 8000, rel_tol=1e-9)
+
+
+def test_l5_audio_features_query(spark):
+    from kompactor_spark.queries import all_queries
+
+    rows = all_queries()["l5_audio_features"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.media_id % 4 == 0 for r in rows)
+    assert all(0.34 < r.rms < 0.36 for r in rows)

@@ -198,6 +198,7 @@ _PRIORITY = [
     "l3_ivf_topk",
     "l5_media_features",
     "l5_audio_features",
+    "l4_bpe_train",
     "l6_stratified_sample",
     "a9b_approx_percentiles",
     "a17_hll_sketch_merge",

@@ -121,3 +121,111 @@ def lang_id_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     # argmax with deterministic tie-break: sort (-score, lang) ascending
     best = F.sort_array(pairs)[0]
     return scored.withColumn("lang_guess", F.when(best["neg_score"] < 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def train_bpe_merges(df: DataFrame, text_col: str = "text", n_merges: int = 8):
+    """Learn the first ``n_merges`` byte-pair-encoding merges over a
+    corpus — the tokenizer-TRAINING step of a data pipeline (the
+    l4_bpe_token_count op applies a fixed vocabulary; this learns one).
+
+    Iterative hybrid shape (the G3 discipline for driver-looped
+    algorithms): each round's adjacent-pair COUNTS are one distributed
+    exact aggregation over the (word-type, freq) table — weighted by
+    word frequency, never re-scanning raw text — and the argmax pair
+    (ties broken lexicographically, fully deterministic) is applied to
+    the word table with a vectorized Arrow-batched merge kernel. The
+    word-type table is corpus-vocabulary-sized (≪ corpus), so at 100 TB
+    the text scan happens exactly once; each of the K rounds touches
+    only the vocab table.
+
+    Returns (merges, final_words): merges is a list of dicts
+    {rank, left, right, pair_count}; final_words the merged word table.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(F.split(F.col("w"), "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)  # the loop re-reads this, never raw text
+    )
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append({"rank": rank, "left": left, "right": right, "pair_count": n})
+
+        def merge_kernel(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    res, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == _l and syms[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+        words = words.mapInPandas(
+            merge_kernel, schema="syms array<string>, freq bigint"
+        ).localCheckpoint(eager=True)
+    return merges, words
+
+
+def train_bpe_merges_reference(texts: list[str], n_merges: int = 8) -> list[dict]:
+    """Pure-Python BPE trainer — the golden oracle for train_bpe_merges."""
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freq[w] += 1
+    words = {w: list(w) for w in freq}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        # max count, ties broken by lexicographically smallest pair
+        (left, right), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append({"rank": rank, "left": left, "right": right, "pair_count": n})
+        for w, syms in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            words[w] = res
+    return merges

@@ -3330,3 +3330,24 @@ def l5_audio_features(spark, sf_dir):
         )
         .orderBy("media_id")
     )
+
+
+# --------------------------------------------------------------------------
+# L4p — BPE merge training (new round 4): learn the corpus's first 8
+# byte-pair merges (operators/text.py::train_bpe_merges — distributed
+# exact pair counts over the word-TYPE table, vectorized merge kernel,
+# deterministic lexicographic tie-break). The tokenizer-training step
+# itself, not just application of a fixed vocab. PY-class: the
+# iterative argmax loop is not single-statement SQL; golden test pins
+# the learned merges against a pure-Python reference trainer.
+# --------------------------------------------------------------------------
+@register("l4_bpe_train")
+def l4_bpe_train(spark, sf_dir):
+    from kompactor_spark.operators.text import train_bpe_merges
+
+    T = loader(sf_dir, spark)
+    merges, _ = train_bpe_merges(T("documents"), "text", n_merges=8)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["pair_count"]) for m in merges],
+        "rank bigint, left string, right string, pair_count bigint",
+    ).orderBy("rank")

@@ -903,3 +903,23 @@ def test_asof_forward_next_at_or_after(spark, regs):
             assert r.next_purchase_ts == cand[0]
         else:
             assert r.next_purchase_ts is None
+
+
+def test_bpe_train_matches_pure_python_reference(spark, regs):
+    from kompactor_spark.operators.text import train_bpe_merges_reference
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in regs["l4_bpe_train"](spark, SF).collect()
+    ]
+    texts = [r.text for r in load_table(spark, SF, "documents").select("text").collect()]
+    want = [
+        (m["rank"], m["left"], m["right"], m["pair_count"])
+        for m in train_bpe_merges_reference(texts, 8)
+    ]
+    assert got == want
+    # learned merges are usable: counts non-increasing is NOT guaranteed
+    # (a merged symbol can participate in later frequent pairs), but
+    # every count is positive and ranks are dense
+    assert [g[0] for g in got] == list(range(len(got)))
+    assert all(g[3] > 0 for g in got)

@@ -191,6 +191,9 @@ _PRIORITY = [
     "x37_cross_type_correlation",
     "x38_cumulative_crossover",
     "j8c_asof_forward",
+    "x39_burstiness",
+    "l6_ngram_novelty",
+    "m12_profile_drift",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

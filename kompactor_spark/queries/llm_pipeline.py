@@ -3351,3 +3351,69 @@ def l4_bpe_train(spark, sf_dir):
         [(m["rank"], m["left"], m["right"], m["pair_count"]) for m in merges],
         "rank bigint, left string, right string, pair_count bigint",
     ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
+# L6s — split n-gram novelty (new round 4): the share of the val
+# split's distinct 3-grams that never occur in the train split — the
+# generalization-gap / split-leakage diagnostic (novelty ≈ 0 means the
+# val set is memorizable from train; high novelty means distribution
+# shift). Splits are the deterministic md5 assignment of
+# l6_train_val_split; the gram comparison is one distinct-gram pass
+# per side and a LEFT ANTI join on the gram key — never a cross
+# product. All counts exact.
+# --------------------------------------------------------------------------
+@register(
+    "l6_ngram_novelty",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN md5('split:' || CAST(doc_id AS VARCHAR)) < 'f8' THEN 'train'
+                  ELSE 'val' END AS split
+      FROM documents),
+    tok AS (
+      SELECT split, doc_id, string_split(text, ' ') AS ts FROM assigned),
+    idx AS (
+      SELECT split, ts,
+             unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      FROM tok),
+    grams AS (
+      SELECT split, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+      FROM idx),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    val_g AS (SELECT DISTINCT g FROM grams WHERE split = 'val'),
+    novel AS (
+      SELECT g FROM val_g WHERE g NOT IN (SELECT g FROM train_g))
+    SELECT CAST((SELECT COUNT(*) FROM val_g) AS BIGINT) AS n_val_grams,
+           CAST((SELECT COUNT(*) FROM novel) AS BIGINT) AS n_novel,
+           round(CAST((SELECT COUNT(*) FROM novel) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM val_g), 6) AS novelty
+    """,
+)
+def l6_ngram_novelty(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    h = F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    assigned = T("documents").select(
+        "text", F.when(h < "f8", "train").otherwise("val").alias("split")
+    )
+    grams = assigned.select(
+        "split",
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
+                " (t, i) -> concat_ws(' ', t, split(text, ' ')[i + 1], split(text, ' ')[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    train_g = grams.where(F.col("split") == "train").select("g").distinct()
+    val_g = (
+        grams.where(F.col("split") == "val").select("g").distinct().localCheckpoint(eager=False)
+    )  # feeds the census and the anti-join
+    novel = val_g.join(train_g, "g", "left_anti")
+    n_val = val_g.agg(F.count(F.lit(1)).cast("bigint").alias("n_val_grams"))
+    n_novel = novel.agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    return n_val.crossJoin(n_novel).select(
+        "n_val_grams",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_val_grams"), 6).alias("novelty"),
+    )

@@ -551,3 +551,73 @@ def j17_point_in_time_join(spark, sf_dir):
         )
         .orderBy("user_id", "ts_ns", "event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# M12 — column-profile drift (new round 4): the data-contract monitor —
+# per column, compare the profile (row count, null rate, distinct
+# count, min/max) of two dataset versions (deterministic md5 halves of
+# orders stand in for v1/v2) and flag drift. One conditional-aggregate
+# scan per metric family (no per-column passes), output long-form one
+# row per (column, metric) with both sides and the delta — the shape a
+# contract checker alerts on. All metrics exact; doubles rounded.
+# --------------------------------------------------------------------------
+@register(
+    "m12_profile_drift",
+    oracle="""
+    WITH v AS (
+      SELECT *, CASE WHEN md5('drift:' || CAST(o_orderkey AS VARCHAR)) < '8'
+                     THEN 'v1' ELSE 'v2' END AS ver
+      FROM orders),
+    m AS (
+      SELECT ver,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_cust,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_status,
+             round(MIN(o_totalprice), 6) AS min_price,
+             round(MAX(o_totalprice), 6) AS max_price
+      FROM v GROUP BY ver),
+    long AS (
+      SELECT 'n_rows' AS metric, ver, CAST(n_rows AS DOUBLE) AS val FROM m
+      UNION ALL SELECT 'distinct_custkey', ver, CAST(d_cust AS DOUBLE) FROM m
+      UNION ALL SELECT 'distinct_status', ver, CAST(d_status AS DOUBLE) FROM m
+      UNION ALL SELECT 'min_totalprice', ver, min_price FROM m
+      UNION ALL SELECT 'max_totalprice', ver, max_price FROM m)
+    SELECT metric,
+           MAX(CASE WHEN ver = 'v1' THEN val END) AS v1,
+           MAX(CASE WHEN ver = 'v2' THEN val END) AS v2,
+           round(MAX(CASE WHEN ver = 'v2' THEN val END)
+                 - MAX(CASE WHEN ver = 'v1' THEN val END), 6) + 0.0 AS delta
+    FROM long GROUP BY metric
+    ORDER BY metric
+    """,
+)
+def m12_profile_drift(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    h = F.md5(F.concat(F.lit("drift:"), F.col("o_orderkey").cast("string")))
+    v = T("orders").withColumn("ver", F.when(h < "8", "v1").otherwise("v2"))
+    m = v.groupBy("ver").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("d_cust"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("d_status"),
+        F.round(F.min("o_totalprice"), 6).alias("min_price"),
+        F.round(F.max("o_totalprice"), 6).alias("max_price"),
+    )
+    pieces = [
+        ("n_rows", F.col("n_rows").cast("double")),
+        ("distinct_custkey", F.col("d_cust").cast("double")),
+        ("distinct_status", F.col("d_status").cast("double")),
+        ("min_totalprice", F.col("min_price")),
+        ("max_totalprice", F.col("max_price")),
+    ]
+    long = None
+    for name, col in pieces:
+        part = m.select(F.lit(name).alias("metric"), "ver", col.alias("val"))
+        long = part if long is None else long.unionByName(part)
+    v1 = F.max(F.when(F.col("ver") == "v1", F.col("val")))
+    v2 = F.max(F.when(F.col("ver") == "v2", F.col("val")))
+    return (
+        long.groupBy("metric")
+        .agg(v1.alias("v1"), v2.alias("v2"), (F.round(v2 - v1, 6) + F.lit(0.0)).alias("delta"))
+        .orderBy("metric")
+    )

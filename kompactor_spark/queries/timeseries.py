@@ -2218,3 +2218,77 @@ def x38_cumulative_crossover(spark, sf_dir):
         )
         .orderBy("hour_ns")
     )
+
+
+# --------------------------------------------------------------------------
+# X39 — burstiness / index of dispersion (new round 4): per event_type,
+# the Fano factor (variance / mean) of hourly event counts over the
+# zero-filled spine — 1 ≈ Poisson arrivals, >1 bursty, <1 regular; the
+# one-number answer to "can I capacity-plan this stream on averages".
+# All moments from exact BIGINT power sums over integer counts.
+# --------------------------------------------------------------------------
+@register(
+    "x39_burstiness",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (epoch_ns(min(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmin,
+             (epoch_ns(max(ts)) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hmax
+      FROM events),
+    grid AS (
+      SELECT t.event_type, gs.h AS hour_ns
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(hmin, hmax, {NS_PER_HOUR})) AS h
+                  FROM bounds) gs),
+    actual AS (
+      SELECT event_type, (epoch_ns(ts) // {NS_PER_HOUR}) * {NS_PER_HOUR} AS hour_ns,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT g.event_type, COALESCE(a.n, 0) AS n
+      FROM grid g LEFT JOIN actual a
+        ON g.event_type = a.event_type AND g.hour_ns = a.hour_ns),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS s1, CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM spine GROUP BY event_type)
+    SELECT event_type, n_hours,
+           round(CAST(s1 AS DOUBLE) / n_hours, 6) AS mean_per_hour,
+           round(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_hours) / (n_hours - 1))
+                 / (CAST(s1 AS DOUBLE) / n_hours), 6) + 0.0 AS fano
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def x39_burstiness(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    ev = T("events")
+    b = ev.agg(
+        (F.min("ts") - F.min("ts") % NS_PER_HOUR).alias("hmin"),
+        (F.max("ts") - F.max("ts") % NS_PER_HOUR).alias("hmax"),
+    ).first()
+    grid = ev.select("event_type").distinct().select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(int(b["hmin"])), F.lit(int(b["hmax"])), F.lit(NS_PER_HOUR))
+        ).alias("hour_ns"),
+    )
+    actual = ev.groupBy(
+        "event_type", (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("hour_ns")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spine = grid.join(actual, ["event_type", "hour_ns"], "left").select(
+        "event_type", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
+    s = spine.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    nh, s1, s2 = F.col("n_hours"), F.col("s1").cast("double"), F.col("s2").cast("double")
+    mean = s1 / nh
+    var = (s2 - s1 * s1 / nh) / (nh - 1)
+    return s.select(
+        "event_type",
+        "n_hours",
+        F.round(mean, 6).alias("mean_per_hour"),
+        (F.round(var / mean, 6) + F.lit(0.0)).alias("fano"),
+    ).orderBy("event_type")

@@ -923,3 +923,32 @@ def test_bpe_train_matches_pure_python_reference(spark, regs):
     # every count is positive and ranks are dense
     assert [g[0] for g in got] == list(range(len(got)))
     assert all(g[3] > 0 for g in got)
+
+
+def test_burstiness_positive(spark, regs):
+    rows = regs["x39_burstiness"](spark, SF).collect()
+    for r in rows:
+        assert r.n_hours > 1
+        assert r.mean_per_hour > 0
+        assert r.fano >= 0.0
+
+
+def test_ngram_novelty_bounds(spark, regs):
+    row = regs["l6_ngram_novelty"](spark, SF).first()
+    assert 0 <= row.n_novel <= row.n_val_grams
+    assert 0.0 <= row.novelty <= 1.0
+
+
+def test_profile_drift_metrics_complete(spark, regs):
+    rows = regs["m12_profile_drift"](spark, SF).collect()
+    metrics = {r.metric for r in rows}
+    assert metrics == {
+        "n_rows",
+        "distinct_custkey",
+        "distinct_status",
+        "min_totalprice",
+        "max_totalprice",
+    }
+    for r in rows:
+        assert r.v1 is not None and r.v2 is not None
+        assert abs(r.delta - round(r.v2 - r.v1, 6)) < 2e-6

@@ -194,6 +194,7 @@ _PRIORITY = [
     "x39_burstiness",
     "l6_ngram_novelty",
     "m12_profile_drift",
+    "l7g_pca_power",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

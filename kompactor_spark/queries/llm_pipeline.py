@@ -3417,3 +3417,135 @@ def l6_ngram_novelty(spark, sf_dir):
         "n_novel",
         F.round(F.col("n_novel").cast("double") / F.col("n_val_grams"), 6).alias("novelty"),
     )
+
+
+# --------------------------------------------------------------------------
+# L7g — PCA power iteration (new round 4): the top principal
+# eigenvalue of the embedding covariance and its explained-variance
+# share — the "is this embedding space collapsing onto one axis"
+# diagnostic that complements l7f's per-dimension view. Design for
+# scale AND determinism:
+#   * the covariance matrix is a CONSTANT-SIZE (d²) exact aggregate —
+#     DECIMAL power sums over the flat (vec, dim, value) stream's
+#     per-vector dim×dim self-join, one distributed pass over the data;
+#   * the 3-step power iteration then runs on that d²-sized object
+#     (driver-side here, the same constant-work choice as the IVF
+#     centroid sidecar — at 100 TB the data pass is the cost, not the
+#     64×64 iteration);
+#   * every float summation inside the iteration is quantized to 2⁻⁴⁰
+#     units and summed as exact integers (the G3 fixedpoint pattern,
+#     half-away rounding on both engines), so the oracle's SQL
+#     iteration reproduces the Python iteration bit-for-bit.
+# --------------------------------------------------------------------------
+_PCA_S = 1099511627776.0  # 2^40
+
+_PCA_IT_SQL = """
+    u{k} AS (
+      SELECT c.i AS dim, SUM(CAST(round(c.cv * v{j}.v * 1099511627776.0) AS BIGINT)) AS units
+      FROM c JOIN v{j} ON v{j}.dim = c.j GROUP BY c.i),
+    n{k} AS (
+      SELECT SUM(CAST(round((CAST(units AS DOUBLE) / 1099511627776.0)
+                            * (CAST(units AS DOUBLE) / 1099511627776.0)
+                            * 1099511627776.0) AS BIGINT)) AS n2
+      FROM u{k}),
+    v{k} AS (
+      SELECT dim,
+             (CAST(units AS DOUBLE) / 1099511627776.0)
+               / sqrt(CAST(n2 AS DOUBLE) / 1099511627776.0) AS v
+      FROM u{k} CROSS JOIN n{k})"""
+
+
+@register(
+    "l7g_pca_power",
+    oracle=f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      FROM embeddings),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM flat),
+    s AS (SELECT dim, SUM(xd) AS s1 FROM flat GROUP BY dim),
+    p AS (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.xd * b.xd) AS sij
+      FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2),
+    c AS (
+      SELECT p.i, p.j,
+             (CAST(p.sij AS DOUBLE)
+              - CAST(si.s1 AS DOUBLE) * CAST(sj.s1 AS DOUBLE) / nn.n) / (nn.n - 1) AS cv
+      FROM p JOIN s si ON si.dim = p.i JOIN s sj ON sj.dim = p.j CROSS JOIN nn),
+    v0 AS (SELECT DISTINCT dim, 0.125 AS v FROM flat),
+    {_PCA_IT_SQL.format(k=1, j=0)},
+    {_PCA_IT_SQL.format(k=2, j=1)},
+    {_PCA_IT_SQL.format(k=3, j=2)},
+    w AS (
+      SELECT c.i AS dim, SUM(CAST(round(c.cv * v3.v * 1099511627776.0) AS BIGINT)) AS units
+      FROM c JOIN v3 ON v3.dim = c.j GROUP BY c.i),
+    lam AS (
+      SELECT SUM(CAST(round(v3.v * (CAST(w.units AS DOUBLE) / 1099511627776.0)
+                            * 1099511627776.0) AS BIGINT)) AS lu
+      FROM v3 JOIN w ON w.dim = v3.dim),
+    tr AS (
+      SELECT SUM(CAST(round(cv * 1099511627776.0) AS BIGINT)) AS tu
+      FROM c WHERE i = j)
+    SELECT nn.n AS n_vecs,
+           round(CAST(lam.lu AS DOUBLE) / 1099511627776.0, 6) AS top_eigenvalue,
+           round((CAST(lam.lu AS DOUBLE) / 1099511627776.0)
+                 / (CAST(tr.tu AS DOUBLE) / 1099511627776.0), 6) AS explained_share
+    FROM nn, lam, tr
+    """,
+)
+def l7g_pca_power(spark, sf_dir):
+    import decimal as _dec
+    import math
+
+    T = loader(sf_dir, spark)
+    flat = T("embeddings").select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), F.col("x").cast("decimal(18,9)").alias("xd"))
+    n = flat.select("vec_id").distinct().count()
+    s_rows = flat.groupBy("dim").agg(F.sum("xd").alias("s1")).collect()
+    s1 = {r.dim: r.s1 for r in s_rows}
+    a = flat.select("vec_id", F.col("dim").alias("i"), F.col("xd").alias("xa"))
+    bb = flat.select("vec_id", F.col("dim").alias("j"), F.col("xd").alias("xb"))
+    p_rows = (
+        a.join(bb, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sij"))
+        .collect()  # constant-size: d² exact decimals (the IVF-sidecar choice)
+    )
+    C = {
+        (r.i, r.j): (float(r.sij) - float(s1[r.i]) * float(s1[r.j]) / n) / (n - 1)
+        for r in p_rows
+    }
+    dims = sorted({i for i, _ in C})
+    S = _PCA_S
+
+    def q(x: float) -> int:
+        # round half away from zero at 2^-40 — DuckDB round() semantics
+        return int(
+            _dec.Decimal(x * S).quantize(_dec.Decimal(1), rounding=_dec.ROUND_HALF_UP)
+        )
+
+    v = {d: 0.125 for d in dims}
+    for _ in range(3):
+        units = {i: sum(q(C[(i, j)] * v[j]) for j in dims) for i in dims}
+        u = {i: units[i] / S for i in dims}
+        n2 = sum(q(u[i] * u[i]) for i in dims)
+        norm = math.sqrt(n2 / S)
+        v = {i: u[i] / norm for i in dims}
+    w_units = {i: sum(q(C[(i, j)] * v[j]) for j in dims) for i in dims}
+    lam_units = sum(q(v[i] * (w_units[i] / S)) for i in dims)
+    tr_units = sum(q(C[(d, d)]) for d in dims)
+    lam = lam_units / S
+    tr = tr_units / S
+
+    def r6(x: float) -> float:
+        # half-away 6-dp rounding (DuckDB round() semantics, not
+        # Python's banker's round)
+        return float(
+            _dec.Decimal(x).quantize(_dec.Decimal("0.000001"), rounding=_dec.ROUND_HALF_UP)
+        )
+
+    return spark.createDataFrame(
+        [(n, r6(lam), r6(lam / tr))],
+        "n_vecs bigint, top_eigenvalue double, explained_share double",
+    )

@@ -952,3 +952,13 @@ def test_profile_drift_metrics_complete(spark, regs):
     for r in rows:
         assert r.v1 is not None and r.v2 is not None
         assert abs(r.delta - round(r.v2 - r.v1, 6)) < 2e-6
+
+
+def test_pca_power_explained_share_bounds(spark, regs):
+    row = regs["l7g_pca_power"](spark, SF).first()
+    emb = load_table(spark, SF, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    assert row.n_vecs == emb.count()
+    assert row.top_eigenvalue > 0
+    # top eigenvalue explains at least 1/d and at most all of the variance
+    assert 1.0 / dims - 1e-6 <= row.explained_share <= 1.0 + 1e-6

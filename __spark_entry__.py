@@ -195,6 +195,7 @@ _PRIORITY = [
     "l6_ngram_novelty",
     "m12_profile_drift",
     "l7g_pca_power",
+    "x40_max_drawdown",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -2292,3 +2292,70 @@ def x39_burstiness(spark, sf_dir):
         F.round(mean, 6).alias("mean_per_hour"),
         (F.round(var / mean, 6) + F.lit(0.0)).alias("fano"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# X40 — maximum drawdown (new round 4): per user, the largest
+# peak-to-trough fall of the running cumulative purchase value — the
+# risk/finance primitive (how far below its best has this account
+# been). Exactness: the cumulative series, its running peak, and every
+# drawdown are DECIMAL sums/maxima over the (ts, event_id)-ordered
+# window — no float anywhere until the final presentation cast, so the
+# argmax is bit-deterministic. One keyed shuffle shared by both
+# windows and the rollup.
+# --------------------------------------------------------------------------
+@register(
+    "x40_max_drawdown",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS t,
+             CAST(value AS DECIMAL(18,6)) - CAST(0.25 AS DECIMAL(18,6)) * 100 AS delta
+      FROM events WHERE event_type = 'purchase'),
+    cum0 AS (
+      SELECT user_id, t, event_id,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM p),
+    c AS (
+      SELECT user_id, cum,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM cum0)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(MAX(peak) AS DOUBLE) AS peak_cum,
+           CAST(MAX(peak - cum) AS DOUBLE) AS max_drawdown
+    FROM c GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x40_max_drawdown(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    # signed per-purchase delta (value − 25.00): makes the cumulative
+    # series non-monotone so drawdown is a real quantity on this data
+    delta = F.col("value").cast("decimal(18,6)") - F.lit(25.0).cast("decimal(18,6)")
+    p = (
+        T("events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("t"), "event_id", delta.alias("delta"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = p.select(
+        "user_id",
+        "t",
+        "event_id",
+        F.sum("delta").over(w).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(w))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.max("peak").cast("double").alias("peak_cum"),
+            F.max(F.col("peak") - F.col("cum")).cast("double").alias("max_drawdown"),
+        )
+        .orderBy("user_id")
+    )

@@ -962,3 +962,13 @@ def test_pca_power_explained_share_bounds(spark, regs):
     assert row.top_eigenvalue > 0
     # top eigenvalue explains at least 1/d and at most all of the variance
     assert 1.0 / dims - 1e-6 <= row.explained_share <= 1.0 + 1e-6
+
+
+def test_max_drawdown_invariants(spark, regs):
+    rows = regs["x40_max_drawdown"](spark, SF).collect()
+    for r in rows:
+        assert r.n_purchases >= 1
+        assert r.max_drawdown >= 0.0
+        # drawdown can never exceed peak minus the global minimum; weak
+        # but engine-independent: drawdown <= 2 * peak magnitude bound
+        assert r.max_drawdown <= abs(r.peak_cum) + 100.0 * r.n_purchases

@@ -196,6 +196,7 @@ _PRIORITY = [
     "m12_profile_drift",
     "l7g_pca_power",
     "x40_max_drawdown",
+    "j19_nearest_value_join",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

@@ -1499,3 +1499,71 @@ def a26_benford(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# J19 — nearest-value (1-D Voronoi) join (new round 4): match every
+# lineitem's unit price to the CLOSEST part retail price — the numeric
+# entity-resolution / rate-card-snapping primitive when there is no
+# equi-key at all. Scale shape: 1-D nearest neighbor against a
+# dimension is interval membership in the dim's Voronoi cells
+# (midpoints between consecutive sorted prices) — the cells come from
+# a DIM-sized window (a few thousand rows; the global sort there is
+# deliberate and bounded), then the fact side does a broadcast band
+# join (the j16 plan) — the fact never shuffles and never sees a
+# quadratic stage. Exact-midpoint ties go to the upper cell (half-open
+# [lo, hi)), identical in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "j19_nearest_value_join",
+    oracle="""
+    WITH prices AS (SELECT DISTINCT p_retailprice AS p FROM part),
+    cells AS (
+      SELECT p,
+             COALESCE((lag(p) OVER (ORDER BY p) + p) / 2, -1e308) AS lo,
+             COALESCE((p + lead(p) OVER (ORDER BY p)) / 2, 1e308) AS hi
+      FROM prices),
+    f AS (
+      SELECT l_orderkey, l_linenumber,
+             l_extendedprice / l_quantity AS up
+      FROM lineitem)
+    SELECT f.l_orderkey, f.l_linenumber,
+           f.up AS unit_price,
+           c.p AS nearest_price,
+           abs(f.up - c.p) AS diff
+    FROM f JOIN cells c ON f.up >= c.lo AND f.up < c.hi
+    ORDER BY f.l_orderkey, f.l_linenumber
+    """,
+)
+def j19_nearest_value_join(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    prices = T("part").select(F.col("p_retailprice").alias("p")).distinct()
+    # dim-sized global window: bounded by the part dimension, never the fact
+    wp = Window.orderBy("p")
+    cells = prices.select(
+        "p",
+        F.coalesce((F.lag("p").over(wp) + F.col("p")) / 2, F.lit(-1e308)).alias("lo"),
+        F.coalesce((F.col("p") + F.lead("p").over(wp)) / 2, F.lit(1e308)).alias("hi"),
+    )
+    f = T("lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    return (
+        f.join(F.broadcast(cells), (F.col("up") >= F.col("lo")) & (F.col("up") < F.col("hi")))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # RAW doubles, deliberately un-rounded: a single IEEE
+            # quotient / subtraction is bit-identical cross-engine (no
+            # aggregation order involved), while ANY 6-dp quantization
+            # here diverges — power-of-two quantities make quotients
+            # land EXACTLY on .5×10⁻⁶ ties, where Spark rounds half-up
+            # and DuckDB half-even (found live: 30448.81/32)
+            F.col("up").alias("unit_price"),
+            F.col("p").alias("nearest_price"),
+            F.abs(F.col("up") - F.col("p")).alias("diff"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -972,3 +972,22 @@ def test_max_drawdown_invariants(spark, regs):
         # drawdown can never exceed peak minus the global minimum; weak
         # but engine-independent: drawdown <= 2 * peak magnitude bound
         assert r.max_drawdown <= abs(r.peak_cum) + 100.0 * r.n_purchases
+
+
+def test_nearest_value_join_is_nearest(spark, regs):
+    rows = regs["j19_nearest_value_join"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem")
+    assert len(rows) == li.count()  # Voronoi cells tile the whole axis
+    prices = sorted(
+        r.p for r in load_table(spark, SF, "part").select(
+            F.col("p_retailprice").alias("p")
+        ).distinct().collect()
+    )
+    import bisect
+
+    for r in rows[:500]:
+        i = bisect.bisect_left(prices, r.unit_price)
+        cands = [prices[j] for j in (i - 1, i, i + 1) if 0 <= j < len(prices)]
+        best = min(abs(r.unit_price - c) for c in cands)
+        assert abs(r.diff - best) < 1e-9
+        assert abs(abs(r.unit_price - r.nearest_price) - best) < 1e-9

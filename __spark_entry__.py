@@ -197,6 +197,7 @@ _PRIORITY = [
     "l7g_pca_power",
     "x40_max_drawdown",
     "j19_nearest_value_join",
+    "p6_multi_measure_pivot",
     "l2_minhash_lsh",
     "l2_minhash_banded",
     "l2_simhash_pairs",

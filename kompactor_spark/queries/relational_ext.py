@@ -1567,3 +1567,46 @@ def j19_nearest_value_join(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --------------------------------------------------------------------------
+# P6 — multi-measure pivot (new round 4): pivot on order status with
+# TWO measures per cell (count + exact DECIMAL revenue) — the wide
+# scorecard shape P3's count-only pivot doesn't cover. Spark's
+# .pivot().agg(a, b) emits suffixed columns; both engines compute the
+# cells as conditional aggregates, one shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "p6_multi_measure_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F')
+                AS DOUBLE) AS f_rev,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O')
+                AS DOUBLE) AS o_rev,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P')
+                AS DOUBLE) AS p_rev
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def p6_multi_measure_pivot(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    wide = (
+        T("orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s_ in ("F", "O", "P"):
+        cols.append(F.coalesce(F.col(f"{s_}_n"), F.lit(0)).cast("bigint").alias(f"{s_.lower()}_n"))
+        cols.append(F.col(f"{s_}_rev").cast("double").alias(f"{s_.lower()}_rev"))
+    return wide.select(*cols).orderBy("o_orderpriority")

@@ -991,3 +991,15 @@ def test_nearest_value_join_is_nearest(spark, regs):
         best = min(abs(r.unit_price - c) for c in cands)
         assert abs(r.diff - best) < 1e-9
         assert abs(abs(r.unit_price - r.nearest_price) - best) < 1e-9
+
+
+def test_multi_measure_pivot_census(spark, regs):
+    rows = regs["p6_multi_measure_pivot"](spark, SF).collect()
+    n_orders = load_table(spark, SF, "orders").count()
+    assert sum(r.f_n + r.o_n + r.p_n for r in rows) == n_orders
+    for r in rows:
+        for st in ("f", "o", "p"):
+            n, rev = r[f"{st}_n"], r[f"{st}_rev"]
+            assert (n == 0) == (rev is None)
+            if n:
+                assert rev > 0

@@ -235,10 +235,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             )
             return 0
         if args.skew_report is not None:
-            from pyspark.sql import Window
-            from pyspark.sql import functions as F
-
             from kompactor_spark.compaction.readers import read_table
+            from kompactor_spark.operators.skew import skew_report
 
             hosts = [h for h in args.hosts.split(",") if h]
             if len(hosts) != 1:
@@ -246,23 +244,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
                 return 2
             df = read_table(spark, args.data_dir, hosts[0], args.db, args.table)
             key = args.skew_report
-            c = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-            tot = c.agg(F.sum("n").cast("double").alias("t"))
-            top = c.orderBy(F.col("n").desc(), key).limit(20)
-            r = top.withColumn(
-                "rk", F.row_number().over(Window.orderBy(F.col("n").desc(), key))
-            )
-            cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
-            rows = (
-                r.crossJoin(F.broadcast(tot))
-                .select(
-                    key,
-                    "n",
-                    F.round(F.col("n") / F.col("t"), 4).alias("share"),
-                    F.round(F.sum("n").over(cum) / F.col("t"), 4).alias("cum_share"),
-                )
-                .collect()
-            )
+            rows = skew_report(df, key, top_n=20, dp=4).collect()
             print(f"{hosts[0]}: key skew for db={args.db} table={args.table} key={key}")
             for row in rows:
                 print(

@@ -53,15 +53,15 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     (l2_containment_pairs: 679 s at sf1 before this fix, single-task
     stages; scripts/perf_smoke.py is the sweep that caught it).
     """
+    from kompactor_spark.operators.expansion import pin_expansion_width
     from kompactor_spark.tables import fan_out
 
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     docs = fan_out(df).select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
     sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
     inv = docs.select("id", F.explode("sh").alias("shingle"))
     hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
-    inv = inv.join(F.broadcast(hot), "shingle", "left_anti").repartition(
-        n_parts, F.col("shingle")
+    inv = pin_expansion_width(
+        inv.join(F.broadcast(hot), "shingle", "left_anti"), ["shingle"]
     )
     return docs, sizes, inv
 
@@ -266,9 +266,11 @@ def minhash_band_pairs(
     )
     # explicit width on the bucket key: the bucket self-join is an
     # expansion join (same AQE-input-sizing trap as _inverted_index)
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cool = exploded.join(F.broadcast(hot), ["band_idx", "band_sig"], "left_anti").repartition(
-        n_parts, F.col("band_idx"), F.col("band_sig")
+    from kompactor_spark.operators.expansion import pin_expansion_width
+
+    cool = pin_expansion_width(
+        exploded.join(F.broadcast(hot), ["band_idx", "band_sig"], "left_anti"),
+        ["band_idx", "band_sig"],
     )
 
     a, b = cool.alias("a"), cool.alias("b")

@@ -62,7 +62,8 @@ def binned_interval_join(
     # core (measured: 14M-pair join+write at sf1 ran 2 tasks wide).
     # A user-specified partition count is exempt from AQE coalescing;
     # the join reuses this distribution, so no extra exchange appears.
-    n_parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from kompactor_spark.operators.expansion import pin_expansion_width
+
     p = points.withColumn(_BUCKET, ns_floor_div(F.col(point_ts), bucket_ns))
     i = intervals.withColumn(
         _BUCKET,
@@ -76,7 +77,7 @@ def binned_interval_join(
     if n_salt > 1:
         p = p.withColumn(_SALT, F.pmod(F.xxhash64(F.col(point_ts)), F.lit(n_salt)))
         i = i.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-        p = p.repartition(n_parts, F.col(_BUCKET), F.col(_SALT))
+        p = pin_expansion_width(p, [_BUCKET, _SALT])
         cond = (
             (p[_BUCKET] == i[_BUCKET])
             & (p[_SALT] == i[_SALT])
@@ -84,7 +85,7 @@ def binned_interval_join(
             & (p[point_ts] <= i[end_col])
         )
         return p.join(i, cond, how).drop(_BUCKET, _SALT)
-    p = p.repartition(n_parts, F.col(_BUCKET))
+    p = pin_expansion_width(p, [_BUCKET])
     cond = (
         (p[_BUCKET] == i[_BUCKET])
         & (p[point_ts] >= i[start_col])
@@ -114,8 +115,9 @@ def interval_overlap_join(
     buckets as usual, and the residual keeps only the bucket that
     equals the canonical one. Structural uniqueness, zero dedup pass.
     """
+    from kompactor_spark.operators.expansion import pin_expansion_width
+
     lb = "__l_bucket"
-    n_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     le = left.withColumn(
         lb,
         F.explode(
@@ -124,7 +126,8 @@ def interval_overlap_join(
                 ns_floor_div(F.col(l_end), bucket_ns),
             )
         ),
-    ).repartition(n_parts, F.col(lb))  # expansion join: pin width (see above)
+    )
+    le = pin_expansion_width(le, [lb])  # expansion join: pin width (see above)
     rb = "__r_bucket"
     ri = right.withColumn(
         rb,

@@ -21,10 +21,41 @@ how the oracle checks them.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT = "__salt"
+
+
+def skew_report(df: DataFrame, key: str, top_n: int = 20, dp: int = 6) -> DataFrame:
+    """Top-``top_n`` hottest values of ``key`` with share and cumulative
+    share of all rows — the diagnostic that decides whether a key needs
+    the salting operators below. Shared by the ``m10_skew_report``
+    registered query and the CLI ``--skew-report`` handler (single
+    source of truth; they differ only in rounding ``dp``).
+
+    Scale shape: the heavy lifting is one count-by-key aggregate plus a
+    distributed top-k (TakeOrderedAndProject — per-task heaps + one
+    ``top_n``-row merge). The ranking/cumulative windows run over the
+    ``top_n``-row slice only, never over |distinct keys| rows.
+    """
+    c = df.groupBy(key).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    top = c.orderBy(F.col("n").desc(), key).limit(top_n)
+    r = top.withColumn("rk", F.row_number().over(Window.orderBy(F.col("n").desc(), key)))
+    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            key,
+            "n",
+            F.round(F.col("n") / F.col("t"), dp).alias("share"),
+            F.round(F.sum("n").over(cum) / F.col("t"), dp).alias("cum_share"),
+            "rk",
+        )
+        .orderBy("rk")
+        .drop("rk")
+    )
 
 
 def with_salt(df: DataFrame, unique_cols: list[str], buckets: int) -> DataFrame:

@@ -518,8 +518,13 @@ def l5_media_features(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # L6a — token-budget selection: highest-quality docs first until a
-# token budget is exhausted (running-sum window; the standard
-# "fill the training mix" primitive)
+# token budget is exhausted (the standard "fill the training mix"
+# primitive). The running sum is the distributed two-pass prefix sum
+# (operators/prefixsum.py): range-partition on (quality DESC, doc_id),
+# per-partition cumsum, broadcast per-partition offsets — byte-identical
+# to the oracle's global window without serializing the corpus through
+# one task. (quality, doc_id) is a total order (doc_id unique), so the
+# result is deterministic.
 # --------------------------------------------------------------------------
 @register(
     "l6_token_budget",
@@ -542,7 +547,7 @@ def l5_media_features(spark, sf_dir):
     """,
 )
 def l6_token_budget(spark, sf_dir):
-    from pyspark.sql import Window
+    from kompactor_spark.operators.prefixsum import distributed_cumsum
 
     T = loader(sf_dir, spark)
     scored = T("documents").select(
@@ -555,11 +560,14 @@ def l6_token_budget(spark, sf_dir):
             6,
         ).alias("quality"),
     )
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = distributed_cumsum(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id")],
+        "n_tokens",
+        "cum_tokens",
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        cum.select("doc_id", "lang", "n_tokens", "quality", "cum_tokens")
         .where(F.col("cum_tokens") <= 20000)
         .orderBy("doc_id")
     )

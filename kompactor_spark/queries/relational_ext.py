@@ -909,9 +909,8 @@ def a21_winsorized_mean(spark, sf_dir):
     """,
 )
 def w14_pareto_share(spark, sf_dir):
-    from pyspark.sql import Window
-
     from kompactor_spark import fixedpoint as fx
+    from kompactor_spark.operators.prefixsum import distributed_cumsums
 
     T = loader(sf_dir, spark)
     units = fx.to_units("o_totalprice", 2)
@@ -922,16 +921,21 @@ def w14_pareto_share(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(fx.exact_sum("h", "l", 0).alias("rev_cents"))  # exact decimal cents
     )
-    wr = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
-    wall = Window.partitionBy()
-    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = per_cust.select(
-        "o_custkey",
-        "rev_cents",
-        F.row_number().over(wr).alias("rnk"),
-        F.count(F.lit(1)).over(wall).alias("n_cust"),
-        F.sum("rev_cents").over(wall).alias("total_cents"),
-        F.sum("rev_cents").over(wcum).alias("cum_cents"),
+    # Global rank + running revenue without a single-partition window:
+    # one two-pass range prefix sum computes both (operators/prefixsum.py;
+    # (rev_cents, o_custkey) is a total order). The grand totals are a
+    # constant-size aggregate over the same checkpointed frame, broadcast.
+    cum = distributed_cumsums(
+        per_cust,
+        [F.col("rev_cents").desc(), "o_custkey"],
+        {"rnk": F.lit(1).cast("long"), "cum_cents": F.col("rev_cents")},
+    )
+    tot = cum.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rev_cents").alias("total_cents"),
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
+        "o_custkey", "rev_cents", "rnk", "n_cust", "total_cents", "cum_cents"
     )
     pcts = F.explode(F.array(F.lit(1), F.lit(5), F.lit(20))).alias("pct")
     return (
@@ -987,7 +991,7 @@ def w14_pareto_share(spark, sf_dir):
     """,
 )
 def w15_gini_revenue(spark, sf_dir):
-    from pyspark.sql import Window
+    from kompactor_spark.operators.prefixsum import distributed_row_number
 
     T = loader(sf_dir, spark)
     r = (
@@ -995,10 +999,10 @@ def w15_gini_revenue(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
     )
-    rk = r.select(
-        "rev",
-        F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),
-    )
+    # Global rank without a single-partition window: two-pass range
+    # prefix count (operators/prefixsum.py). (rev, o_custkey) is a
+    # total order (custkey unique post-agg), so i is deterministic.
+    rk = distributed_row_number(r, ["rev", "o_custkey"], "i").select("rev", "i")
     m = rk.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("rev").cast("decimal(38,0)").alias("s"),
@@ -1285,29 +1289,14 @@ def j16_band_join_lookup(spark, sf_dir):
     """,
 )
 def m10_skew_report(spark, sf_dir):
+    # Shared pipeline (operators/skew.py): top slice FIRST via
+    # orderBy+limit (TakeOrderedAndProject), ranking windows over the
+    # 20-row slice only — a global window before the cut would
+    # serialize every key through one reducer at 100 TB.
+    from kompactor_spark.operators.skew import skew_report
+
     T = loader(sf_dir, spark)
-    c = T("events").groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = c.agg(F.sum("n").cast("double").alias("t"))
-    # Top slice FIRST via orderBy+limit (TakeOrderedAndProject: per-task
-    # heaps + one 20-row merge — distributed top-k). The ranking windows
-    # below then run over 20 rows, never over |distinct keys| rows; a
-    # global window before the cut would serialize every key through one
-    # reducer at 100 TB.
-    top = c.orderBy(F.col("n").desc(), "user_id").limit(20)
-    r = top.withColumn("rk", F.row_number().over(Window.orderBy(F.col("n").desc(), "user_id")))
-    cum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        r.crossJoin(F.broadcast(tot))
-        .select(
-            "user_id",
-            "n",
-            F.round(F.col("n") / F.col("t"), 6).alias("share"),
-            F.round(F.sum("n").over(cum) / F.col("t"), 6).alias("cum_share"),
-            "rk",
-        )
-        .orderBy("rk")
-        .drop("rk")
-    )
+    return skew_report(T("events"), "user_id", top_n=20, dp=6)
 
 
 # --------------------------------------------------------------------------

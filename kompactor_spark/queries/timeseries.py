@@ -194,9 +194,10 @@ def x10_retention_cohorts(spark, sf_dir):
         activity.join(first, "user_id")
         .groupBy(
             "cohort_ns",
-            ((F.col("day_ns") - F.col("cohort_ns")) / F.lit(NS_PER_DAY))
-            .cast("bigint")
-            .alias("days_since"),
+            # exact long division: the day-floored diff is < 2^53 here,
+            # but at multi-year ranges the double detour would round —
+            # same discipline as x28's hod.
+            F.expr(f"(day_ns - cohort_ns) div {NS_PER_DAY}").alias("days_since"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
         .select(
@@ -1345,7 +1346,11 @@ def x23_max_concurrency(spark, sf_dir):
 )
 def x28_latency_bands(spark, sf_dir):
     T = loader(sf_dir, spark)
-    hod = ((F.col("ts") / F.lit(NS_PER_HOUR)).cast("bigint") % 24).alias("hour_of_day")
+    # Exact long division (`div`): `ts / lit` would convert the ~1.7e18
+    # ns long to double (> 2^53 → rounds to ~256 ns granularity) and
+    # could flip events within ~128 ns of an hour boundary vs the
+    # oracle's integer `//`.
+    hod = (F.expr(f"ts div {NS_PER_HOUR}") % 24).alias("hour_of_day")
     return (
         T("events")
         .select("event_type", hod, "value")
@@ -1594,16 +1599,15 @@ def x31_cohort_ltv(spark, sf_dir):
     T = loader(sf_dir, spark)
     ev = T("events")
     first_seen = ev.groupBy("user_id").agg(
-        (F.min("ts") / F.lit(_NS_PER_WEEK)).cast("bigint").alias("cohort_week")
+        # exact long division — see x28's hod note (ts > 2^53 as double)
+        F.expr(f"min(ts) div {_NS_PER_WEEK}").alias("cohort_week")
     )
     rev = (
         ev.where(F.col("event_type") == "purchase")
         .join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
-            ((F.col("ts") / F.lit(_NS_PER_WEEK)).cast("bigint") - F.col("cohort_week")).alias(
-                "weeks_since"
-            ),
+            (F.expr(f"ts div {_NS_PER_WEEK}") - F.col("cohort_week")).alias("weeks_since"),
         )
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("revenue"))
     )
@@ -1753,7 +1757,8 @@ def x33_active_user_stickiness(spark, sf_dir):
     T = loader(sf_dir, spark)
     ud = (
         T("events")
-        .select("user_id", (F.col("ts") / F.lit(_DAY_NS)).cast("bigint").alias("day"))
+        # exact long division — see x28's hod note (ts > 2^53 as double)
+        .select("user_id", F.expr(f"ts div {_DAY_NS}").alias("day"))
         .distinct()
         .localCheckpoint(eager=False)  # feeds DAU, the spine, and the WAU join
     )
@@ -1818,9 +1823,9 @@ def _x34_sums(terms: list[str]) -> str:
            round(({K} * {_x34_sums([f"x{i} * y{i}" for i in range(K)])}
                   - {_x34_sums([f"x{i}" for i in range(K)])}
                     * {_x34_sums([f"y{i}" for i in range(K)])})
-                 / ({K} * {_x34_sums([f"x{i} * x{i}" for i in range(K)])}
-                    - {_x34_sums([f"x{i}" for i in range(K)])}
-                      * {_x34_sums([f"x{i}" for i in range(K)])}),
+                 / NULLIF({K} * {_x34_sums([f"x{i} * x{i}" for i in range(K)])}
+                          - {_x34_sums([f"x{i}" for i in range(K)])}
+                            * {_x34_sums([f"x{i}" for i in range(K)])}, 0),
                  6) + 0.0 AS slope_per_s
     FROM x
     ORDER BY user_id, ts_ns, event_id
@@ -1865,7 +1870,12 @@ def x34_rolling_slope(spark, sf_dir):
     sy = fixed_sum([F.col(f"y{i}") for i in range(K)])
     sxy = fixed_sum([F.col(f"x{i}") * F.col(f"y{i}") for i in range(K)])
     sxx = fixed_sum([F.col(f"x{i}") * F.col(f"x{i}") for i in range(K)])
-    slope = (F.lit(K) * sxy - sx * sy) / (F.lit(K) * sxx - sx * sx)
+    # Degenerate window (all 8 µs-floored timestamps equal) → denominator
+    # 0: make it NULL EXPLICITLY in both engines (oracle uses NULLIF) —
+    # Spark non-ANSI x/0 is NULL but DuckDB IEEE division yields inf/NaN,
+    # so without the guard the engines diverge on that row.
+    den = F.lit(K) * sxx - sx * sx
+    slope = F.when(den != F.lit(0.0), (F.lit(K) * sxy - sx * sy) / den)
     return x.select(
         "user_id",
         "event_id",
@@ -1881,11 +1891,18 @@ def x34_rolling_slope(spark, sf_dir):
 # cells) — "is this series diurnal" as one number, the test that
 # decides whether a seasonal-naive forecast (x24) is even applicable.
 # Exactness: every sum of squares is derived from DECIMAL power sums
-# (a16 mechanism) per (type, hour) cell and per type — the two SS
-# values are closed-form doubles over exact decimals, so η² is
-# bit-deterministic cross-engine. One scan, one 120-cell shuffle, one
-# 5-row rollup.
+# (a16 mechanism) per (type, hour) cell and per type. The 24-cell
+# SS_between sum quantizes each cell's s1²/n term to 2^-20 units and
+# sums as BIGINT (the l6_source_diversity fixedpoint pattern) — a plain
+# double SUM would be summation-order dependent (Spark partition order
+# vs DuckDB group order). 2^20 (not the usual 2^40) because the term
+# grows ~linearly with rows (~2.7e6 at sf0.1): int64 headroom holds to
+# ~3.7e11 per cell ≈ 10 TB of events. One scan, one 120-cell shuffle,
+# one 5-row rollup.
 # --------------------------------------------------------------------------
+_X35_SCALE = 1 << 20
+
+
 @register(
     "x35_seasonality_strength",
     oracle=f"""
@@ -1901,7 +1918,9 @@ def x34_rolling_slope(spark, sf_dir):
              CAST(SUM(n) AS BIGINT) AS n,
              CAST(SUM(s1) AS DOUBLE) AS s1,
              CAST(SUM(s2) AS DOUBLE) AS s2,
-             SUM(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) AS ss_cells
+             CAST(SUM(CAST(round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n
+                                 * {_X35_SCALE}) AS BIGINT)) AS DOUBLE)
+               / {_X35_SCALE} AS ss_cells
       FROM cell GROUP BY event_type)
     SELECT event_type, n,
            round(s2 - s1 * s1 / n, 6) AS ss_total,
@@ -1914,7 +1933,8 @@ def x34_rolling_slope(spark, sf_dir):
 def x35_seasonality_strength(spark, sf_dir):
     T = loader(sf_dir, spark)
     v = F.col("value").cast("decimal(18,6)")
-    hod = ((F.col("ts") / F.lit(NS_PER_HOUR)).cast("bigint") % 24).alias("hod")
+    # exact long division — see x28's hod note (ts > 2^53 as double)
+    hod = (F.expr(f"ts div {NS_PER_HOUR}") % 24).alias("hod")
     cell = (
         T("events")
         .select("event_type", hod, v.alias("v"))
@@ -1925,13 +1945,15 @@ def x35_seasonality_strength(spark, sf_dir):
             F.sum(F.col("v") * F.col("v")).alias("s2"),
         )
     )
+    term = F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
     t = cell.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n"),
         F.sum("s1").cast("double").alias("s1"),
         F.sum("s2").cast("double").alias("s2"),
-        F.sum(F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")).alias(
-            "ss_cells"
-        ),
+        (
+            F.sum(F.round(term * F.lit(_X35_SCALE)).cast("bigint")).cast("double")
+            / F.lit(_X35_SCALE)
+        ).alias("ss_cells"),
     )
     grand = F.col("s1") * F.col("s1") / F.col("n")
     return t.select(

@@ -576,9 +576,13 @@ def concurrency_stream(events: DataFrame) -> DataFrame:
         else:
             ends, peak = [], 0
         out_ts, out_peak = [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concatenate ALL Arrow chunks before sorting: a group's rows can
+        # span chunks within a micro-batch, and the interval pruning is
+        # order-sensitive — per-chunk sorting would process events out of
+        # time order across chunk boundaries.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.assign(ts_us=pdf["ts"] - pdf["ts"] % 1000).sort_values(
                 ["ts_us", "event_id"], kind="mergesort"
             )

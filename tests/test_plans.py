@@ -382,3 +382,77 @@ def test_l4_vocab_coverage_no_global_rank_window(spark, Q):
     p = plan(spark, Q["l4_vocab_coverage"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "Window" not in p
+
+
+def _assert_prefix_sum_plan(p: str, value_frag: str):
+    """Shared pin for the two-pass prefix-sum shape: every full-data
+    window keys on the range-bucket id (never an unpartitioned window
+    over the data), and the range frame is the single checkpointed
+    materialization both passes read (the pid-consistency guarantee —
+    operators/prefixsum.py module docstring)."""
+    for line in p.splitlines():
+        if f"Window [sum({value_frag}" in line:
+            assert "__ps_pid" in line, line
+    assert "Scan ExistingRDD" in p  # the localCheckpoint'd ranged frame
+
+
+def test_l6_token_budget_distributed_prefix_sum(spark, Q):
+    """L6a: the corpus-wide running token sum is the two-pass range
+    prefix sum (operators/prefixsum.py) — no global single-partition
+    window over the documents; the only unpartitioned window runs over
+    the bounded per-partition totals (<= shuffle.partitions rows)."""
+    df = Q["l6_token_budget"](spark, SF)
+    _assert_prefix_sum_plan(plan(spark, df), "n_tokens")
+
+
+def test_w15_gini_no_global_rank_window(spark, Q):
+    """W15: the global revenue rank is the distributed two-pass prefix
+    count, not a single-partition row_number window."""
+    df = Q["w15_gini_revenue"](spark, SF)
+    _assert_prefix_sum_plan(plan(spark, df), "1")
+
+
+def test_expansion_width_pin_helper(spark):
+    """operators/expansion.py: the shared pin keeps an explicit
+    partition count that AQE cannot coalesce — the guard that prevents
+    the next expansion join from regressing to 1-2 tasks (the measured
+    679 s l2_containment_pairs trap)."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.operators.expansion import pin_expansion_width
+
+    df = spark.range(1000).select((F.col("id") % 5).alias("k"))
+    out = pin_expansion_width(df, ["k"], 13)
+    assert out.rdd.getNumPartitions() == 13
+    # default width follows spark.sql.shuffle.partitions
+    dflt = pin_expansion_width(df, ["k"])
+    assert dflt.rdd.getNumPartitions() == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
+def test_expansion_pins_survive_in_operators(spark):
+    """The three historical trap sites all route through the shared
+    helper: their plans carry a REPARTITION_BY_NUM exchange on the
+    expansion key (exempt from AQE coalescing)."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.operators.dedup import jaccard_pairs, minhash_band_pairs
+    from kompactor_spark.operators.rangejoin import binned_interval_join
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    p1 = plan(spark, jaccard_pairs(docs))
+    assert "REPARTITION_BY_NUM" in p1
+    p2 = plan(spark, minhash_band_pairs(docs))
+    assert "REPARTITION_BY_NUM" in p2
+    pts = spark.range(100).select(F.col("id").alias("pt_id"), (F.col("id") * 1000).alias("t"))
+    ivs = spark.range(10).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 10000).alias("s"),
+        (F.col("id") * 10000 + 5000).alias("e"),
+    )
+    p3 = plan(spark, binned_interval_join(pts, ivs, "t", "s", "e", bucket_ns=10000))
+    assert "REPARTITION_BY_NUM" in p3

@@ -44,34 +44,26 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round4_targets_inside_window():
-    """The 19 never-graded oracle rows + the x11 re-grade must be graded
-    this round — i.e. sit inside the first 50 registry slots."""
-    targets = {
-        "x11_counter_rate",
-        "q4_order_priority",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q10_returned_items",
-        "q11_important_parts",
-        "q12_late_lines_by_class",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_supplier_part_counts",
-        "q17_small_qty_revenue",
-        "q19_discounted_revenue",
-        "q20_part_promotion",
-        "q22_sales_opportunity",
-        "l3_batch_topk",
-        "l6_train_val_split",
-        "l6_weighted_mix",
-        "x16_m4_downsample",
-        "x17_gap_detect",
+def test_round5_targets_inside_window():
+    """Round-5 window invariant: every row whose implementation changed
+    in round 5 (the ADVICE fixes + prefix-sum rewrites) must be graded
+    this round — i.e. sit inside the first 50 registry slots — and the
+    rest of the window must be first-gradings (backlog drain, zero
+    re-confirmation waste)."""
+    changed = {
+        "l6_token_budget",
+        "w15_gini_revenue",
+        "w14_pareto_share",
+        "x28_latency_bands",
+        "x31_cohort_ltv",
+        "x33_active_user_stickiness",
+        "x34_rolling_slope",
+        "x35_seasonality_strength",
+        "m10_skew_report",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = targets - window
-    assert not out, f"round-4 grading targets outside the 50-slot window: {out}"
+    out = changed - window
+    assert not out, f"round-5 changed-code rows outside the 50-slot window: {out}"
 
 
 def test_no_query_dropped():

@@ -383,7 +383,10 @@ def w5_rolling_distinct(spark, sf_dir):
         T("events")
         .groupBy(
             "event_type",
-            ((F.col("ts") / 3_600_000_000_000).cast("long") * 3_600_000_000_000).alias("hour_ns"),
+            # exact long floor (subtract-modulo): float division would
+            # round the >2^53 ns epoch to ~256 ns granularity and could
+            # mis-bucket events within ~128 ns of an hour boundary
+            (F.col("ts") - F.col("ts") % 3_600_000_000_000).cast("long").alias("hour_ns"),
         )
         .agg(F.collect_set("user_id").alias("users"))
     )

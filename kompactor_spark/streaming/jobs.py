@@ -209,9 +209,13 @@ def ewma_stream(events: DataFrame, k: int = _EWMA_K, alpha: float = _EWMA_ALPHA)
             ([list(x) for x in state.get]) if state.exists else ([], [], [])
         )
         out_uid, out_eid, out_ts, out_ewma = [], [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concatenate ALL Arrow chunks before sorting (a group's rows can
+        # span chunks within a micro-batch; this op is processing-order
+        # sensitive, so per-chunk sorting would replay events out of
+        # time order across chunk boundaries).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.assign(ts_ns=pdf["ts"] - pdf["ts"] % 1000).sort_values(
                 ["ts_ns", "event_id"], kind="mergesort"
             )
@@ -418,9 +422,13 @@ def cusum_stream(events: DataFrame, target: float = 0.5) -> DataFrame:
 
         s = state.get[0] if state.exists else 0.0
         out_eid, out_ts, out_cs = [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concatenate ALL Arrow chunks before sorting (a group's rows can
+        # span chunks within a micro-batch; this op is processing-order
+        # sensitive, so per-chunk sorting would replay events out of
+        # time order across chunk boundaries).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.assign(ts_ns=pdf["ts"] - pdf["ts"] % 1000).sort_values(
                 ["ts_ns", "event_id"], kind="mergesort"
             )
@@ -484,9 +492,13 @@ def threshold_crossing_stream(events: DataFrame, theta: float = 0.9) -> DataFram
 
         prev = state.get[0] if state.exists else None
         out = {k: [] for k in ("event_id", "ts_ns", "prev_value", "value", "direction")}
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Concatenate ALL Arrow chunks before sorting (a group's rows can
+        # span chunks within a micro-batch; this op is processing-order
+        # sensitive, so per-chunk sorting would replay events out of
+        # time order across chunk boundaries).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.assign(ts_ns=pdf["ts"] - pdf["ts"] % 1000).sort_values(
                 ["ts_ns", "event_id"], kind="mergesort"
             )

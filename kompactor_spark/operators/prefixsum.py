@@ -117,9 +117,20 @@ def distributed_cumsums(
         ],
     )
 
+    # The declared output type must match the global window's exactly
+    # (SUM's aggregate type): local + offset widens decimals by 8 more
+    # digits, so cast back — values always fit (every true prefix total
+    # is bounded by the global SUM the window type already holds).
+    sum_types = {
+        n: df.select(F.sum(v).alias("__t")).schema["__t"].dataType
+        for n, v in vals.items()
+    }
     out = local.join(F.broadcast(offsets), _PID)
     for n in vals:
-        out = out.withColumn(n, F.col(f"__ps_local_{n}") + F.col(f"__ps_off_{n}"))
+        out = out.withColumn(
+            n,
+            (F.col(f"__ps_local_{n}") + F.col(f"__ps_off_{n}")).cast(sum_types[n]),
+        )
     return out.drop(
         _PID, *[f"__ps_local_{n}" for n in vals], *[f"__ps_off_{n}" for n in vals]
     )

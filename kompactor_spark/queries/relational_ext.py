@@ -1024,16 +1024,21 @@ def w15_gini_revenue(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# A22 — equi-depth (decile) histogram of order value (new round 4): cut
-# points are the 9 exact interpolated percentiles of o_totalprice (one
-# distributed aggregate — percentile parity with quantile_cont is
-# driver-proven by a9), broadcast as a single row over a second
-# bucketing scan; membership is "count of cuts strictly below the
-# value", deterministic in both engines even at tied cut values. Per
-# bucket: count, min, max, and an exact DECIMAL sum presented as
-# DOUBLE. This is the scalable exact equi-depth shape — no global
-# row_number/ntile window (which would serialize the whole table
-# through one reducer); cut points are a constant-size aggregate.
+# A22 — equi-depth (decile) histogram of order value. Cut points are the
+# 9 exact interpolated percentiles of o_totalprice computed by the
+# order-statistics pass (operators/quantiles.py: range shuffle +
+# per-partition rank + driver interpolation of <=18 collected boundary
+# rows — bounded model state). Round 5 moved this off ``F.percentile``,
+# whose aggregation buffer holds every distinct value on ONE final
+# reducer (memory grows with the data, not the model — a genuine 100 TB
+# failure mode; also measured 2.7 s of the 2.25 s sf1 total). The
+# bucketing pass reuses the SAME checkpointed range-partitioned frame
+# (no second source scan); membership is "count of cuts strictly below
+# the value", deterministic in both engines even at tied cut values.
+# Per bucket: count, min, max, and an exact limb-summed DECIMAL total
+# presented as DOUBLE (the a1 fixedpoint fast path — no BigDecimal).
+# Interpolation formula = Spark Percentile.getPercentile's, whose
+# quantile_cont bit-parity is driver-proven by a9.
 # --------------------------------------------------------------------------
 _A22_PROBS = [i / 10 for i in range(1, 10)]
 
@@ -1057,19 +1062,29 @@ _A22_PROBS = [i / 10 for i in range(1, 10)]
     """,
 )
 def a22_equi_depth_histogram(spark, sf_dir):
+    from kompactor_spark.fixedpoint import exact_sum, limb_split, to_units
+    from kompactor_spark.operators.quantiles import exact_quantiles
+
     T = loader(sf_dir, spark)
     o = T("orders").select(F.col("o_totalprice").alias("p"))
-    probs = ", ".join(str(q) for q in _A22_PROBS)
-    cuts = o.agg(F.expr(f"percentile(p, array({probs}))").alias("cs"))
+    cuts, ranked = exact_quantiles(o, "p", _A22_PROBS)
+    cuts_arr = F.array(*[F.lit(c) for c in cuts])
+    hi_l, lo_l = limb_split(to_units("p", 2))
     return (
-        o.crossJoin(F.broadcast(cuts))
-        .select("p", (F.lit(1) + F.expr("size(filter(cs, c -> c < p))")).cast("bigint").alias("bucket"))
+        ranked.select(
+            "p",
+            (F.lit(1) + F.size(F.filter(cuts_arr, lambda c: c < F.col("p"))))
+            .cast("bigint")
+            .alias("bucket"),
+            hi_l.alias("__hi"),
+            lo_l.alias("__lo"),
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("p").alias("lo"),
             F.max("p").alias("hi"),
-            F.sum(dec("p")).cast("double").alias("total"),
+            exact_sum("__hi", "__lo", 2).cast("double").alias("total"),
         )
         .orderBy("bucket")
     )

@@ -57,7 +57,11 @@ RUNS = 3
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time even with eager=False on Spark 4.1), so the
 # timer keeps construction inside — see bench.py EAGER_CONSTRUCT.
-EAGER_CONSTRUCT = {"l4_bm25", "g3_pagerank", "l7g_pca_power"}
+EAGER_CONSTRUCT = {"l4_bm25", "g3_pagerank", "l7g_pca_power",
+                   # a22's construction runs the order-statistics cut
+                   # pass (checkpoint + counts + targeted collect) —
+                   # real engine work that must stay inside the timer.
+                   "a22_equi_depth_histogram"}
 
 # Queries whose result is itself a table (>1M rows — j14 emits 14M pairs
 # at sf1): timing ``toPandas`` vs in-process ``.df()`` measures the
@@ -69,6 +73,15 @@ EAGER_CONSTRUCT = {"l4_bm25", "g3_pagerank", "l7g_pca_power"}
 # fetched into a driver-side dataframe.
 LARGE_RESULT = {"j14_binned_interval_join", "l2_containment_pairs",
                 "l2_minhash_banded"}
+
+# Rows whose DuckDB oracle side is itself a multi-minute computation
+# (measured: the containment-pairs SQL twin runs ~25 min single-threaded
+# at sf1 — the unblocked shingle self-join DuckDB plans is exactly the
+# shape the engine's inverted-index blocking exists to avoid). Median-
+# of-3-plus-warm-up would burn ~2 h for one artifact cell, so these get
+# ONE timed DuckDB run, flagged in the row's note. The engine side keeps
+# the full protocol.
+DUCK_SINGLE_RUN = {"l2_containment_pairs"}
 
 
 def generate() -> None:
@@ -158,6 +171,13 @@ def _sink_exec_timer(fn, spark):
 def main() -> None:
     generate()
 
+    # Subset-rerun mode: `bench_sf1.py q1 q2 ...` measures only the
+    # named queries and MERGES them into the existing BENCH_SF1.json
+    # (so a multi-minute row can be (re)measured without re-running the
+    # whole suite; the floor row is kept from the prior full run).
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_queries = [q for q in QUERIES if q in subset] if subset else QUERIES
+
     from kompactor_spark.queries import all_oracles, all_queries
     from kompactor_spark.session import get_spark
 
@@ -169,7 +189,7 @@ def main() -> None:
     # them. The per-query warm-up alone leaves the first benched query
     # paying the JVM's C2 compilation of the shared scan/agg/shuffle
     # paths (~0.3-0.5 s measured on a1) that later queries get for free.
-    for name in QUERIES:
+    for name in run_queries:
         if name in ("l2_containment_pairs", "l2_minhash_banded"):
             continue  # ~90 s each; their own warm-up run covers JIT
         try:
@@ -179,7 +199,7 @@ def main() -> None:
 
     results = {}
     errors = {}
-    for name in QUERIES:
+    for name in run_queries:
         # Full materialization to pandas on BOTH engines (ADVICE r3:
         # count() lets Catalyst drop final sorts / unused projections,
         # so the two sides weren't doing equivalent work).
@@ -216,11 +236,16 @@ def main() -> None:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')")
             if name in LARGE_RESULT:
                 sink = os.path.join(DST, "_bench_sink_duck.parquet")
-                duck = median_time(
-                    lambda: con.execute(
+
+                def _duck_copy():
+                    con.execute(
                         f"COPY ({oracles[name]}) TO '{sink}' (FORMAT PARQUET)"
                     )
-                )
+
+                if name in DUCK_SINGLE_RUN:
+                    duck = _timed(_duck_copy)
+                else:
+                    duck = median_time(_duck_copy)
                 if os.path.exists(sink):
                     os.remove(sink)
             else:
@@ -236,6 +261,11 @@ def main() -> None:
             "duckdb_sec": round(duck, 4),
             "ratio": round(eng / duck, 2),
         }
+        if name in DUCK_SINGLE_RUN:
+            results[name]["note"] = (
+                "duckdb side: single timed run (oracle twin runs tens of "
+                "minutes; median-of-3 protocol waived for the oracle only)"
+            )
         print(f"{name}: engine {eng:.3f}s duckdb {duck:.3f}s ratio {eng/duck:.2f}x",
               file=sys.stderr)
 
@@ -276,6 +306,13 @@ def main() -> None:
     except Exception as exc:
         errors["_floor_calibration_empty_agg"] = repr(exc)
 
+    out_path = os.path.abspath(os.path.join(os.path.dirname(DST), "..", "BENCH_SF1.json"))
+    if subset and os.path.exists(out_path):
+        # merge the re-measured rows into the prior full-suite artifact
+        with open(out_path) as fh:
+            merged = json.load(fh).get("queries", {})
+        merged.update(results)
+        results = merged
     line = {
         "metric": "sf1_engine_vs_duckdb_median_sec",
         "value": round(
@@ -288,8 +325,7 @@ def main() -> None:
     }
     if errors:
         line["errors"] = errors
-    out_path = os.path.join(os.path.dirname(DST), "..", "BENCH_SF1.json")
-    with open(os.path.abspath(out_path), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(line, fh, indent=1)
     print(json.dumps(line))
 

@@ -134,7 +134,15 @@ def main():
         out[name] = rec
         print(f"{rec['status']:>14}  {rec['sec']:7.2f}s  {name}" + (f"  {rec['notes'][:1]}" if rec["status"] not in ("pass", "pass_rows_only") else ""), flush=True)
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_sim_out.json"), "w") as fh:
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_sim_out.json")
+    if prefixes and os.path.exists(out_path):
+        # subset rerun: merge into the prior full-sweep artifact so it
+        # keeps covering every registered query
+        with open(out_path) as fh:
+            merged = json.load(fh)
+        merged.update(out)
+        out = merged
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
     n_bad = sum(1 for r in out.values() if r["status"] not in ("pass", "pass_rows_only"))
     print(f"DONE: {len(out)} queries, {n_bad} not green")

@@ -59,3 +59,60 @@ def test_more_partitions_than_rows(spark):
     w = Window.orderBy("uid").rowsBetween(Window.unboundedPreceding, 0)
     ref = df.withColumn("cum", F.sum("v").over(w)).orderBy("uid").toPandas()
     assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+
+def test_empty_input(spark):
+    df = _demo(spark).where(F.lit(False))
+    got = distributed_cumsum(df, ["uid"], "v", "cum", 8)
+    assert got.count() == 0
+    assert dict(got.dtypes)["cum"] == "bigint"
+
+
+def test_skewed_identical_leading_key(spark):
+    # Every row shares the range key except the tiebreaker: the range
+    # partitioner may place everything in few buckets; offsets must
+    # still line up with the cumsum pass.
+    df = spark.range(0, 30_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("uid"), F.lit(2).cast("long").alias("v")
+    )
+    got = distributed_cumsum(df, ["k", "uid"], "v", "cum", 16).orderBy("uid").toPandas()
+    assert list(got["cum"]) == [2 * (i + 1) for i in range(30_000)]
+
+
+def test_decimal_sum_type_preserved(spark):
+    df = _demo(spark, 10_000).withColumn(
+        "d", (F.col("v") / F.lit(100)).cast("decimal(20,2)")
+    )
+    got = distributed_cumsum(df, ["uid"], "d", "cum", 8)
+    # Spark widens SUM(decimal(20,2)) -> decimal(30,2); the distributed
+    # shape must land on the same type as the global window would.
+    w = Window.orderBy("uid").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.withColumn("cum", F.sum("d").over(w))
+    assert dict(got.dtypes)["cum"] == dict(ref.dtypes)["cum"]
+    g = got.orderBy("uid").toPandas()
+    r = ref.orderBy("uid").toPandas()
+    assert list(g["cum"]) == list(r["cum"])
+
+
+def test_multi_sums_share_one_pass(spark):
+    from kompactor_spark.operators.prefixsum import distributed_cumsums
+
+    df = _demo(spark, 20_000)
+    got = (
+        distributed_cumsums(
+            df,
+            ["v", "uid"],
+            {"cum_v": "v", "n": F.lit(1).cast("long")},
+            8,
+        )
+        .orderBy("uid")
+        .toPandas()
+    )
+    w = Window.orderBy("v", "uid").rowsBetween(Window.unboundedPreceding, 0)
+    ref = (
+        df.withColumn("cum_v", F.sum("v").over(w))
+        .withColumn("n", F.sum(F.lit(1).cast("long")).over(w))
+        .orderBy("uid")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))

@@ -1,0 +1,67 @@
+"""operators/quantiles.py — exact order-statistics quantiles.
+
+Contract: bit-identical to Spark's exact ``percentile`` aggregate (whose
+quantile_cont parity the driver proves via a9/a22) on any distribution,
+including heavy ties and single-row inputs, while never building a
+distinct-value buffer.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from pyspark.sql import functions as F
+
+from kompactor_spark.operators.quantiles import exact_quantiles
+
+PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _bits(x: float) -> str:
+    return struct.pack("<d", float(x)).hex()
+
+
+def _spark_percentile(df, col, probs):
+    arr = ", ".join(str(p) for p in probs)
+    return df.agg(F.expr(f"percentile({col}, array({arr}))")).collect()[0][0]
+
+
+def _assert_bit_equal(got, ref):
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert _bits(g) == _bits(r), (g, r)
+
+
+def test_matches_percentile_nearly_distinct(spark):
+    df = spark.range(0, 100_000).select(
+        ((F.col("id") * 2654435761 % 999983) / F.lit(7.0)).alias("v")
+    )
+    cuts, _ = exact_quantiles(df, "v", PROBS)
+    _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
+
+
+def test_matches_percentile_heavy_ties(spark):
+    df = spark.range(0, 50_000).select((F.col("id") % 7).cast("double").alias("v"))
+    cuts, _ = exact_quantiles(df, "v", PROBS)
+    _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
+
+
+def test_single_row_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(42.5,), (None,)], "v double"
+    )
+    cuts, _ = exact_quantiles(df, "v", PROBS)
+    assert all(_bits(c) == _bits(42.5) for c in cuts)
+
+
+def test_empty_returns_nan(spark):
+    df = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    cuts, _ = exact_quantiles(df, "v", [0.5])
+    assert len(cuts) == 1 and math.isnan(cuts[0])
+
+
+def test_second_pass_frame_is_complete(spark):
+    df = spark.range(0, 10_000).select((F.col("id") % 100).cast("double").alias("v"))
+    _, ranged = exact_quantiles(df, "v", [0.5])
+    assert ranged.count() == 10_000

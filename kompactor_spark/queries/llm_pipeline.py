@@ -80,14 +80,28 @@ def l2_jaccard_pairs(spark, sf_dir):
 # --------------------------------------------------------------------------
 @register(
     "l2_containment_pairs",
+    # Oracle formulation note (round 5): the original twin was the
+    # textbook all-pairs `d a JOIN d b ON a.doc_id <> b.doc_id` +
+    # len(list_intersect()) — semantically cleanest, but it forces
+    # DuckDB into an O(n²) nested-loop it cannot re-plan (measured
+    # ~25 min single-threaded at sf1, vs 168 s for this equivalent
+    # inverted-index join). Since shingle lists are list_distinct sets,
+    # unnest + equi-join + COUNT(*) per pair IS len(list_intersect) —
+    # verified bit-identical output at sf0.01 before swapping. Keeping
+    # the stronger formulation makes the published engine/oracle ratio
+    # an honest plan-vs-plan comparison, not a win over a strawman.
     oracle=f"""
-    WITH d AS ({_SH_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment
-    FROM d a JOIN d b ON a.doc_id <> b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / CAST(len(a.sh) AS DOUBLE) >= 0.12
+    WITH d AS ({_SH_SQL}),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+    s AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS containment
+    FROM p JOIN s ON s.doc_id = p.id_a
+    WHERE CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.12
     ORDER BY id_a, id_b
     """,
 )

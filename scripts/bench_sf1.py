@@ -74,14 +74,14 @@ EAGER_CONSTRUCT = {"l4_bm25", "g3_pagerank", "l7g_pca_power",
 LARGE_RESULT = {"j14_binned_interval_join", "l2_containment_pairs",
                 "l2_minhash_banded"}
 
-# Rows whose DuckDB oracle side is itself a multi-minute computation
-# (measured: the containment-pairs SQL twin runs ~25 min single-threaded
-# at sf1 — the unblocked shingle self-join DuckDB plans is exactly the
-# shape the engine's inverted-index blocking exists to avoid). Median-
-# of-3-plus-warm-up would burn ~2 h for one artifact cell, so these get
-# ONE timed DuckDB run, flagged in the row's note. The engine side keeps
-# the full protocol.
-DUCK_SINGLE_RUN = {"l2_containment_pairs"}
+# Escape hatch for rows whose DuckDB oracle side is a multi-minute
+# computation: ONE timed DuckDB run instead of warm-up + median-of-3,
+# flagged in the row's note (engine side keeps the full protocol).
+# Currently empty: the containment twin's original all-pairs SQL ran
+# ~25 min single-threaded at sf1, but the equivalent inverted-index
+# formulation (swapped in round 5, bit-identical output) runs ~168 s,
+# so the full protocol is affordable again.
+DUCK_SINGLE_RUN: set[str] = set()
 
 
 def generate() -> None:

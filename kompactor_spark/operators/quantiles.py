@@ -24,10 +24,11 @@ the rank bookkeeping kept OFF the data path:
    (``row_number() OVER (PARTITION BY pid ORDER BY col)`` after a
    partition filter) and collects the boundary values;
 4. the driver interpolates with EXACTLY Spark's ``percentile`` formula
-   ``lower + (pos - floor(pos)) * (higher - lower)``
-   (Percentile.getPercentile), which the repo's a9 row proved
-   bit-compatible with DuckDB's ``quantile_cont`` on the driver's own
-   grading data.
+   ``(higher - pos) * lowerValue + (pos - lower) * higherValue``
+   (Percentile.getPercentile's symmetric form — NOT the algebraically
+   equal ``lo + frac * (hi - lo)``, which is an ulp off on some
+   inputs), which the repo's a9 row proved bit-compatible with DuckDB's
+   ``quantile_cont`` on the driver's own grading data.
 
 Design note: a first cut used ``distributed_row_number``
 (operators/prefixsum.py) to rank EVERY row, but a global rank column is
@@ -120,7 +121,138 @@ def exact_quantiles(
     for pos in positions:
         lo, hi = int(math.floor(pos)), int(math.ceil(pos))
         v_lo = by_rank[lo + 1]
-        # Spark Percentile.getPercentile: lower + (pos - lower_rank) *
-        # (higher - lower); exact same double ops here (bit parity).
-        cuts.append(v_lo if hi == lo else v_lo + (pos - lo) * (by_rank[hi + 1] - v_lo))
+        # Spark Percentile.getPercentile's EXACT double expression:
+        # (higher - position) * lowerValue + (position - lower) *
+        # higherValue — the symmetric form, NOT lo + frac*(hi-lo),
+        # which differs by an ulp on some inputs (caught by the grouped
+        # parity test).
+        cuts.append(
+            v_lo
+            if hi == lo
+            else (hi - pos) * v_lo + (pos - lo) * by_rank[hi + 1]
+        )
     return cuts, ranged
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    probs: dict[str, float],
+    num_partitions: int | None = None,
+    count_col: str | None = "n",
+) -> DataFrame:
+    """Per-group exact interpolated quantiles for a BOUNDED group count
+    over unbounded rows — the grouped twin of :func:`exact_quantiles`.
+
+    ``GROUP BY k, percentile(v, ...)`` puts each group's full
+    distinct-value map in one reducer buffer: with ~100 groups over
+    100 TB that is billions of values per task. This shape instead
+    range-partitions on ``(group_cols..., col)`` (each group spans a
+    contiguous partition run; per-task memory is one partition), takes
+    per-(partition, group) counts, and sorts only the partitions that
+    hold a requested order statistic. All driver state is
+    ``O(groups * partitions + groups * len(probs))`` — model-sized
+    IF the group count is bounded (dashboard cells, sources, types...).
+    For unbounded group counts this operator is the WRONG tool — keep
+    the grouped aggregate and bound the group size instead.
+
+    Returns a small DataFrame ``(group_cols..., [count_col,] *probs
+    keys)`` with RAW double quantiles (callers apply their own
+    ``F.round`` so display rounding happens JVM-side, preserving the
+    proven round/quantile_cont bit parity) — built via
+    ``createDataFrame`` from driver-side model state, never a
+    data-plane collect.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    spark = df.sparkSession
+    vals = df.where(F.col(col).isNotNull()).select(*group_cols, col)
+    ranged = vals.repartitionByRange(
+        num_partitions, *[F.col(g) for g in group_cols], F.col(col)
+    ).localCheckpoint(eager=False)
+
+    # Pass 1 (tiny): (partition, group) counts. Row count is bounded by
+    # num_partitions + groups (contiguous group runs share boundaries).
+    counts_rows = (
+        ranged.groupBy(F.spark_partition_id().alias(_PID), *group_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    per_group: dict[tuple, list[tuple[int, int]]] = {}
+    for r in counts_rows:
+        key = tuple(r[g] for g in group_cols)
+        per_group.setdefault(key, []).append((int(r[_PID]), int(r["__c"])))
+
+    prob_items = list(probs.items())
+    # (group, global_rank) -> (pid, local_rank_within_group_in_partition)
+    targets: dict[tuple, tuple[int, int]] = {}
+    group_n: dict[tuple, int] = {}
+    group_positions: dict[tuple, list[float]] = {}
+    for key, pid_counts in per_group.items():
+        pid_counts.sort()
+        n = sum(c for _, c in pid_counts)
+        group_n[key] = n
+        positions = [(n - 1) * q for _, q in prob_items]
+        group_positions[key] = positions
+        wanted: set[int] = set()
+        for pos in positions:
+            wanted.add(int(math.floor(pos)) + 1)
+            wanted.add(int(math.ceil(pos)) + 1)
+        base = 0
+        for pid, c in pid_counts:
+            for rank in wanted:
+                if base < rank <= base + c:
+                    targets[key + (rank,)] = (pid, rank - base)
+            base += c
+
+    # Pass 2 (targeted): broadcast-join the target list instead of a
+    # giant OR predicate (groups * probs * 2 terms would blow up the
+    # expression tree); sort only the hit partitions.
+    hit_pids = sorted({pid for pid, _ in targets.values()})
+    tgt_rows = [
+        (*key[:-1], int(key[-1]), pid, lr) for key, (pid, lr) in targets.items()
+    ]
+    tgt_schema = (
+        vals.select(*group_cols)
+        .schema.add("__gq_rank", "long")
+        .add(_PID, "integer")
+        .add(_LR, "integer")
+    )
+    tgt = spark.createDataFrame(tgt_rows, tgt_schema)
+    w = Window.partitionBy(_PID, *group_cols).orderBy(col)
+    boundary = (
+        ranged.withColumn(_PID, F.spark_partition_id())
+        .where(F.col(_PID).isin(hit_pids))
+        .withColumn(_LR, F.row_number().over(w))
+        .join(F.broadcast(tgt), [_PID, _LR, *group_cols])
+        .select(*group_cols, "__gq_rank", col)
+        .collect()  # <= 2 * len(probs) * groups rows — model state
+    )
+    by_rank = {
+        (tuple(r[g] for g in group_cols), int(r["__gq_rank"])): float(r[col])
+        for r in boundary
+    }
+
+    out_rows = []
+    for key, positions in sorted(group_positions.items(), key=lambda kv: str(kv[0])):
+        cuts = []
+        for pos in positions:
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            v_lo = by_rank[(key, lo + 1)]
+            # Spark's symmetric interpolation — see exact_quantiles.
+            cuts.append(
+                v_lo
+                if hi == lo
+                else (hi - pos) * v_lo + (pos - lo) * by_rank[(key, hi + 1)]
+            )
+        row = list(key) + ([group_n[key]] if count_col else []) + cuts
+        out_rows.append(tuple(row))
+    schema = vals.select(*group_cols).schema
+    if count_col:
+        schema = schema.add(count_col, "long", False)
+    for name, _ in prob_items:
+        schema = schema.add(name, "double")
+    return spark.createDataFrame(out_rows, schema)

@@ -1255,13 +1255,20 @@ def a18_kll_quantile_merge(spark, sf_dir):
             ]
         )
     )
-    exact = ev.agg(
+    # Exact baseline via targeted order statistics (events.value is a
+    # continuous double — F.percentile's value->count buffer would be
+    # O(rows) on the final reducer; SCALE.md §7d): cuts come back as
+    # driver floats, attached as literals.
+    from kompactor_spark.operators.quantiles import exact_quantiles
+
+    cuts, _ = exact_quantiles(ev.select("value"), "value", [0.25, 0.5, 0.9])
+    return merged.select(
+        "*",
         *[
-            F.expr(f"percentile(value, {q})").alias(f"exact_p{int(q*100)}")
-            for q in (0.25, 0.5, 0.9)
-        ]
+            F.lit(c).alias(f"exact_p{int(q*100)}")
+            for q, c in zip((0.25, 0.5, 0.9), cuts)
+        ],
     )
-    return merged.join(F.broadcast(exact))
 
 
 # --------------------------------------------------------------------------
@@ -3306,6 +3313,11 @@ def l6_source_diversity(spark, sf_dir):
 )
 def l6_length_profile(spark, sf_dir):
     T = loader(sf_dir, spark)
+    # Grouped `percentile` is safe HERE because n_tokens is an integer
+    # with a domain-bounded distinct set (~max doc length): the
+    # aggregate's value->count buffer is O(domain), not O(rows). For a
+    # continuous measure use operators/quantiles.grouped_exact_quantiles
+    # instead (see x28) — SCALE.md §7d has the classification.
     t = T("documents").select("source", X.token_count("text").cast("bigint").alias("n_tokens"))
     return (
         t.groupBy("source")

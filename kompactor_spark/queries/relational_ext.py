@@ -70,6 +70,10 @@ def a8_stats_aggs(spark, sf_dir):
 )
 def a9_percentiles(spark, sf_dir):
     T = loader(sf_dir, spark)
+    # Grouped `percentile` is safe here: l_quantity has a domain-bounded
+    # distinct set (integers 1..50), so the value->count buffer is
+    # O(domain), not O(rows). Continuous measures use
+    # operators/quantiles (see a22/x28); SCALE.md §7d classifies.
     return (
         T("lineitem")
         .groupBy("l_returnflag")

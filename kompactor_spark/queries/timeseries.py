@@ -1345,24 +1345,34 @@ def x23_max_concurrency(spark, sf_dir):
     """,
 )
 def x28_latency_bands(spark, sf_dir):
+    from kompactor_spark.operators.quantiles import grouped_exact_quantiles
+
     T = loader(sf_dir, spark)
     # Exact long division (`div`): `ts / lit` would convert the ~1.7e18
     # ns long to double (> 2^53 → rounds to ~256 ns granularity) and
     # could flip events within ~128 ns of an hour boundary vs the
     # oracle's integer `//`.
     hod = (F.expr(f"ts div {NS_PER_HOUR}") % 24).alias("hour_of_day")
-    return (
-        T("events")
-        .select("event_type", hod, "value")
-        .groupBy("event_type", "hour_of_day")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
-        )
-        .orderBy("event_type", "hour_of_day")
+    # Round 5: grouped percentile moved off the grouped `percentile`
+    # aggregate (per-group distinct-value reducer buffer — each of the
+    # ~120 cells holds 1/120th of ALL rows at 100 TB) onto the targeted
+    # order-statistics pass (operators/quantiles.py). Raw cuts come
+    # back bit-identical to `percentile`; rounding stays JVM-side so
+    # the proven round/quantile_cont parity is untouched.
+    bands = grouped_exact_quantiles(
+        T("events").select("event_type", hod, "value"),
+        ["event_type", "hour_of_day"],
+        "value",
+        {"p50_raw": 0.5, "p95_raw": 0.95, "p99_raw": 0.99},
     )
+    return bands.select(
+        "event_type",
+        F.col("hour_of_day").cast("bigint").alias("hour_of_day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round("p50_raw", 6).alias("p50"),
+        F.round("p95_raw", 6).alias("p95"),
+        F.round("p99_raw", 6).alias("p99"),
+    ).orderBy("event_type", "hour_of_day")
 
 
 # --------------------------------------------------------------------------

@@ -32,6 +32,12 @@ import duckdb  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1")
 REPS = 10
+
+def _rp(t: str) -> str:
+    """read_parquet target for table t — glob when it's a multi-file dir."""
+    path = os.path.join(DST, f"{t}.parquet")
+    return f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) else f"read_parquet('{path}')"
+
 QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
            "l4_bm25", "l4_repeated_ngrams", "l4_token_freq",
            # round 4 addition. Only queries whose DuckDB time is well
@@ -108,9 +114,6 @@ def generate() -> None:
                    ts + rep * (mx - mn + INTERVAL 1 HOUR) AS ts,
                    user_id, event_type, value, props
             FROM {src('events')} CROSS JOIN range({REPS}) t(rep) CROSS JOIN b""",
-        "documents": f"""
-            SELECT doc_id + rep*1000000 AS doc_id, text, lang, source, n_chars
-            FROM {src('documents')} CROSS JOIN range({REPS}) t(rep)""",
     }
     for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
         copies[t] = f"SELECT * FROM {src(t)}"
@@ -119,6 +122,24 @@ def generate() -> None:
         if not os.path.exists(out):
             con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")
             print(f"generated {t}", file=sys.stderr)
+    # documents: deterministic MULTI-FILE layout (a directory of 8 part
+    # files, split by replication index). A single zstd text file holds
+    # the whole corpus in 1-5 row groups, and Parquet cannot split a
+    # scan below row-group granularity — so both engines' scans ran
+    # ~4-way parallel at best, measuring the synthetic file layout
+    # instead of the engines (engine token_freq scan: 1.32 s single-file
+    # vs 0.29 s multi-file at sf10). Any real corpus at scale is many
+    # files; this layout is the representative one. BASELINE.md §3.6.
+    doc_dir = os.path.join(DST, "documents.parquet")
+    if not os.path.isdir(doc_dir):
+        os.makedirs(doc_dir, exist_ok=True)
+        for i in range(8):
+            con.execute(f"""COPY (
+                SELECT doc_id + rep*1000000 AS doc_id, text, lang, source, n_chars
+                FROM {src('documents')} CROSS JOIN range({REPS}) t(rep)
+                WHERE (doc_id + rep*1000000) % 8 = {i})
+                TO '{doc_dir}/part_{i}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)""")
+        print("generated documents (8-file dir)", file=sys.stderr)
     con.close()
 
 
@@ -233,7 +254,7 @@ def main() -> None:
             con = duckdb.connect()
             con.execute("SET threads=4")
             for t in tables:
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')")
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM {_rp(t)}")
             if name in LARGE_RESULT:
                 sink = os.path.join(DST, "_bench_sink_duck.parquet")
 
@@ -293,7 +314,7 @@ def main() -> None:
         floor_eng = median_time_self(_floor_run)
         con = duckdb.connect()
         con.execute("SET threads=4")
-        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{DST}/lineitem.parquet')")
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM {_rp('lineitem')}")
         floor_sql = ("SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s "
                      "FROM lineitem WHERE l_orderkey < 0 GROUP BY l_returnflag")
         floor_duck = median_time(lambda: len(con.execute(floor_sql).df()))

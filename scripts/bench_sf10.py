@@ -33,6 +33,12 @@ import duckdb  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf10")
 REPS = 100
+
+def _rp(t: str) -> str:
+    """read_parquet target for table t — glob when it's a multi-file dir."""
+    path = os.path.join(DST, f"{t}.parquet")
+    return f"read_parquet('{path}/*.parquet')" if os.path.isdir(path) else f"read_parquet('{path}')"
+
 RUNS = 3
 QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof_join",
            # round 5 (VERDICT r04 #6): the two text rows still >2x at
@@ -67,9 +73,6 @@ def generate() -> None:
                    ts + rep * (mx - mn + INTERVAL 1 HOUR) AS ts,
                    user_id, event_type, value, props
             FROM {src('events')} CROSS JOIN range({REPS}) t(rep) CROSS JOIN b""",
-        "documents": f"""
-            SELECT doc_id + rep*1000000 AS doc_id, text, lang, source, n_chars
-            FROM {src('documents')} CROSS JOIN range({REPS}) t(rep)""",
     }
     for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
         copies[t] = f"SELECT * FROM {src(t)}"
@@ -78,6 +81,19 @@ def generate() -> None:
         if not os.path.exists(out):
             con.execute(f"COPY ({sql}) TO '{out}' (FORMAT PARQUET, COMPRESSION ZSTD)")
             print(f"generated {t}", file=sys.stderr)
+    # documents: deterministic 8-file dir — single-file zstd text holds
+    # the corpus in too few row groups to parallelize the scan; see
+    # bench_sf1.generate and BASELINE.md §3.6.
+    doc_dir = os.path.join(DST, "documents.parquet")
+    if not os.path.isdir(doc_dir):
+        os.makedirs(doc_dir, exist_ok=True)
+        for i in range(8):
+            con.execute(f"""COPY (
+                SELECT doc_id + rep*1000000 AS doc_id, text, lang, source, n_chars
+                FROM {src('documents')} CROSS JOIN range({REPS}) t(rep)
+                WHERE (doc_id + rep*1000000) % 8 = {i})
+                TO '{doc_dir}/part_{i}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)""")
+        print("generated documents (8-file dir)", file=sys.stderr)
     con.close()
 
 
@@ -147,7 +163,7 @@ def main() -> None:
             con.execute("SET threads=4")
             for t in tables:
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{DST}/{t}.parquet')"
+                    f"CREATE VIEW {t} AS SELECT * FROM {_rp(t)}"
                 )
             if name in LARGE_RESULT:
                 dsink = os.path.join(DST, "_bench_sink_duck.parquet")

@@ -65,3 +65,45 @@ def test_second_pass_frame_is_complete(spark):
     df = spark.range(0, 10_000).select((F.col("id") % 100).cast("double").alias("v"))
     _, ranged = exact_quantiles(df, "v", [0.5])
     assert ranged.count() == 10_000
+
+
+def test_grouped_matches_grouped_percentile(spark):
+    from kompactor_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.range(0, 60_000).select(
+        (F.col("id") % 7).alias("g1"),
+        (F.col("id") % 3).cast("string").alias("g2"),
+        ((F.col("id") * 2654435761 % 999983) / F.lit(11.0)).alias("v"),
+    )
+    got = (
+        grouped_exact_quantiles(df, ["g1", "g2"], "v", {"p25": 0.25, "p50": 0.5, "p95": 0.95})
+        .orderBy("g1", "g2")
+        .toPandas()
+    )
+    ref = (
+        df.groupBy("g1", "g2")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(v, 0.25)").alias("p25"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+        )
+        .orderBy("g1", "g2")
+        .toPandas()
+    )
+    assert len(got) == len(ref) == 21
+    for c in ("g1", "n"):
+        assert list(got[c]) == list(ref[c])
+    for c in ("p25", "p50", "p95"):
+        assert [_bits(x) for x in got[c]] == [_bits(x) for x in ref[c]]
+
+
+def test_grouped_single_member_groups(spark):
+    from kompactor_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.range(0, 5).select(
+        F.col("id").alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    got = grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}).orderBy("g").toPandas()
+    assert list(got["n"]) == [1] * 5
+    assert [_bits(x) for x in got["p50"]] == [_bits(i * 1.5) for i in range(5)]

@@ -111,6 +111,11 @@ def _timed(fn) -> float:
 def main() -> None:
     generate()
 
+    # Subset-rerun mode (mirrors bench_sf1.py): named queries only,
+    # merged into the existing BENCH_SF10.json.
+    subset = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_queries = [q for q in QUERIES if q in subset] if subset else QUERIES
+
     from kompactor_spark.queries import all_oracles, all_queries
     from kompactor_spark.session import get_spark
 
@@ -119,7 +124,7 @@ def main() -> None:
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
     # global JIT warm-up (BASELINE.md §3.4)
-    for name in QUERIES:
+    for name in run_queries:
         try:
             if name in LARGE_RESULT:
                 qs[name](spark, DST).write.mode("overwrite").parquet(
@@ -131,7 +136,7 @@ def main() -> None:
             pass
 
     results, errors = {}, {}
-    for name in QUERIES:
+    for name in run_queries:
         try:
             if name in LARGE_RESULT:
                 import shutil
@@ -189,6 +194,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF10.json"
+    )
+    if subset and os.path.exists(out_path):
+        with open(out_path) as fh:
+            merged = json.load(fh).get("queries", {})
+        merged.update(results)
+        results = merged
     line = {
         "metric": "sf10_engine_vs_duckdb_median_sec",
         "value": round(sum(r["engine_sec"] for r in results.values()), 4),
@@ -199,10 +212,7 @@ def main() -> None:
     }
     if errors:
         line["errors"] = errors
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SF10.json"),
-        "w",
-    ) as f:
+    with open(out_path, "w") as f:
         json.dump(line, f, indent=1)
     print(json.dumps(line))
     spark.stop()

@@ -328,12 +328,17 @@ def test_x23_single_exchange_for_window_and_peak(spark, Q):
 
 def test_a22_no_global_window(spark, Q):
     """A22: equi-depth bucketing must NOT use a global ntile/row_number
-    window (the single-reducer scale-killer); cuts come from an exact
-    percentile AGGREGATE and join back as a broadcast."""
+    window (the single-reducer scale-killer) NOR the exact `percentile`
+    aggregate (distinct-value buffer on the final reducer — SCALE.md
+    §7d). Round-5 contract: cuts are driver-interpolated literals from
+    the targeted order-statistics pass, and the bucketing pass re-reads
+    the checkpointed range frame (Scan ExistingRDD), never a second
+    source scan; bucket totals are partial+final limb sums."""
     p = plan(spark, Q["a22_equi_depth_histogram"](spark, SF))
     assert "Window" not in p
-    assert "percentile" in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "percentile" not in p
+    assert "Scan ExistingRDD" in p
+    assert "partial_sum" in p
 
 
 def test_j16_band_join_is_broadcast_nested_loop(spark, Q):

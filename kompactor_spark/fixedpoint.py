@@ -71,16 +71,23 @@ def to_units(col: Column | str, scale: int = 2) -> Column:
     return F.round(c * F.lit(10**scale)).cast("long")
 
 
-def limb_split(units: Column) -> tuple[Column, Column]:
-    """(hi, lo) with ``units == hi*LIMB + lo`` exactly, ``0 <= lo < LIMB``.
+def limb_split(units: Column, limb_bits: int = LIMB_BITS) -> tuple[Column, Column]:
+    """(hi, lo) with ``units == hi*2^limb_bits + lo`` exactly,
+    ``0 <= lo < 2^limb_bits``.
 
-    shiftright is an arithmetic shift (floor division by 2^LIMB_BITS,
+    shiftright is an arithmetic shift (floor division by 2^limb_bits,
     exact for negative units as well); bitwiseAND extracts the matching
     non-negative remainder.  Both stay inside whole-stage codegen — no
     SQL-string expressions, no double-precision detours.
+
+    ``limb_bits`` picks the overflow/row-count trade: SUM(hi) is safe to
+    ``2^63 / (max|units| / 2^limb_bits)`` rows per group, SUM(lo) to
+    ``2^63 / 2^limb_bits`` rows — balance by splitting near half the
+    value's bit width (e.g. 29 for second-scale x² moments ≤ 2^57 →
+    ~1.8e10 rows/series on both limbs; x26 uses per-moment splits).
     """
-    hi = F.shiftright(units, LIMB_BITS)
-    lo = units.bitwiseAND(F.lit(LIMB - 1))
+    hi = F.shiftright(units, limb_bits)
+    lo = units.bitwiseAND(F.lit((1 << limb_bits) - 1))
     return hi, lo
 
 
@@ -97,3 +104,19 @@ def exact_sum(hi_col: Column | str, lo_col: Column | str, scale: int) -> Column:
     slo = F.sum(lo_col).cast("decimal(38,0)")
     total = shi * F.lit(LIMB).cast("decimal(7,0)") + slo
     return total / F.lit(10**scale).cast("decimal(10,0)")
+
+
+def exact_sum_units(
+    hi_col: Column | str, lo_col: Column | str, limb_bits: int = LIMB_BITS
+) -> Column:
+    """Aggregate expression: exact INTEGER sum from pre-split limb
+    columns, recombined as DECIMAL(38,0) — no division, so downstream
+    decimal arithmetic keeps scale 0 and full precision headroom (the
+    x26 moment sums multiply two of these; a /10^0 step would widen the
+    result scale and truncate near the precision cap).
+    """
+    shi = F.sum(hi_col).cast("decimal(38,0)")
+    slo = F.sum(lo_col).cast("decimal(38,0)")
+    return (shi * F.lit(1 << limb_bits).cast("decimal(12,0)") + slo).cast(
+        "decimal(38,0)"
+    )

@@ -453,17 +453,36 @@ def g6_degree_assortativity(spark, sf_dir):
     deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     du = deg.select(F.col("src").alias("j_src"), F.col("d").alias("du"))
     dv = deg.select(F.col("src").alias("j_dst"), F.col("d").alias("dv"))
-    s = (
+    # Degree products limb-split at 31 bits, endpoint degrees at 16
+    # (x26's perf_smoke overflow class: plain long SUMs of products
+    # throw under ANSI once Σdu² approaches 2^63; products themselves
+    # must fit int64 in both engines — degrees ≤ ~2^31 — and the splits
+    # keep every limb SUM long-safe past 1e10 directed edges).
+    from kompactor_spark import fixedpoint as fx
+
+    uu_hi, uu_lo = fx.limb_split(F.col("du") * F.col("du"), 31)
+    vv_hi, vv_lo = fx.limb_split(F.col("dv") * F.col("dv"), 31)
+    uv_hi, uv_lo = fx.limb_split(F.col("du") * F.col("dv"), 31)
+    u_hi, u_lo = fx.limb_split(F.col("du"), 16)
+    v_hi, v_lo = fx.limb_split(F.col("dv"), 16)
+    joined = (
         adj.join(du, adj.src == du.j_src)
         .join(dv, adj.dst == dv.j_dst)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("m"),
-            F.sum("du").cast("bigint").alias("s_u"),
-            F.sum("dv").cast("bigint").alias("s_v"),
-            F.sum(F.col("du") * F.col("du")).cast("bigint").alias("s_uu"),
-            F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("s_vv"),
-            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("s_uv"),
+        .select(
+            uu_hi.alias("__uu_hi"), uu_lo.alias("__uu_lo"),
+            vv_hi.alias("__vv_hi"), vv_lo.alias("__vv_lo"),
+            uv_hi.alias("__uv_hi"), uv_lo.alias("__uv_lo"),
+            u_hi.alias("__u_hi"), u_lo.alias("__u_lo"),
+            v_hi.alias("__v_hi"), v_lo.alias("__v_lo"),
         )
+    )
+    s = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        fx.exact_sum_units("__u_hi", "__u_lo", 16).alias("s_u"),
+        fx.exact_sum_units("__v_hi", "__v_lo", 16).alias("s_v"),
+        fx.exact_sum_units("__uu_hi", "__uu_lo", 31).alias("s_uu"),
+        fx.exact_sum_units("__vv_hi", "__vv_lo", 31).alias("s_vv"),
+        fx.exact_sum_units("__uv_hi", "__uv_lo", 31).alias("s_uv"),
     )
     m = F.col("m")
     num = F.col("s_uv").cast("double") - F.col("s_u").cast("double") * F.col("s_v") / m

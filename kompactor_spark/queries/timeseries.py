@@ -1199,9 +1199,11 @@ def x25_time_weighted_avg(spark, sf_dir):
 # DECIMAL(38)/HUGEINT space, so both engines produce the identical
 # double at the single final division. The standard drift detector for
 # counter/gauge series; at 100 TB it is one partial+final agg per
-# series (5 long sums in codegen), no window, no sort. Recentre bound:
-# moments stay in range for series spans to ~30 years and ~1e7
-# rows/series at cent scale (wider needs limb headroom, fixedpoint.py).
+# series (limb sums in codegen), no window, no sort. The moment sums
+# are per-moment limb-split (x² at 29 bits, x·y at 24, x at 14 —
+# fixedpoint.limb_split): plain long SUMs overflowed ANSI at the sf1
+# span (perf_smoke catch), while the splits are safe to ~1.8e10
+# rows/series at a 10-year second-scale span (three limbs beyond).
 # --------------------------------------------------------------------------
 @register(
     "x26_trend_slope",
@@ -1232,6 +1234,8 @@ def x25_time_weighted_avg(spark, sf_dir):
     """,
 )
 def x26_trend_slope(spark, sf_dir):
+    from kompactor_spark import fixedpoint as fx
+
     T = loader(sf_dir, spark)
     e = T("events").select(
         "event_type",
@@ -1240,12 +1244,34 @@ def x26_trend_slope(spark, sf_dir):
     )
     x = (F.col("xs") - F.min("xs").over(Window.partitionBy("event_type"))).alias("x")
     r = e.select("event_type", x, "y")
+    # Long SUMs of the raw products overflow under ANSI once the series
+    # span grows (caught by perf_smoke at sf1: x ≤ ~2.6e7 s, x² ≤
+    # ~6.7e14, SUM over 2e5 rows/series > 2^63 → ArithmeticException;
+    # DuckDB's BIGINT sums promote to HUGEINT so the oracle never
+    # throws). Per-moment limb splits keep every sum on the long
+    # codegen path: split near half the product's bit width — x² ≤ 2^57
+    # for a 10-year second-scale span → 29 bits (~1.8e10 rows/series on
+    # both limbs), x·y ≤ 2^48 → 24, x ≤ 2^28 → 14. Recombined exactly
+    # in DECIMAL(38,0) with no division (exact_sum_units).
+    xy_hi, xy_lo = fx.limb_split(F.col("x") * F.col("y"), 24)
+    x2_hi, x2_lo = fx.limb_split(F.col("x") * F.col("x"), 29)
+    x_hi, x_lo = fx.limb_split(F.col("x"), 14)
+    r = r.select(
+        "event_type",
+        "y",
+        xy_hi.alias("__xy_hi"),
+        xy_lo.alias("__xy_lo"),
+        x2_hi.alias("__x2_hi"),
+        x2_lo.alias("__x2_lo"),
+        x_hi.alias("__x_hi"),
+        x_lo.alias("__x_lo"),
+    )
     m = r.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        fx.exact_sum_units("__x_hi", "__x_lo", 14).alias("sx"),
         F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sx2"),
+        fx.exact_sum_units("__xy_hi", "__xy_lo", 24).alias("sxy"),
+        fx.exact_sum_units("__x2_hi", "__x2_lo", 29).alias("sx2"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
@@ -2058,15 +2084,33 @@ def x36_count_autocorrelation(spark, sf_dir):
             F.col("n").alias("x"),
             F.lag("n", lag).over(w).alias("y"),
         ).where(F.col("y").isNotNull())
+        # Power sums limb-split at 31 bits (x26's perf_smoke class):
+        # each PRODUCT must fit int64 in both engines (DuckDB multiplies
+        # BIGINTs before its HUGEINT sum), so counts are ≤ ~2^31 by the
+        # shared contract, and the 31-bit split keeps both limb SUMs
+        # long-safe to ~4.3e9 spine rows/series (hour-grain input, §7c —
+        # never reached). sx/sy are plain sums of ≤2^31 over bounded
+        # hours: safe as longs.
+        from kompactor_spark import fixedpoint as fx
+
+        xx_hi, xx_lo = fx.limb_split(F.col("x") * F.col("x"), 31)
+        yy_hi, yy_lo = fx.limb_split(F.col("y") * F.col("y"), 31)
+        xy_hi, xy_lo = fx.limb_split(F.col("x") * F.col("y"), 31)
+        p = pairs.select(
+            "event_type", "x", "y",
+            xx_hi.alias("__xx_hi"), xx_lo.alias("__xx_lo"),
+            yy_hi.alias("__yy_hi"), yy_lo.alias("__yy_lo"),
+            xy_hi.alias("__xy_hi"), xy_lo.alias("__xy_lo"),
+        )
         outs.append(
-            pairs.groupBy("event_type").agg(
+            p.groupBy("event_type").agg(
                 F.lit(lag).cast("bigint").alias("lag_hours"),
                 F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
                 F.sum("x").cast("bigint").alias("sx"),
                 F.sum("y").cast("bigint").alias("sy"),
-                F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-                F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-                F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+                fx.exact_sum_units("__xx_hi", "__xx_lo", 31).alias("sxx"),
+                fx.exact_sum_units("__yy_hi", "__yy_lo", 31).alias("syy"),
+                fx.exact_sum_units("__xy_hi", "__xy_lo", 31).alias("sxy"),
             )
         )
     s = outs[0].unionByName(outs[1])
@@ -2152,17 +2196,30 @@ def x37_cross_type_correlation(spark, sf_dir):
     ).localCheckpoint(eager=False)  # both legs of the pair self-join
     a = spine.select(F.col("event_type").alias("type_a"), "hour_ns", F.col("n").alias("x"))
     bb = spine.select(F.col("event_type").alias("type_b"), "hour_ns", F.col("n").alias("y"))
+    # 31-bit limb splits on the power sums — same contract bound as x36
+    # (products must fit int64 in both engines; limb SUMs long-safe to
+    # ~4.3e9 spine rows/pair, hour-grain §7c).
+    from kompactor_spark import fixedpoint as fx
+
+    j = a.join(bb, "hour_ns").where(F.col("type_a") < F.col("type_b"))
+    xx_hi, xx_lo = fx.limb_split(F.col("x") * F.col("x"), 31)
+    yy_hi, yy_lo = fx.limb_split(F.col("y") * F.col("y"), 31)
+    xy_hi, xy_lo = fx.limb_split(F.col("x") * F.col("y"), 31)
+    j = j.select(
+        "type_a", "type_b", "x", "y",
+        xx_hi.alias("__xx_hi"), xx_lo.alias("__xx_lo"),
+        yy_hi.alias("__yy_hi"), yy_lo.alias("__yy_lo"),
+        xy_hi.alias("__xy_hi"), xy_lo.alias("__xy_lo"),
+    )
     s = (
-        a.join(bb, "hour_ns")
-        .where(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        j.groupBy("type_a", "type_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_hours"),
             F.sum("x").cast("bigint").alias("sx"),
             F.sum("y").cast("bigint").alias("sy"),
-            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            fx.exact_sum_units("__xx_hi", "__xx_lo", 31).alias("sxx"),
+            fx.exact_sum_units("__yy_hi", "__yy_lo", 31).alias("syy"),
+            fx.exact_sum_units("__xy_hi", "__xy_lo", 31).alias("sxy"),
         )
     )
     n = F.col("n_hours")
@@ -2310,10 +2367,17 @@ def x39_burstiness(spark, sf_dir):
     spine = grid.join(actual, ["event_type", "hour_ns"], "left").select(
         "event_type", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
     )
+    # n² limb-split at 31 bits (x26's perf_smoke overflow class).
+    from kompactor_spark import fixedpoint as fx
+
+    nn_hi, nn_lo = fx.limb_split(F.col("n") * F.col("n"), 31)
+    spine = spine.select(
+        "event_type", "n", nn_hi.alias("__nn_hi"), nn_lo.alias("__nn_lo")
+    )
     s = spine.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.sum("n").cast("bigint").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        fx.exact_sum_units("__nn_hi", "__nn_lo", 31).alias("s2"),
     )
     nh, s1, s2 = F.col("n_hours"), F.col("s1").cast("double"), F.col("s2").cast("double")
     mean = s1 / nh

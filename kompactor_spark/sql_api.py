@@ -10,14 +10,35 @@ DataFrame API (they meet at the logical plan).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from kompactor_spark.tables import TABLES, load_table
 
+# (session -> {suffix: sf_dir}) of already-registered view sets. View
+# registration is ~10 parquet footer reads + py4j chatter (measured
+# 4.3 s cold / 1.3 s warm at sf1) — per-CALL, it dominated every SQL
+# query's runtime (a10 was 7.8 s of which ~1.4 s was the aggregate).
+# Weak keys so a stopped session's entry dies with it.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Pin the testdata tables as temp views, once per (session,
+    suffix, sf_dir). Re-invoking with a DIFFERENT sf_dir re-registers
+    (temp views are session-global); re-invoking with the same one is a
+    no-op. If a caller mutates the underlying files in place (none do —
+    scratch tables use their own names), it must re-register by passing
+    a different suffix."""
+    per = _REGISTERED.setdefault(spark, {})
+    if per.get(suffix) == sf_dir:
+        return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)
+    per[suffix] = sf_dir
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

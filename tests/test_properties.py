@@ -366,3 +366,83 @@ def test_weighted_median_matches_brute_force(spark, data):
             if run * 2 >= total:
                 assert got[g] == float(v)
                 break
+
+
+# --------------------------------------------------------------------------
+# Targeted order-statistics quantiles ≡ F.percentile, bit-for-bit, for
+# ANY value multiset (duplicates, negatives, subnormal-ish magnitudes)
+# and ANY probability list — the property that caught the interpolation
+# formula being an ulp off (symmetric (hi-pos)*lo + (pos-lo)*hi vs
+# lo + frac*(hi-lo)). Grouped variant checked on the same draw.
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_exact_quantiles_match_percentile_property(spark, data):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.operators.quantiles import (
+        exact_quantiles,
+        grouped_exact_quantiles,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.one_of(
+                st.integers(-1000, 1000).map(lambda i: i / 7.0),
+                st.floats(
+                    min_value=-1e6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    probs = sorted(
+        data.draw(
+            st.lists(
+                st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+                min_size=1,
+                max_size=5,
+                unique=True,
+            )
+        )
+    )
+    groups = data.draw(st.integers(1, 3))
+    df = spark.createDataFrame(
+        [(i % groups, float(v)) for i, v in enumerate(vals)], "g long, v double"
+    )
+
+    def bits(x):
+        return struct.pack("<d", float(x)).hex()
+
+    arr = ", ".join(repr(p) for p in probs)
+    # global
+    cuts, _ = exact_quantiles(df, "v", probs, num_partitions=5)
+    ref = df.agg(F.expr(f"percentile(v, array({arr}))")).collect()[0][0]
+    assert [bits(c) for c in cuts] == [bits(r) for r in ref]
+    # grouped
+    got = {
+        r.g: [r[f"p{i}"] for i in range(len(probs))]
+        for r in grouped_exact_quantiles(
+            df, ["g"], "v", {f"p{i}": p for i, p in enumerate(probs)}, num_partitions=5
+        ).collect()
+    }
+    gref = {
+        r.g: r.cs
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({arr}))").alias("cs"))
+        .collect()
+    }
+    assert set(got) == set(gref)
+    for g in gref:
+        assert [bits(x) for x in got[g]] == [bits(x) for x in gref[g]]

@@ -369,9 +369,12 @@ def dedup_clusters(
     tiny cliques, so the diameter is small; `localCheckpoint` truncates
     the growing lineage each round (the standard Spark iterative-
     algorithm discipline — without it the plan tree doubles per round).
-    At extreme scale swap the propagation step for the large-star/
-    small-star formulation (same DataFrame ops, fewer rounds); the
-    driver-side loop itself only ever moves one convergence count.
+
+    CAVEAT: a component wider than ``max_iter`` hops is SILENTLY
+    mislabeled when the round budget runs out. The registered
+    l2_dedup_clusters query therefore uses :func:`dedup_clusters_star`
+    (O(log n) rounds, same output) since round 5; this operator remains
+    the cheaper choice when the caller can bound the diameter.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -402,3 +405,108 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    same output contract as :func:`dedup_clusters` (cluster id = min
+    reachable id, singletons included), but convergence in
+    O(log n) rounds instead of O(component diameter).
+
+    Why it exists: min-label propagation is fine for near-dup graphs
+    (tiny cliques, diameter ~2) but a chain-shaped component of length
+    d needs d rounds — at 100 TB one pathological long component (e.g.
+    a template drifting gradually across a crawl) stalls the whole job,
+    and a bounded ``max_iter`` silently MIS-LABELS whatever didn't
+    converge. The star steps instead rewire every node toward its
+    neighborhood minimum:
+
+    - large-star: for each u, connect every LARGER neighbor to
+      ``m = min(N(u) ∪ {u})`` — components contract exponentially while
+      per-round skew stays bounded (a hub only ever emits to its own
+      neighbors);
+    - small-star: orient each edge (big → small), connect each node's
+      smaller neighbors (and itself) to the minimum.
+
+    Both steps are one groupBy + one join over the edge list — the same
+    shuffle cost per round as a propagation round — with
+    ``localCheckpoint`` lineage cuts. Convergence = the canonical edge
+    set stops changing (count equality + empty symmetric difference);
+    at the fixpoint edges ARE (node → component-min) stars, so the
+    label read-off is a single aggregate. A 512-chain converges in ≤10
+    rounds here vs 512 propagation rounds (test-pinned).
+    """
+    # canonical undirected edge set, self-loops dropped
+    e0 = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e0.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),  # src = larger endpoint
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # --- large-star: symmetric neighborhoods; larger neighbors -> m.
+        # Output (v, m) has v > u >= m, i.e. it is ALREADY big->small
+        # oriented and self-loop-free — no re-canonicalization shuffle.
+        nbr = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = nbr.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        ls = (
+            nbr.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # --- small-star directly on the oriented large-star output:
+        # connect each node's smaller neighbors and itself to the
+        # minimum (duplicate edges are harmless under min/groupBy; the
+        # single distinct below canonicalizes the round's output).
+        smins = ls.groupBy("src").agg(F.min("dst").alias("m"))
+        ss = (
+            ls.join(smins, "src")
+            .where(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(smins.select(F.col("src"), F.col("m").alias("dst")))
+        )
+        new_edges = (
+            ss.where(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged iff the canonical edge set is unchanged; the
+        # exceptAll pass only runs once counts agree (usually the final
+        # round), so steady-state rounds cost one count job.
+        n_new = new_edges.count()
+        if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, n_new
+
+    # fixpoint edges are (node -> component min) stars; min() guards the
+    # not-fully-converged max_iter escape identically to dedup_clusters
+    member_min = edges.groupBy("src").agg(F.min("dst").alias("label"))
+    return (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(member_min.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.least(F.coalesce("label", "node"), F.col("node")).alias("cluster_id"),
+        )
+    )

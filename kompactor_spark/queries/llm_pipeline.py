@@ -179,8 +179,13 @@ def l2_dedup_clusters(spark, sf_dir):
     T = loader(sf_dir, spark)
     docs = T("documents")
     pairs = D.jaccard_pairs(docs, threshold=0.12)
+    # Round 5: large-star/small-star CC (O(log n) rounds) replaces
+    # min-label propagation (O(diameter) — one pathological long
+    # component stalls the job and a bounded max_iter silently
+    # mislabels it). Identical output; equivalence property-tested in
+    # tests/test_star_cc.py, 512-chain pinned at <=12 rounds.
     return (
-        D.dedup_clusters(pairs, docs)
+        D.dedup_clusters_star(pairs, docs)
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), F.col("cluster_id").cast("bigint"))
         .orderBy("doc_id")
     )

@@ -1,0 +1,80 @@
+"""operators/dedup.py dedup_clusters_star — large-star/small-star CC.
+
+Contract: identical (doc_id, cluster_id) output to the min-label
+propagation operator on ANY graph, while converging in O(log n) rounds
+— pinned by the 512-chain case, which propagation cannot finish inside
+12 rounds (diameter 512) but the star alternation must.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from kompactor_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+
+def _run_both(spark, edge_list, n_nodes, star_iter=40, prop_iter=600):
+    pairs = spark.createDataFrame(
+        edge_list or [(0, 0)], "id_a long, id_b long"
+    )
+    if not edge_list:
+        pairs = pairs.where(F.lit(False))
+    ids = spark.range(n_nodes).select(F.col("id").alias("doc_id"))
+    star = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(pairs, ids, max_iter=star_iter).collect()
+    }
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, ids, max_iter=prop_iter).collect()
+    }
+    return star, prop
+
+
+def test_random_graphs_match_propagation(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 50))
+        ]
+        star, prop = _run_both(spark, edges, n)
+        assert star == prop, f"trial {trial}"
+
+
+def test_clique_plus_singletons(spark):
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    star, prop = _run_both(spark, edges, 10)
+    assert star == prop
+    assert all(star[i] == 0 for i in range(6))
+    assert all(star[i] == i for i in range(6, 10))
+
+
+def test_empty_edges_all_singletons(spark):
+    star, prop = _run_both(spark, [], 5)
+    assert star == prop == {i: i for i in range(5)}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # 512-node path: diameter 512. Propagation needs ~512 rounds;
+    # the star alternation must label it with max_iter=12 (~log2 n + slack).
+    n = 512
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(pairs, ids, max_iter=12).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_reversed_and_duplicate_edges(spark):
+    edges = [(3, 1), (1, 3), (3, 1), (7, 5), (5, 9), (9, 7)]
+    star, prop = _run_both(spark, edges, 12)
+    assert star == prop
+    assert star[1] == star[3] == 1
+    assert star[5] == star[7] == star[9] == 5

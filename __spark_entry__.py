@@ -29,12 +29,14 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # the rows whose implementation changed this round (the ADVICE fixes:
 # exact integer time-bucketing x28/x31/x33/x35, the x34 div-by-zero
 # guard, the x35 fixedpoint cell sum, and the distributed prefix-sum
-# rewrite of l6_token_budget/w15/w14 + the m10 shared-helper refactor),
-# then (b) the verdict-named never-graded rows (sweepline, a22-a26,
-# joins, graphs, x29-x40, p6, m9-m12, g3, l3h/l3i, l7, s11/s12, m7),
-# filled to 50 with (c) the l4/l6/l7 text-pipeline additions. All 50
-# are oracle-backed (H-class) — enforced by tests/test_registry.py.
-# The 25 deferred never-graded rows follow at 51+ (round-6 window).
+# rewrite of l6_token_budget/w15/w14 + the m10 shared-helper refactor,
+# and the late-round star-CC rewrite of l2_dedup_clusters), then (b)
+# the verdict-named never-graded rows (sweepline, a22-a26, joins,
+# graphs, x29-x40, p6, m9-m12, g3, l3h/l3i, l7, s11/s12, m7), filled
+# to 50 with (c) the l4/l6/l7 text-pipeline additions. All 50 are
+# oracle-backed (H-class) — enforced by tests/test_registry.py. With
+# the 10 (a)-rows, (c)'s last entry (l7g_pca_power, sim-green + sf1
+# bench-published) shifts to 51, heading the 26-row round-6 window.
 _PRIORITY = [
     # --- (a) implementations changed in round 5: must (re-)grade ---
     "l6_token_budget",      # distributed two-pass prefix sum (was global window)
@@ -46,6 +48,7 @@ _PRIORITY = [
     "x34_rolling_slope",    # NULL guard on degenerate windows (both engines)
     "x35_seasonality_strength",    # fixedpoint BIGINT cell sum + exact hod
     "m10_skew_report",      # shared skew_report helper (CLI dedup)
+    "l2_dedup_clusters",    # large-star/small-star CC (was propagation)
     # --- (b) verdict-named never-graded oracle rows: first grading ---
     "x23_max_concurrency",
     "x27_interval_coverage",

@@ -223,12 +223,19 @@ def grouped_exact_quantiles(
     )
     tgt = spark.createDataFrame(tgt_rows, tgt_schema)
     w = Window.partitionBy(_PID, *group_cols).orderBy(col)
-    boundary = (
+    ranked = (
         ranged.withColumn(_PID, F.spark_partition_id())
         .where(F.col(_PID).isin(hit_pids))
         .withColumn(_LR, F.row_number().over(w))
-        .join(F.broadcast(tgt), [_PID, _LR, *group_cols])
-        .select(*group_cols, "__gq_rank", col)
+    )
+    # eqNullSafe on the group keys: NULL is a legal SQL group (GROUP BY
+    # keeps it) — a plain equality join would silently drop it.
+    cond = (ranked[_PID] == tgt[_PID]) & (ranked[_LR] == tgt[_LR])
+    for g in group_cols:
+        cond = cond & ranked[g].eqNullSafe(tgt[g])
+    boundary = (
+        ranked.join(F.broadcast(tgt), cond)
+        .select(*[ranked[g] for g in group_cols], "__gq_rank", ranked[col])
         .collect()  # <= 2 * len(probs) * groups rows — model state
     )
     by_rank = {

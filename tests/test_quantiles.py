@@ -98,6 +98,18 @@ def test_grouped_matches_grouped_percentile(spark):
         assert [_bits(x) for x in got[c]] == [_bits(x) for x in ref[c]]
 
 
+def test_grouped_null_group_key_kept(spark):
+    from kompactor_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 10.0), (None, 20.0)], "g string, v double"
+    )
+    got = grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}).toPandas()
+    assert len(got) == 2  # NULL is a legal SQL group — must not be dropped
+    row = got[got["g"].isna()].iloc[0]
+    assert row["n"] == 2 and _bits(row["p50"]) == _bits(15.0)
+
+
 def test_grouped_single_member_groups(spark):
     from kompactor_spark.operators.quantiles import grouped_exact_quantiles
 

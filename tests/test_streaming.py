@@ -476,3 +476,68 @@ def test_x23_stream_concurrency_incremental_matches_batch(spark, src, tmp_path):
         seq.sort()
         peaks = [pk for _, pk in seq]
         assert peaks == sorted(set(peaks))
+
+
+def test_x23_stream_multichunk_arrow_batches(spark, src, tmp_path):
+    """The order-sensitivity fix (ADVICE r4): a group's rows can arrive
+    in MULTIPLE Arrow chunks within one micro-batch, and the stateful
+    sweep must concatenate them before its single time sort — per-chunk
+    sorting replays events out of order across chunk boundaries. The
+    default 10k-row chunks never exercise this on test data, so force
+    2-row chunks and require exact batch equivalence for the most
+    order-sensitive op (interval-pruning concurrency sweep) and the
+    EWMA recursion."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q = (
+            J.concurrency_stream(stream)
+            .writeStream.format("memory")
+            .queryName("x23mc")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_x23mc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = _canon(
+            spark.sql("SELECT * FROM x23mc"), ["event_type", "ts_ns", "peak"]
+        )
+        batch = _canon(
+            J.concurrency_stream(
+                spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))
+            ),
+            ["event_type", "ts_ns", "peak"],
+        )
+        assert streamed == batch and len(streamed) > 0
+
+        stream2 = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        q2 = (
+            J.ewma_stream(stream2)
+            .writeStream.format("memory")
+            .queryName("x19mc")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_x19mc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        streamed2 = spark.sql("SELECT * FROM x19mc").collect()
+        batch2 = J.ewma_stream(
+            spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(src, "*"))
+        ).collect()
+        assert len(streamed2) == len(batch2) > 0
+        skey = {(r.user_id, r.event_id): r for r in streamed2}
+        for b in batch2:
+            assert abs(skey[(b.user_id, b.event_id)].ewma - b.ewma) < 1e-12
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

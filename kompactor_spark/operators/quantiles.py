@@ -11,112 +11,339 @@ the DATA, not the model, which is exactly the failure mode a 100 TB
 engine must not have. (Locally it is also no faster: 2.7 s on 1.5M
 mostly-distinct doubles at sf1.)
 
-The scalable exact shape is order statistics over a range shuffle, with
-the rank bookkeeping kept OFF the data path:
+The round-5 shape was a full ``repartitionByRange`` + checkpoint +
+targeted partition sorts — correct and scale-safe, but its job-launch
+floor (range-boundary sampling job, checkpoint job, counts job,
+boundary job) made a22_equi_depth_histogram 17.9x DuckDB at sf1 even
+though per-row work was tiny. Round 6 replaces the range SHUFFLE with
+value BINNING — the classic iterative histogram-refinement selection
+(distributed quickselect over value bins):
 
-1. ``repartitionByRange`` on the column and ``localCheckpoint`` — rows
-   land in globally ordered range buckets, materialized once (any
-   caller second pass over the same data reuses this, no re-scan);
-2. per-partition row counts (one tiny aggregate) — the driver turns the
-   requested percentile positions into at most ``2 * len(probs)``
-   ``(partition, local_rank)`` targets (bounded model state);
-3. ONE targeted job sorts only the hit partitions
-   (``row_number() OVER (PARTITION BY pid ORDER BY col)`` after a
-   partition filter) and collects the boundary values;
-4. the driver interpolates with EXACTLY Spark's ``percentile`` formula
+1. ONE map-side-combined ``groupBy`` histogram over a SCALE-FREE
+   monotone quantizer — the value's binary-exponent bucket
+   ``floor(log2(1 + |v|))`` signed (~2050 possible buckets across the
+   whole double range, no prior min/max pass needed). Per bucket the
+   job returns ``(count, min, max)`` — bounded model state — which
+   simultaneously yields the global count and locates every wanted
+   order statistic inside a bucket. The driver VERIFIES bucket
+   contiguity (``max(bucket k) <= min(bucket k+1)``) and merges any
+   overlapping neighbors, so correctness never rests on the
+   floating-point monotonicity of ``log``;
+2. buckets still holding more than ``task_cap`` rows are re-binned
+   into ``num_bins`` equal-width sub-bins over their observed
+   [min, max] (floor of a positive-scale affine map — provably
+   IEEE-monotone; depth <= log_B(n / cap): 2 levels cover 10^13 rows
+   at the defaults); bins whose min == max resolve immediately
+   (ties collapse to a single value — no sort needed, no skew);
+3. ONE final job sorts only the hit bins (``row_number() OVER
+   (PARTITION BY bin ORDER BY col)``, each bin <= task_cap rows in
+   one task) and keeps the <= 2 * len(probs) boundary values;
+4. interpolation uses EXACTLY Spark's ``percentile`` formula
    ``(higher - pos) * lowerValue + (pos - lower) * higherValue``
    (Percentile.getPercentile's symmetric form — NOT the algebraically
    equal ``lo + frac * (hi - lo)``, which is an ulp off on some
    inputs), which the repo's a9 row proved bit-compatible with DuckDB's
-   ``quantile_cont`` on the driver's own grading data.
+   ``quantile_cont`` on the driver's own grading data. The formula is
+   evaluated either driver-side (:func:`exact_quantiles`, collecting
+   the boundary rows) or IN-PLAN (:func:`exact_quantile_cuts` — the
+   boundary sort + interpolation stay lazy, so a caller that buckets
+   rows against the cuts pays ONE action for resolve + bucketing:
+   that is the a22 path, 2 jobs end-to-end where round 5 took six).
 
-Design note: a first cut used ``distributed_row_number``
-(operators/prefixsum.py) to rank EVERY row, but a global rank column is
-more work than the question needs — only ~18 order statistics are ever
-read, so windowing all partitions and broadcasting partition offsets
-(measured 3.5 s vs this shape's ~2.0 s on the a22 caller at sf1) buys
-nothing. The prefix-sum op remains the right tool when every row needs
-its running value (l6_token_budget, w14, w15).
+No full-data shuffle anywhere: every pass is a column-pruned scan with
+a model-sized (``<= num_bins``-row) map-side-combined aggregate, and
+the one window sort touches only hit-bin rows. Bin membership is
+re-derived from the SAME literal expressions across jobs, so rows land
+in the same bin in every job and rank arithmetic over bins is exact.
+
+NaN note: like the SQL aggregates this excludes NULLs; NaN values (which
+Spark orders above all reals but DuckDB's quantile_cont propagates) are
+out of contract — the repo's numeric columns are NaN-free by schema.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__oq_pid"
 _LR = "__oq_lr"
+_IID = "__oq_iid"
+_K0 = "__oq_k0"
+
+# Input scans arriving in <= this many splits (~2 x maxPartitionBytes
+# compressed) take the one-task Arrow fast path: a single local sort
+# answers every order statistic in ONE stage, where the distributed
+# histogram pipeline would pay 5+ stage launches for the same answer.
+# Scans wider than this — any real dataset at scale — always take the
+# distributed path, so no single task ever sees big data.
+_SMALL_NPARTS = 2
 
 
-def exact_quantiles(
-    df: DataFrame,
-    col: str,
-    probs: list[float],
-    num_partitions: int | None = None,
-) -> tuple[list[float], DataFrame]:
-    """Exact interpolated quantiles of ``df[col]`` (NULLs excluded, like
-    the SQL aggregates). Returns ``(cuts, ranged)`` where ``cuts[i]``
-    equals ``percentile(col, probs[i])`` bit-for-bit and ``ranged`` is
-    the checkpointed range-partitioned frame (original columns) for an
-    optional second pass over the same materialization.
+def _local_cuts_plan(vals: DataFrame, col: str, probs: list[float]) -> DataFrame:
+    """One-task Arrow fast path: a LAZY one-row frame with the exact
+    interpolated cuts, computed by a single local sort inside one
+    ``mapInPandas`` task. Used only when the input scan arrives in
+    <= _SMALL_NPARTS splits (compact files), where this is one stage
+    versus the distributed pipeline's five-plus. numpy float64 sort is
+    exact and the interpolation reuses :func:`_interpolate`, so the
+    cuts are bit-identical to the distributed path and to Spark's
+    ``percentile``.
     """
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    import pandas as pd
+
+    def compute(batches):
+        import numpy as np
+
+        chunks = [b[col].to_numpy(dtype="float64") for b in batches]
+        v = np.concatenate(chunks) if chunks else np.empty(0)
+        v.sort(kind="stable")
+        n = len(v)
+        if n == 0:
+            cuts = [float("nan") for _ in probs]
+        else:
+            positions = [(n - 1) * q for q in probs]
+            by_rank: dict[int, float] = {}
+            for pos in positions:
+                for r in (int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1):
+                    by_rank[r] = float(v[r - 1])
+            cuts = _interpolate(positions, by_rank)
+        yield pd.DataFrame({"cuts": [cuts]})
+
+    return vals.coalesce(1).mapInPandas(compute, "cuts array<double>")
+
+
+class _Interval:
+    """A value-contiguous run of rows known to hold some wanted ranks.
+
+    ``member`` is the exact Column predicate selecting the run's rows
+    (a conjunction of bin-membership equalities — recomputed identically
+    in every job); ``base`` is the count of rows strictly below the run
+    in the global order; ``ranks`` the wanted global ranks inside it.
+    """
+
+    __slots__ = ("member", "lo", "hi", "count", "base", "ranks")
+
+    def __init__(self, member, lo, hi, count, base, ranks):
+        self.member = member
+        self.lo = lo
+        self.hi = hi
+        self.count = count
+        self.base = base
+        self.ranks = ranks
+
+
+def _bin_expr(col: str, lo: float, scale: float, num_bins: int) -> Column:
+    # floor of a monotone affine map, clamped — value-monotonic, so bin
+    # b's rows sort entirely between bins b-1 and b+1. Clamp stays in
+    # the LONG domain: floor() saturates on out-of-interval extremes
+    # (the when()-guard evaluates this for every row), whereas an int
+    # cast would throw under ANSI mode.
+    raw = F.floor((F.col(col) - F.lit(lo)) * F.lit(scale))
+    return F.least(F.greatest(raw, F.lit(0).cast("long")), F.lit(num_bins - 1).cast("long"))
+
+
+_EXP_FINENESS = 64  # sub-buckets per value octave: ratio 2^(1/64)≈1.1%
+
+
+def _exp_key(col: str) -> Column:
+    """Scale-free monotone(ish) quantizer: signed fractional-exponent
+    bucket ``floor(log2(1 + |v|) * FINENESS)``.
+
+    <= ~131k possible buckets over the entire double range (in practice
+    ~64 per value octave the data spans) with no prior min/max pass.
+    FINENESS=64 keeps each bucket's value spread ~1.1%, so on any
+    smooth distribution the hit buckets handed to the final sort are
+    small. Java's Math.log is semi-monotonic and multiplication by a
+    positive constant is IEEE-monotone, so this is monotone in
+    practice — but correctness does NOT depend on it: the driver
+    verifies bucket-range contiguity and merges overlapping neighbors.
+    """
+    v = F.col(col)
+    k = F.lit(float(_EXP_FINENESS))
+    pos = F.floor(F.log2(v + F.lit(1.0)) * k)
+    neg = F.lit(-1).cast("long") - F.floor(F.log2(F.lit(1.0) - v) * k)
+    return F.when(v >= 0, pos).otherwise(neg)
+
+
+def _exp_histogram(
+    vals: DataFrame, col: str
+) -> tuple[int, list[tuple[list[int], int, float, float]]]:
+    """One job: exponent-bucket histogram with per-bucket (count, min,
+    max). Returns (n, ordered contiguous buckets as
+    (quantizer_keys, count, min, max))."""
+    rows = (
+        vals.groupBy(_exp_key(col).alias("__k"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(col).alias("__mn"),
+            F.max(col).alias("__mx"),
         )
-    vals = df.where(F.col(col).isNotNull())
-    ranged = vals.repartitionByRange(num_partitions, F.col(col)).localCheckpoint(
-        eager=False
+        .collect()  # <= ~2050 rows — model state
     )
+    buckets = sorted(
+        ([int(r["__k"])], int(r["__c"]), float(r["__mn"]), float(r["__mx"]))
+        for r in rows
+    )
+    # Contiguity sweep: merge neighbors whose value ranges overlap (can
+    # only happen if log2 ever breaks monotonicity by an ulp) so rank
+    # arithmetic over the bucket sequence is unconditionally exact.
+    merged: list[tuple[list[int], int, float, float]] = []
+    for b in buckets:
+        if merged and b[2] < merged[-1][3]:
+            keys, c, mn, mx = merged.pop()
+            b = (keys + b[0], c + b[1], min(mn, b[2]), max(mx, b[3]))
+        merged.append(b)
+    return sum(c for _, c, _, _ in merged), merged
 
-    # Pass 1 (tiny): per-range-partition counts -> driver-side rank map.
-    counts = {
-        int(r[_PID]): int(r["c"])
-        for r in ranged.groupBy(F.spark_partition_id().alias(_PID))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    n = sum(counts.values())
-    if n == 0:
-        return [float("nan") for _ in probs], ranged
 
-    positions = [(n - 1) * q for q in probs]
-    wanted: set[int] = set()  # 1-based global ranks
-    for pos in positions:
-        wanted.add(int(math.floor(pos)) + 1)
-        wanted.add(int(math.ceil(pos)) + 1)
-
-    # Global rank -> (partition, local rank); partitions are globally
-    # ordered by construction of repartitionByRange.
-    targets: dict[int, tuple[int, int]] = {}
+def _locate(
+    col: str,
+    merged: list[tuple[list[int], int, float, float]],
+    wanted: list[int],
+) -> tuple[list[_Interval], dict[int, float]]:
+    """Map wanted global ranks onto histogram buckets: tie-collapsed
+    buckets resolve immediately; the rest become intervals to refine."""
+    resolved: dict[int, float] = {}
+    intervals: list[_Interval] = []
     base = 0
-    for pid in sorted(counts):
-        c = counts[pid]
-        for rank in wanted:
-            if base < rank <= base + c:
-                targets[rank] = (pid, rank - base)
+    for keys, c, mn, mx in merged:
+        hit = [k for k in wanted if base < k <= base + c]
+        if hit:
+            if mn == mx:
+                for k in hit:
+                    resolved[k] = mn
+            else:
+                # Members reference the ONE materialized _K0 column (see
+                # _with_key), never re-evaluate the log quantizer — an
+                # 18-arm iid when-chain would otherwise compute log2
+                # 18x per row in the refine/boundary jobs.
+                member = (
+                    (F.col(_K0) == keys[0])
+                    if len(keys) == 1
+                    else F.col(_K0).isin(keys)
+                )
+                intervals.append(_Interval(member, mn, mx, c, base, hit))
         base += c
+    return intervals, resolved
 
-    # Pass 2 (targeted): sort ONLY the <= 2*len(probs) hit partitions.
-    hit_pids = sorted({pid for pid, _ in targets.values()})
+
+def _with_key(vals: DataFrame, col: str) -> DataFrame:
+    """vals + the materialized quantizer key column (one log per row)."""
+    return vals.withColumn(_K0, _exp_key(col))
+
+
+def _refine_intervals(
+    vals: DataFrame,
+    col: str,
+    intervals: list[_Interval],
+    resolved: dict[int, float],
+    num_bins: int,
+    task_cap: int,
+    max_levels: int,
+) -> list[_Interval]:
+    """Equal-width bin refinement until every interval fits one task.
+    Driver state is O(num_bins * len(wanted)) per level — model-sized.
+    Mutates ``resolved`` with tie-collapsed ranks; returns the
+    intervals still needing a sort."""
+    for _level in range(max_levels):
+        ready: list[_Interval] = []
+        oversized: list[_Interval] = []
+        for iv in intervals:
+            if iv.lo == iv.hi:  # all rows tie — the statistic IS the value
+                for r in iv.ranks:
+                    resolved[r] = iv.lo
+            elif iv.count <= task_cap or not math.isfinite(num_bins / (iv.hi - iv.lo)):
+                ready.append(iv)  # denormal span: sub-binning is numerically moot
+            else:
+                oversized.append(iv)
+        intervals = ready
+        if not oversized:
+            break
+        # One job: histogram every oversized interval's rows into
+        # equal-width sub-bins (per-interval scale), with per-bin
+        # (count, min, max). when()-chain is fine: <= 2*len(probs) arms.
+        iid_expr = F.lit(None).cast("int")
+        sb_expr = F.lit(None).cast("int")
+        for i, iv in reversed(list(enumerate(oversized))):
+            scale = num_bins / (iv.hi - iv.lo)
+            iid_expr = F.when(iv.member, F.lit(i)).otherwise(iid_expr)
+            sb_expr = F.when(iv.member, _bin_expr(col, iv.lo, scale, num_bins)).otherwise(sb_expr)
+        hist = (
+            _with_key(vals, col)
+            .select(iid_expr.alias(_IID), sb_expr.alias("__sb"), col)
+            .where(F.col(_IID).isNotNull())
+            .groupBy(_IID, "__sb")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(col).alias("__mn"),
+                F.max(col).alias("__mx"),
+            )
+            .collect()  # <= len(oversized) * num_bins rows — model state
+        )
+        per_iv: dict[int, list] = {}
+        for r in hist:
+            per_iv.setdefault(int(r[_IID]), []).append(r)
+        for i, iv in enumerate(oversized):
+            scale = num_bins / (iv.hi - iv.lo)
+            base = iv.base
+            for r in sorted(per_iv.get(i, []), key=lambda r: int(r["__sb"])):
+                c = int(r["__c"])
+                hit = [k for k in iv.ranks if base < k <= base + c]
+                if hit:
+                    member = iv.member & (
+                        _bin_expr(col, iv.lo, scale, num_bins) == F.lit(int(r["__sb"]))
+                    )
+                    intervals.append(
+                        _Interval(member, float(r["__mn"]), float(r["__mx"]), c, base, hit)
+                    )
+                base += c
+    # max_levels exhausted with oversized intervals left: resolve them
+    # anyway (single-task sorts above task_cap — degraded, not wrong).
+    # Unreachable at the defaults below ~10^13 rows.
+    return intervals
+
+
+def _boundary_plan(vals: DataFrame, col: str, intervals: list[_Interval]) -> DataFrame:
+    """LAZY boundary frame: sorts ONLY the hit bins (each its own
+    <= task_cap task) and keeps the <= 2 * len(probs) rows holding a
+    wanted order statistic. Columns: (_IID, _LR, col)."""
+    iid_expr = F.lit(None).cast("int")
+    for i, iv in reversed(list(enumerate(intervals))):
+        iid_expr = F.when(iv.member, F.lit(i)).otherwise(iid_expr)
     pred = None
-    for rank, (pid, lr) in targets.items():
-        term = (F.col(_PID) == pid) & (F.col(_LR) == lr)
+    for i, iv in enumerate(intervals):
+        term = (F.col(_IID) == i) & F.col(_LR).isin([k - iv.base for k in iv.ranks])
         pred = term if pred is None else (pred | term)
-    w = Window.partitionBy(_PID).orderBy(col)
-    boundary = (
-        ranged.withColumn(_PID, F.spark_partition_id())
-        .where(F.col(_PID).isin(hit_pids))
+    w = Window.partitionBy(_IID).orderBy(col)
+    return (
+        _with_key(vals, col)
+        .select(iid_expr.alias(_IID), col)
+        .where(F.col(_IID).isNotNull())
         .withColumn(_LR, F.row_number().over(w))
         .where(pred)
-        .select(_PID, _LR, col)
-        .collect()  # <= 2*len(probs) rows — bounded model state
     )
-    by_local = {(int(r[_PID]), int(r[_LR])): float(r[col]) for r in boundary}
-    by_rank = {rank: by_local[t] for rank, t in targets.items()}
 
+
+def _resolve_eager(
+    vals: DataFrame,
+    col: str,
+    intervals: list[_Interval],
+    resolved: dict[int, float],
+) -> dict[int, float]:
+    """One job: collect the boundary rows and fill ``resolved``."""
+    if intervals:
+        boundary = _boundary_plan(vals, col, intervals).collect()
+        by_local = {(int(r[_IID]), int(r[_LR])): float(r[col]) for r in boundary}
+        for i, iv in enumerate(intervals):
+            for k in iv.ranks:
+                resolved[k] = by_local[(i, k - iv.base)]
+    return resolved
+
+
+def _interpolate(positions: list[float], by_rank: dict[int, float]) -> list[float]:
     cuts = []
     for pos in positions:
         lo, hi = int(math.floor(pos)), int(math.ceil(pos))
@@ -126,12 +353,113 @@ def exact_quantiles(
         # higherValue — the symmetric form, NOT lo + frac*(hi-lo),
         # which differs by an ulp on some inputs (caught by the grouped
         # parity test).
-        cuts.append(
-            v_lo
-            if hi == lo
-            else (hi - pos) * v_lo + (pos - lo) * by_rank[hi + 1]
-        )
-    return cuts, ranged
+        cuts.append(v_lo if hi == lo else (hi - pos) * v_lo + (pos - lo) * by_rank[hi + 1])
+    return cuts
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    num_bins: int = 4096,
+    task_cap: int = 1 << 20,
+    max_levels: int = 6,
+) -> tuple[list[float], DataFrame]:
+    """Exact interpolated quantiles of ``df[col]`` (NULLs excluded, like
+    the SQL aggregates). Returns ``(cuts, vals)`` where ``cuts[i]``
+    equals ``percentile(col, probs[i])`` bit-for-bit and ``vals`` is the
+    NULL-filtered single-column frame (lazy — callers bucketing against
+    the cuts re-scan the column-pruned source, which costs less than the
+    round-5 checkpoint materialization did). Two jobs end-to-end in the
+    common case (exp-histogram + targeted sort); ONE stage on compact
+    (<= _SMALL_NPARTS-split) inputs via the local fast path.
+    """
+    vals = df.where(F.col(col).isNotNull()).select(col)
+    if vals.rdd.getNumPartitions() <= _SMALL_NPARTS:
+        row = _local_cuts_plan(vals, col, probs).collect()[0]
+        # Arrow round-trips NaN array cells as None
+        return [float("nan") if c is None else float(c) for c in row["cuts"]], vals
+    n, merged = _exp_histogram(vals, col)
+    if n == 0:
+        return [float("nan") for _ in probs], vals
+
+    positions = [(n - 1) * q for q in probs]
+    wanted = sorted(
+        {int(math.floor(p)) + 1 for p in positions}
+        | {int(math.ceil(p)) + 1 for p in positions}
+    )
+    intervals, resolved = _locate(col, merged, wanted)
+    intervals = _refine_intervals(
+        vals, col, intervals, resolved, num_bins, task_cap, max_levels
+    )
+    by_rank = _resolve_eager(vals, col, intervals, resolved)
+    return _interpolate(positions, by_rank), vals
+
+
+def exact_quantile_cuts(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    num_bins: int = 4096,
+    task_cap: int = 1 << 20,
+    max_levels: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """IN-PLAN twin of :func:`exact_quantiles`: returns
+    ``(cuts_df, vals)`` where ``cuts_df`` is a LAZY one-row frame with
+    an ``array<double>`` column ``cuts`` (same bit-exact values). The
+    boundary sort and the symmetric interpolation stay inside the plan,
+    so a caller that buckets rows against the cuts (equi-depth
+    histograms, winsorization, band filters) pays a single action for
+    resolve + bucketing: ``rows.crossJoin(F.broadcast(cuts_df))``.
+    Only the model-sized exp-histogram (and any refinement level) runs
+    eagerly — 1 job before the caller's own action in the common case.
+    """
+    spark = df.sparkSession
+    vals = df.where(F.col(col).isNotNull()).select(col)
+    if vals.rdd.getNumPartitions() <= _SMALL_NPARTS:
+        # Fully lazy: the caller's single action runs the local sort as
+        # a broadcast subtree — zero jobs before it.
+        return _local_cuts_plan(vals, col, probs), vals
+    n, merged = _exp_histogram(vals, col)
+    if n == 0:
+        nan_arr = F.array(*[F.lit(float("nan")) for _ in probs]).alias("cuts")
+        return spark.range(1).select(nan_arr), vals
+
+    positions = [(n - 1) * q for q in probs]
+    wanted = sorted(
+        {int(math.floor(p)) + 1 for p in positions}
+        | {int(math.ceil(p)) + 1 for p in positions}
+    )
+    intervals, resolved = _locate(col, merged, wanted)
+    intervals = _refine_intervals(
+        vals, col, intervals, resolved, num_bins, task_cap, max_levels
+    )
+    target: dict[int, tuple[int, int]] = {}
+    for i, iv in enumerate(intervals):
+        for k in iv.ranks:
+            target[k] = (i, k - iv.base)
+
+    def value_at(rank: int) -> Column:
+        if rank in resolved:
+            return F.lit(resolved[rank])
+        i, lr = target[rank]
+        return F.max(F.when((F.col(_IID) == i) & (F.col(_LR) == lr), F.col(col)))
+
+    cut_exprs = []
+    for pos in positions:
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        if hi == lo:
+            cut_exprs.append(value_at(lo + 1))
+        else:
+            # Spark's symmetric interpolation with the coefficients
+            # pre-computed driver-side — bit-identical to _interpolate.
+            cut_exprs.append(
+                F.lit(hi - pos) * value_at(lo + 1) + F.lit(pos - lo) * value_at(hi + 1)
+            )
+    arr = F.array(*cut_exprs).alias("cuts")
+    if not intervals:  # every rank tie-resolved: cuts are pure literals
+        return spark.range(1).select(arr), vals
+    return _boundary_plan(vals, col, intervals).agg(arr), vals
 
 
 def grouped_exact_quantiles(
@@ -157,6 +485,13 @@ def grouped_exact_quantiles(
     For unbounded group counts this operator is the WRONG tool — keep
     the grouped aggregate and bound the group size instead.
 
+    NULL semantics match ``GROUP BY g, quantile_cont(v, ...)`` +
+    ``COUNT(*)`` exactly (ADVICE r5): the ``count_col`` column counts
+    ALL rows of the group (not just non-NULL measures), and a group
+    whose measures are entirely NULL still appears — with NULL
+    quantiles — instead of vanishing. Quantile positions themselves use
+    the non-NULL count, as the SQL aggregates do.
+
     Returns a small DataFrame ``(group_cols..., [count_col,] *probs
     keys)`` with RAW double quantiles (callers apply their own
     ``F.round`` so display rounding happens JVM-side, preserving the
@@ -169,6 +504,14 @@ def grouped_exact_quantiles(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     spark = df.sparkSession
+    # Per-group COUNT(*) — from the UNFILTERED frame, so all-NULL groups
+    # survive and the reported n matches the oracle's COUNT(*).
+    totals_rows = (
+        df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__c")).collect()
+    )
+    group_total: dict[tuple, int] = {
+        tuple(r[g] for g in group_cols): int(r["__c"]) for r in totals_rows
+    }
     vals = df.where(F.col(col).isNotNull()).select(*group_cols, col)
     ranged = vals.repartitionByRange(
         num_partitions, *[F.col(g) for g in group_cols], F.col(col)
@@ -189,12 +532,10 @@ def grouped_exact_quantiles(
     prob_items = list(probs.items())
     # (group, global_rank) -> (pid, local_rank_within_group_in_partition)
     targets: dict[tuple, tuple[int, int]] = {}
-    group_n: dict[tuple, int] = {}
     group_positions: dict[tuple, list[float]] = {}
     for key, pid_counts in per_group.items():
         pid_counts.sort()
         n = sum(c for _, c in pid_counts)
-        group_n[key] = n
         positions = [(n - 1) * q for _, q in prob_items]
         group_positions[key] = positions
         wanted: set[int] = set()
@@ -244,18 +585,22 @@ def grouped_exact_quantiles(
     }
 
     out_rows = []
-    for key, positions in sorted(group_positions.items(), key=lambda kv: str(kv[0])):
-        cuts = []
-        for pos in positions:
-            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
-            v_lo = by_rank[(key, lo + 1)]
-            # Spark's symmetric interpolation — see exact_quantiles.
-            cuts.append(
-                v_lo
-                if hi == lo
-                else (hi - pos) * v_lo + (pos - lo) * by_rank[(key, hi + 1)]
-            )
-        row = list(key) + ([group_n[key]] if count_col else []) + cuts
+    for key, total in sorted(group_total.items(), key=lambda kv: str(kv[0])):
+        positions = group_positions.get(key)
+        if positions is None:  # group exists but every measure is NULL
+            cuts: list[float | None] = [None] * len(prob_items)
+        else:
+            cuts = []
+            for pos in positions:
+                lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+                v_lo = by_rank[(key, lo + 1)]
+                # Spark's symmetric interpolation — see exact_quantiles.
+                cuts.append(
+                    v_lo
+                    if hi == lo
+                    else (hi - pos) * v_lo + (pos - lo) * by_rank[(key, hi + 1)]
+                )
+        row = list(key) + ([total] if count_col else []) + cuts
         out_rows.append(tuple(row))
     schema = vals.select(*group_cols).schema
     if count_col:

@@ -1067,17 +1067,22 @@ _A22_PROBS = [i / 10 for i in range(1, 10)]
 )
 def a22_equi_depth_histogram(spark, sf_dir):
     from kompactor_spark.fixedpoint import exact_sum, limb_split, to_units
-    from kompactor_spark.operators.quantiles import exact_quantiles
+    from kompactor_spark.operators.quantiles import exact_quantile_cuts
 
     T = loader(sf_dir, spark)
     o = T("orders").select(F.col("o_totalprice").alias("p"))
-    cuts, ranked = exact_quantiles(o, "p", _A22_PROBS)
-    cuts_arr = F.array(*[F.lit(c) for c in cuts])
+    # Round 6: in-plan cuts (operators/quantiles.exact_quantile_cuts) —
+    # the boundary sort + interpolation ride inside the SAME action as
+    # the bucketing scan via a broadcast of the 1-row cuts frame, so the
+    # whole query is 2 jobs (exp-histogram + this) instead of round 5's
+    # six-job checkpoint/range-shuffle pipeline (VERDICT r5 #3).
+    cuts_df, ranked = exact_quantile_cuts(o, "p", _A22_PROBS)
     hi_l, lo_l = limb_split(to_units("p", 2))
     return (
-        ranked.select(
+        ranked.crossJoin(F.broadcast(cuts_df))
+        .select(
             "p",
-            (F.lit(1) + F.size(F.filter(cuts_arr, lambda c: c < F.col("p"))))
+            (F.lit(1) + F.size(F.filter(F.col("cuts"), lambda c: c < F.col("p"))))
             .cast("bigint")
             .alias("bucket"),
             hi_l.alias("__hi"),

@@ -67,6 +67,81 @@ def test_second_pass_frame_is_complete(spark):
     assert ranged.count() == 10_000
 
 
+def test_matches_percentile_under_forced_refinement(spark):
+    # task_cap far below n with few bins: resolution must recurse
+    # through multiple binning levels and still come back bit-exact.
+    df = spark.range(0, 100_000).select(
+        ((F.col("id") * 2654435761 % 999983) / F.lit(7.0)).alias("v")
+    )
+    cuts, _ = exact_quantiles(df, "v", PROBS, num_bins=8, task_cap=500, max_levels=8)
+    _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
+
+
+def test_refinement_with_massive_tie_block(spark):
+    # 90% of rows are one tied value (a bin that can never subdivide):
+    # the tie fast-path must resolve it without a sort, and the tail
+    # quantile must still be exact.
+    df = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(5.0))
+        .otherwise((F.col("id") % 997).cast("double") / 10.0 + 100.0)
+        .alias("v")
+    )
+    cuts, _ = exact_quantiles(df, "v", PROBS, num_bins=16, task_cap=1000)
+    _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
+
+
+def test_inplan_cuts_bit_match_eager(spark):
+    # exact_quantile_cuts's lazy interpolation must be bit-identical to
+    # the eager path (and hence to percentile).
+    from kompactor_spark.operators.quantiles import exact_quantile_cuts
+
+    df = spark.range(0, 80_000).select(
+        ((F.col("id") * 1103515245 % 714025) / F.lit(13.0) - 2000.0).alias("v")
+    )
+    cuts_df, _ = exact_quantile_cuts(df, "v", PROBS)
+    got = list(cuts_df.collect()[0]["cuts"])
+    _assert_bit_equal(got, _spark_percentile(df, "v", PROBS))
+
+
+def test_small_input_fast_path_bit_match(spark):
+    # <= _SMALL_NPARTS input splits -> one-task local-sort path; must be
+    # bit-identical to percentile and to the distributed path.
+    df = (
+        spark.range(0, 30_000)
+        .select(((F.col("id") * 48271 % 65537) / F.lit(3.0)).alias("v"))
+        .coalesce(2)
+    )
+    assert df.rdd.getNumPartitions() <= 4
+    cuts, _ = exact_quantiles(df, "v", PROBS)
+    _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
+
+
+def test_inplan_cuts_all_ties(spark):
+    from kompactor_spark.operators.quantiles import exact_quantile_cuts
+
+    df = spark.range(0, 1000).select(F.lit(7.25).alias("v"))
+    cuts_df, _ = exact_quantile_cuts(df, "v", PROBS)
+    got = list(cuts_df.collect()[0]["cuts"])
+    assert all(_bits(c) == _bits(7.25) for c in got)
+
+
+def test_grouped_all_null_measure_group_kept(spark):
+    # ADVICE r5: n must be COUNT(*) (not COUNT(v)) and a group whose
+    # measures are entirely NULL must surface with NULL quantiles —
+    # matching GROUP BY g, COUNT(*), quantile_cont(v, ...).
+    from kompactor_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None), ("b", None)],
+        "g string, v double",
+    )
+    got = grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}).orderBy("g").toPandas()
+    assert list(got["g"]) == ["a", "b"]
+    assert list(got["n"]) == [3, 2]  # COUNT(*), not COUNT(v)
+    assert _bits(got["p50"][0]) == _bits(2.0)  # quantile over non-NULLs
+    assert got["p50"].isna()[1]  # all-NULL group: NULL quantile, row kept
+
+
 def test_grouped_matches_grouped_percentile(spark):
     from kompactor_spark.operators.quantiles import grouped_exact_quantiles
 

@@ -330,15 +330,62 @@ def test_a22_no_global_window(spark, Q):
     """A22: equi-depth bucketing must NOT use a global ntile/row_number
     window (the single-reducer scale-killer) NOR the exact `percentile`
     aggregate (distinct-value buffer on the final reducer — SCALE.md
-    §7d). Round-5 contract: cuts are driver-interpolated literals from
-    the targeted order-statistics pass, and the bucketing pass re-reads
-    the checkpointed range frame (Scan ExistingRDD), never a second
-    source scan; bucket totals are partial+final limb sums."""
+    §7d). Round-6 contract: the cuts ride in-plan as a broadcast one-row
+    subtree (exact_quantile_cuts) under the SAME action as the
+    bucketing scan; bucket totals are partial+final limb sums. At this
+    compact scale the cuts subtree is the one-task Arrow local sort
+    (MapInPandas), dispatched by input-split count."""
     p = plan(spark, Q["a22_equi_depth_histogram"](spark, SF))
-    assert "Window" not in p
     assert "percentile" not in p
-    assert "Scan ExistingRDD" in p
+    assert "BroadcastExchange" in p or "Broadcast" in p
+    assert "MapInPandas" in p
     assert "partial_sum" in p
+
+
+def test_quantiles_distributed_path_no_full_shuffle(spark):
+    """The distributed quantile path (wide inputs) must contain no
+    full-data exchange: the exp-histogram is a map-side-combined
+    aggregate and the boundary sort shuffles only hit-bin rows. Pin:
+    no repartitionByRange/Sort over the full input, no percentile."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.operators.quantiles import exact_quantile_cuts
+
+    df = spark.range(0, 50_000, 1, 32).select(
+        ((F.col("id") * 48271 % 65537) / F.lit(3.0)).alias("v")
+    )
+    assert df.rdd.getNumPartitions() > 2
+    cuts_df, _ = exact_quantile_cuts(df, "v", [0.25, 0.5, 0.9])
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    p = cuts_df._jdf.queryExecution().explainString(mode)
+    assert "percentile" not in p
+    assert "MapInPandas" not in p  # wide input -> distributed path
+    assert "rangepartitioning" not in p.lower()
+    # the only window is over the iid-filtered boundary rows
+    assert "Window" in p
+
+
+def test_g3_rank_join_scale_conditional(spark, Q):
+    """G3 (VERDICT r5 #2): the per-iteration rank-side join must be
+    broadcast below the node-count ceiling and a plain keyed shuffle
+    join above it — broadcast is O(|nodes|) executor memory and cannot
+    be the only path. Both paths must produce identical rows (the limb
+    sums are order-independent integers)."""
+    from kompactor_spark.queries.graph import _pagerank_impl
+
+    p_bcast = _pagerank_impl(spark, SF)  # default ceiling: broadcast
+    plan_b = plan(spark, p_bcast)
+    assert "BroadcastHashJoin" in plan_b
+
+    p_shuf = _pagerank_impl(spark, SF, broadcast_max_nodes=0)  # force shuffle
+    plan_s = plan(spark, p_shuf)
+    # rank joins are no longer broadcast: every join of the iteration
+    # chain is a shuffle-side join (SortMerge or ShuffledHash)
+    assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+
+    rows_b = [tuple(r) for r in p_bcast.collect()]
+    rows_s = [tuple(r) for r in p_shuf.collect()]
+    assert rows_b == rows_s and len(rows_b) > 0
 
 
 def test_j16_band_join_is_broadcast_nested_loop(spark, Q):

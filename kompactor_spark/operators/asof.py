@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_RESERVED = {"_asof_ts", "_asof_side", "_asof_right", "_asof_match"}
+
 
 def asof_join(
     left: DataFrame,
@@ -41,24 +43,33 @@ def asof_join(
     overlap = set(left_payload_cols) & set(right_payload_cols)
     if overlap:
         raise ValueError(f"asof_join requires disjoint non-key columns, overlap: {sorted(overlap)}")
+    clash = _RESERVED & set(left.columns) | _RESERVED & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join reserves column names {sorted(clash)}")
 
+    # Shuffle-payload discipline (VERDICT r5 #4): left payload columns
+    # ride the union FLAT (unionByName fills them with NULL on right
+    # rows — a null-bitmap bit each, not a struct header per row), and
+    # only the right payload is wrapped — because it must travel through
+    # last(ignorenulls) as ONE value. When the right payload is a single
+    # column, even that wrapper is dropped.
+    single_right = len(right_payload_cols) == 1
+    right_carry = (
+        F.col(right_payload_cols[0])
+        if single_right
+        else F.struct(*[F.col(c) for c in right_payload_cols])
+    )
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        F.struct(*[F.col(c) for c in left_payload_cols]).alias("_asof_left"),
-        F.lit(None).cast(
-            right.select(F.struct(*[F.col(c) for c in right_payload_cols]).alias("s")).schema["s"].dataType.simpleString()
-        ).alias("_asof_right"),
+        *[F.col(c) for c in left_payload_cols],
     )
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        F.lit(None).cast(
-            left.select(F.struct(*[F.col(c) for c in left_payload_cols]).alias("s")).schema["s"].dataType.simpleString()
-        ).alias("_asof_left"),
-        F.struct(*[F.col(c) for c in right_payload_cols]).alias("_asof_right"),
+        right_carry.alias("_asof_right"),
     )
 
     # side=0 (right) sorts before side=1 (left) at equal ts → inclusive match.
@@ -68,14 +79,17 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
-        l_tagged.unionByName(r_tagged)
+        l_tagged.unionByName(r_tagged, allowMissingColumns=True)
         .withColumn("_asof_match", F.last("_asof_right", ignorenulls=True).over(w))
         .where(F.col("_asof_side") == 1)
     )
 
     out_cols: list[Column] = [F.col(on)]
-    out_cols += [F.col(f"_asof_left.{c}").alias(c) for c in left_payload_cols]
-    out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
+    out_cols += [F.col(c) for c in left_payload_cols]
+    if single_right:
+        out_cols += [F.col("_asof_match").alias(right_payload_cols[0])]
+    else:
+        out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
     return matched.select(*out_cols)
 
 
@@ -99,27 +113,28 @@ def asof_join_forward(
     overlap = set(left_payload_cols) & set(right_payload_cols)
     if overlap:
         raise ValueError(f"asof_join_forward requires disjoint non-key columns, overlap: {sorted(overlap)}")
+    clash = _RESERVED & set(left.columns) | _RESERVED & set(right.columns)
+    if clash:
+        raise ValueError(f"asof_join_forward reserves column names {sorted(clash)}")
 
-    right_struct_t = right.select(
-        F.struct(*[F.col(c) for c in right_payload_cols]).alias("s")
-    ).schema["s"].dataType.simpleString()
-    left_struct_t = left.select(
-        F.struct(*[F.col(c) for c in left_payload_cols]).alias("s")
-    ).schema["s"].dataType.simpleString()
-
+    # Same flat-union payload discipline as asof_join (see above).
+    single_right = len(right_payload_cols) == 1
+    right_carry = (
+        F.col(right_payload_cols[0])
+        if single_right
+        else F.struct(*[F.col(c) for c in right_payload_cols])
+    )
     l_tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),  # left BEFORE right at equal ts → inclusive
-        F.struct(*[F.col(c) for c in left_payload_cols]).alias("_asof_left"),
-        F.lit(None).cast(right_struct_t).alias("_asof_right"),
+        *[F.col(c) for c in left_payload_cols],
     )
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_side"),
-        F.lit(None).cast(left_struct_t).alias("_asof_left"),
-        F.struct(*[F.col(c) for c in right_payload_cols]).alias("_asof_right"),
+        right_carry.alias("_asof_right"),
     )
     w = (
         Window.partitionBy(on)
@@ -127,11 +142,14 @@ def asof_join_forward(
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     matched = (
-        l_tagged.unionByName(r_tagged)
+        l_tagged.unionByName(r_tagged, allowMissingColumns=True)
         .withColumn("_asof_match", F.first("_asof_right", ignorenulls=True).over(w))
         .where(F.col("_asof_side") == 0)
     )
     out_cols: list[Column] = [F.col(on)]
-    out_cols += [F.col(f"_asof_left.{c}").alias(c) for c in left_payload_cols]
-    out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
+    out_cols += [F.col(c) for c in left_payload_cols]
+    if single_right:
+        out_cols += [F.col("_asof_match").alias(right_payload_cols[0])]
+    else:
+        out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
     return matched.select(*out_cols)

@@ -14,6 +14,8 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 from kompactor_spark.operators.text import md5_hash60, tokens
@@ -37,6 +39,39 @@ def shingles(col, n: int = 3) -> F.Column:
             F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(ts, i + k + 1) for k in range(n)])),
         ).otherwise(F.array(F.concat_ws(" ", ts)))
     )
+
+
+def _candidate_pair_bound(inv, directed: bool) -> int:
+    """Exact upper bound on the candidate pairs the inverted-index
+    self-join will emit: sum over shingles of f*(f-1)/2 (or f*(f-1)
+    directed). One tiny aggregate over the (already hot-filtered)
+    index — the 100 TB defensive check that turns a mis-tuned
+    max_shingle_freq into a loud error instead of an OOM hours into
+    the expansion join (VERDICT r5 #8)."""
+    f = F.col("count").cast("double")
+    pairs = f * (f - F.lit(1.0)) / F.lit(1.0 if directed else 2.0)
+    row = (
+        inv.groupBy("shingle")
+        .count()
+        .agg(F.sum(pairs).alias("b"))
+        .collect()[0]
+    )
+    return int(row["b"] or 0)
+
+
+def _guard_pairs(inv, max_candidate_pairs, directed):
+    if max_candidate_pairs is None:
+        return inv
+    # the bound pass re-reads the index subtree: checkpoint it so the
+    # shingling scan runs once, not twice
+    inv = inv.localCheckpoint(eager=False)
+    bound = _candidate_pair_bound(inv, directed)
+    if bound > max_candidate_pairs:
+        raise ValueError(
+            f"candidate-pair bound {bound} exceeds max_candidate_pairs="
+            f"{max_candidate_pairs}; lower max_shingle_freq or raise the ceiling"
+        )
+    return inv
 
 
 def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
@@ -73,15 +108,20 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs via inverted-index blocking.
 
     explode(shingles) → drop shingles hotter than max_shingle_freq
     (stopword-shingle skew guard) → self-join on shingle → count shared
     shingles per pair → exact Jaccard from |A|,|B|,|A∩B|. Only pairs
-    sharing ≥1 (rare) shingle are ever materialized.
+    sharing ≥1 (rare) shingle are ever materialized. With
+    ``max_candidate_pairs`` set, an exact pair-count bound is computed
+    from the index BEFORE the expansion join runs and a ValueError is
+    raised if it exceeds the ceiling — fail loudly, never OOM.
     """
     docs, sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
+    inv = _guard_pairs(inv, max_candidate_pairs, directed=False)
 
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
@@ -113,14 +153,17 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 1000,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Directed shingle-containment pairs: |A∩B| / |A| ≥ threshold
     (asymmetric Jaccard — catches documents mostly CONTAINED in another,
     e.g. a page embedded in a crawl of its aggregator, which symmetric
     Jaccard misses when the container is much larger). Same inverted-
-    index blocking as jaccard_pairs; output is directed (id_a ⊂ id_b
-    and id_b ⊂ id_a are separate rows)."""
+    index blocking as jaccard_pairs (and the same optional
+    ``max_candidate_pairs`` loud-failure guard); output is directed
+    (id_a ⊂ id_b and id_b ⊂ id_a are separate rows)."""
     docs, sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
+    inv = _guard_pairs(inv, max_candidate_pairs, directed=True)
 
     a, b = inv.alias("a"), inv.alias("b")
     shared = (
@@ -370,8 +413,9 @@ def dedup_clusters(
     the growing lineage each round (the standard Spark iterative-
     algorithm discipline — without it the plan tree doubles per round).
 
-    CAVEAT: a component wider than ``max_iter`` hops is SILENTLY
-    mislabeled when the round budget runs out. The registered
+    CAVEAT: a component wider than ``max_iter`` hops is mislabeled when
+    the round budget runs out (a RuntimeWarning fires — round 6 — but
+    the returned labels are still the partial fixpoint). The registered
     l2_dedup_clusters query therefore uses :func:`dedup_clusters_star`
     (O(log n) rounds, same output) since round 5; this operator remains
     the cheaper choice when the caller can bound the diameter.
@@ -381,6 +425,7 @@ def dedup_clusters(
     edges = edges.localCheckpoint()
 
     labels = all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -403,7 +448,16 @@ def dedup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: label propagation did NOT converge within "
+            f"max_iter={max_iter} rounds — components wider than the round "
+            f"budget are mislabeled; raise max_iter or use dedup_clusters_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -455,6 +509,7 @@ def dedup_clusters_star(
     )
 
     n_edges = edges.count()
+    converged = False
     for _ in range(max_iter):
         # --- large-star: symmetric neighborhoods; larger neighbors -> m.
         # Output (v, m) has v > u >= m, i.e. it is ALREADY big->small
@@ -496,8 +551,21 @@ def dedup_clusters_star(
         n_new = new_edges.count()
         if n_new == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
             edges = new_edges
+            converged = True
             break
         edges, n_edges = new_edges, n_new
+    if not converged:
+        # ADVICE r5: surface the same silent-mislabel failure mode this
+        # docstring criticizes in dedup_clusters instead of exiting
+        # quietly with a possibly-unconverged edge set.
+        warnings.warn(
+            f"dedup_clusters_star: star contraction did NOT reach its "
+            f"fixpoint within max_iter={max_iter} rounds — labels may be "
+            f"incomplete; raise max_iter (O(log n) rounds suffice for any "
+            f"graph, so hitting this means max_iter << log2(n))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # fixpoint edges are (node -> component min) stars; min() guards the
     # not-fully-converged max_iter escape identically to dedup_clusters

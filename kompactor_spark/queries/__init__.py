@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+# check-class annotations for rows that are BY DESIGN not hash-checked
+# against a DuckDB oracle (T = tolerance-tested, PY = python-golden,
+# B = batch/stream equivalence, P = plan property). The driver records
+# `no_oracle` for these; this metadata documents that the grade is
+# intentional, not broken — see tests/test_registry.py.
+_CHECK_NOTES: dict[str, str] = {}
 
 _SUBMODULES = [
     "kompactor_spark.queries.relational",
@@ -40,13 +46,20 @@ _SUBMODULES = [
 _loaded = False
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its DuckDB oracle SQL)."""
+def register(name: str, oracle: str | None = None, check: str | None = None):
+    """Decorator: add a query (and optionally its DuckDB oracle SQL).
+
+    ``check`` annotates oracle-less rows with WHY they carry no SQL twin
+    (e.g. "T: ±5% tolerance vs exact — sketches can never hash-match");
+    surfaced via :func:`check_notes` so every future correctness
+    artifact self-documents its intentional non-H rows."""
 
     def deco(fn):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLES[name] = oracle
+        if check is not None:
+            _CHECK_NOTES[name] = check
         return fn
 
     return deco
@@ -68,3 +81,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     _load()
     return dict(_ORACLES)
+
+
+def check_notes() -> dict[str, str]:
+    """Why each intentionally-oracle-less row has no DuckDB twin."""
+    _load()
+    return dict(_CHECK_NOTES)

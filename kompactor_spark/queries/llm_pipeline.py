@@ -118,7 +118,7 @@ def l2_containment_pairs(spark, sf_dir):
 # L2b — MinHash-LSH near-dup (seeded-randomized → rows-only check;
 # recall bound vs exact Jaccard asserted in tests)
 # --------------------------------------------------------------------------
-@register("l2_minhash_lsh")
+@register("l2_minhash_lsh", check="T: seeded randomized LSH — recall bound vs exact Jaccard in tests/test_tolerance.py")
 def l2_minhash_lsh(spark, sf_dir):
     T = loader(sf_dir, spark)
     return (
@@ -135,7 +135,7 @@ def l2_minhash_lsh(spark, sf_dir):
 # given the pinned seed, but banding recall < 1 by construction →
 # rows-only check + recall/precision bounds in tests/test_tolerance.py.
 # --------------------------------------------------------------------------
-@register("l2_minhash_banded")
+@register("l2_minhash_banded", check="T: seeded MinHash banding — recall/precision bounds vs exact Jaccard in tests/")
 def l2_minhash_banded(spark, sf_dir):
     T = loader(sf_dir, spark)
     return (
@@ -194,7 +194,7 @@ def l2_dedup_clusters(spark, sf_dir):
 # --------------------------------------------------------------------------
 # L2c — SimHash signatures + near-dup pairs by Hamming distance
 # --------------------------------------------------------------------------
-@register("l2_simhash_pairs")
+@register("l2_simhash_pairs", check="T: hash-design-specific signatures — pair quality bounds tested in tests/")
 def l2_simhash_pairs(spark, sf_dir):
     T = loader(sf_dir, spark)
     sig = D.simhash(T("documents"))
@@ -321,7 +321,7 @@ def l3_batch_topk(spark, sf_dir):
 # L3b — LSH-bucketed approximate top-k (scale path; recall vs brute
 # force asserted in tests)
 # --------------------------------------------------------------------------
-@register("l3_lsh_topk")
+@register("l3_lsh_topk", check="T: seeded random-hyperplane LSH — recall@k vs exact cosine top-k in tests/")
 def l3_lsh_topk(spark, sf_dir):
     T = loader(sf_dir, spark)
     emb = T("embeddings")
@@ -511,7 +511,7 @@ def l5_multimodal_roundtrip(spark, sf_dir):
 # L5b — multimodal feature extraction: binary payload → mapInPandas
 # Arrow-batched kernel (deterministic fake decode; rows-only check)
 # --------------------------------------------------------------------------
-@register("l5_media_features")
+@register("l5_media_features", check="PY: binary decode goldens vs pure-Python BMP codec (tests/test_multimodal.py)")
 def l5_media_features(spark, sf_dir):
     from kompactor_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -634,7 +634,7 @@ def l6_redact(spark, sf_dir):
 SAMPLE_RATES = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.25, "it": 0.25}
 
 
-@register("l6_stratified_sample")
+@register("l6_stratified_sample", check="T: seeded deterministic sampling — per-stratum rate tolerance in tests/")
 def l6_stratified_sample(spark, sf_dir):
     T = loader(sf_dir, spark)
     bucket = F.pmod(F.xxhash64("doc_id", F.lit(20260813)), F.lit(10000))
@@ -854,7 +854,7 @@ def l6_cap_per_source(spark, sf_dir):
 # L3c — IVF-bucketed approximate top-k (the partition-pruned ANN scale
 # path; recall vs brute force asserted in tests, not SQL-expressible)
 # --------------------------------------------------------------------------
-@register("l3_ivf_topk")
+@register("l3_ivf_topk", check="T: seeded k-means cells — recall@k vs exact cosine top-k in tests/")
 def l3_ivf_topk(spark, sf_dir):
     T = loader(sf_dir, spark)
     emb = T("embeddings")
@@ -1224,7 +1224,7 @@ def l4_bm25(spark, sf_dir):
 # re-scan into a driver-side merge. Sketch bytes are engine-specific →
 # T-check vs exact (tests/test_tolerance.py), no hash oracle.
 # --------------------------------------------------------------------------
-@register("a17_hll_sketch_merge")
+@register("a17_hll_sketch_merge", check="T: DataSketches HLL union — sketch bytes engine-specific; tolerance vs exact in-row")
 def a17_hll_sketch_merge(spark, sf_dir):
     T = loader(sf_dir, spark)
     docs = T("documents")
@@ -1245,7 +1245,7 @@ def a17_hll_sketch_merge(spark, sf_dir):
 # KB-sized sketches and querying quantiles — no re-scan, no exact
 # percentile's full sort. Sketch bytes are engine-specific → T-check.
 # --------------------------------------------------------------------------
-@register("a18_kll_quantile_merge")
+@register("a18_kll_quantile_merge", check="T: DataSketches KLL merge — sketch-specific; exact order-statistic twin in-row")
 def a18_kll_quantile_merge(spark, sf_dir):
     T = loader(sf_dir, spark)
     ev = T("events")
@@ -1284,7 +1284,7 @@ def a18_kll_quantile_merge(spark, sf_dir):
 # sketches it is a driver-side merge of KB binaries. T-check vs the
 # exact intersect.
 # --------------------------------------------------------------------------
-@register("a19_theta_set_sketch")
+@register("a19_theta_set_sketch", check="T: DataSketches Theta intersect — sketch-specific; exact intersect twin in-row")
 def a19_theta_set_sketch(spark, sf_dir):
     T = loader(sf_dir, spark)
     ev = T("events")
@@ -1381,7 +1381,7 @@ def l6_quality_filter(spark, sf_dir):
 # — the set expression (A ∖ B) that HLL cannot answer. T-check vs the
 # exact set subtract.
 # --------------------------------------------------------------------------
-@register("a19b_theta_difference")
+@register("a19b_theta_difference", check="T: DataSketches Theta a-not-b — sketch-specific; exact except twin in-row")
 def a19b_theta_difference(spark, sf_dir):
     T = loader(sf_dir, spark)
     ev = T("events")
@@ -3348,7 +3348,7 @@ def l6_length_profile(spark, sf_dir):
 # SQL-expressible): rows-only driver check + golden tests pin the
 # features against closed-form sine ground truth.
 # --------------------------------------------------------------------------
-@register("l5_audio_features")
+@register("l5_audio_features", check="PY: PCM16 decode goldens vs pure-Python reference (tests/test_multimodal.py)")
 def l5_audio_features(spark, sf_dir):
     from kompactor_spark.operators.multimodal import (
         extract_audio_features,
@@ -3380,7 +3380,7 @@ def l5_audio_features(spark, sf_dir):
 # iterative argmax loop is not single-statement SQL; golden test pins
 # the learned merges against a pure-Python reference trainer.
 # --------------------------------------------------------------------------
-@register("l4_bpe_train")
+@register("l4_bpe_train", check="PY: merge-table golden vs pure-Python BPE trainer (tests/)")
 def l4_bpe_train(spark, sf_dir):
     from kompactor_spark.operators.text import train_bpe_merges
 

@@ -525,7 +525,15 @@ def a2_count_distinct(spark, sf_dir):
 # A3 — approx_count_distinct (HLL). Sketches differ across engines, so no
 # hash oracle (SURVEY A3: T-check); the tolerance test lives in tests/.
 # --------------------------------------------------------------------------
-@register("a3_approx_count_distinct")
+@register(
+    "a3_approx_count_distinct",
+    check=(
+        "T-class BY DESIGN — permanently `no_oracle` in every correctness "
+        "artifact: Spark's HLL++ sketch and DuckDB's estimator can never "
+        "hash-match; the binding check is tests/test_tolerance.py "
+        "(approx within ±5% of the exact count, exact twin in-row)"
+    ),
+)
 def a3_approx_count_distinct(spark, sf_dir):
     T = loader(sf_dir, spark)
     return (

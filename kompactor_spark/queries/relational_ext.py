@@ -267,7 +267,7 @@ def a11_histogram(spark, sf_dir):
 # A9b — approximate percentiles (one-pass sketch; tolerance-checked vs
 # the exact A9 in tests — sketches are engine-specific, never H)
 # --------------------------------------------------------------------------
-@register("a9b_approx_percentiles")
+@register("a9b_approx_percentiles", check="T: approx_percentile vs exact — estimator-specific, never hash-matches; tolerance test in tests/")
 def a9b_approx_percentiles(spark, sf_dir):
     T = loader(sf_dir, spark)
     return (

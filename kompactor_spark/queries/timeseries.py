@@ -325,7 +325,7 @@ def x12_time_rollup_hierarchy(spark, sf_dir):
 # error (asserted vs direct computation in tests/test_rollup.py).
 # Sketch estimates are engine-specific → rows-only check.
 # --------------------------------------------------------------------------
-@register("x15_sketch_rollup")
+@register("x15_sketch_rollup", check="T: HLL sketch rollup — sketch bytes engine-specific; tolerance vs exact distinct in tests/")
 def x15_sketch_rollup(spark, sf_dir):
     from kompactor_spark.operators.rollup import NS_PER_HOUR, hourly_rollup, reaggregate
 

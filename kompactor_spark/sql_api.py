@@ -26,15 +26,24 @@ _REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
-def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+def register_views(
+    spark: SparkSession, sf_dir: str, suffix: str = "", force: bool = False
+) -> None:
     """Pin the testdata tables as temp views, once per (session,
     suffix, sf_dir). Re-invoking with a DIFFERENT sf_dir re-registers
     (temp views are session-global); re-invoking with the same one is a
-    no-op. If a caller mutates the underlying files in place (none do —
-    scratch tables use their own names), it must re-register by passing
-    a different suffix."""
+    no-op — UNLESS a view has been dropped/replaced externally, which
+    the cache hit now detects via ``tableExists`` (ADVICE r5). If a
+    caller mutates the underlying files in place (none do — scratch
+    tables use their own names), it must pass ``force=True`` or a
+    different suffix: the cached views pin their file listing at
+    registration time."""
     per = _REGISTERED.setdefault(spark, {})
-    if per.get(suffix) == sf_dir:
+    if (
+        not force
+        and per.get(suffix) == sf_dir
+        and all(spark.catalog.tableExists(name + suffix) for name in TABLES)
+    ):
         return
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)

@@ -44,26 +44,36 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round5_targets_inside_window():
-    """Round-5 window invariant: every row whose implementation changed
-    in round 5 (the ADVICE fixes + prefix-sum rewrites) must be graded
-    this round — i.e. sit inside the first 50 registry slots — and the
-    rest of the window must be first-gradings (backlog drain, zero
-    re-confirmation waste)."""
+def test_round6_targets_inside_window():
+    """Round-6 window invariant: every row whose implementation changed
+    in round 6 (quantiles rewrite, pagerank conditional join, as-of
+    flat union) must be graded this round — i.e. sit inside the first
+    50 registry slots — alongside the 25-row never-graded backlog."""
     changed = {
-        "l6_token_budget",
-        "w15_gini_revenue",
-        "w14_pareto_share",
+        "a22_equi_depth_histogram",
         "x28_latency_bands",
-        "x31_cohort_ltv",
-        "x33_active_user_stickiness",
-        "x34_rolling_slope",
-        "x35_seasonality_strength",
-        "m10_skew_report",
+        "g3_pagerank",
+        "j8_asof_join",
+        "j8b_asof_tolerance",
+        "j8c_asof_forward",
+        "l2_dedup_clusters",
+        "l2_jaccard_pairs",
     }
     window = set(list(E.queries())[:WINDOW])
     out = changed - window
-    assert not out, f"round-5 changed-code rows outside the 50-slot window: {out}"
+    assert not out, f"round-6 changed-code rows outside the 50-slot window: {out}"
+
+
+def test_every_oracle_less_row_is_annotated():
+    """Every registered query WITHOUT a DuckDB oracle twin must carry a
+    check-class annotation saying why (T/PY-class by design) — so the
+    driver's `no_oracle` grades are self-documented as intentional
+    (VERDICT r5 #7)."""
+    from kompactor_spark.queries import all_oracles, all_queries, check_notes
+
+    oracles, notes = all_oracles(), check_notes()
+    unannotated = [n for n in all_queries() if n not in oracles and n not in notes]
+    assert not unannotated, f"oracle-less rows without check annotation: {unannotated}"
 
 
 def test_no_query_dropped():

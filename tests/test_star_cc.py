@@ -72,6 +72,52 @@ def test_long_chain_converges_in_log_rounds(spark):
     assert out == {i: 0 for i in range(n)}
 
 
+def test_unconverged_budget_warns(spark):
+    # ADVICE r5: exhausting max_iter without reaching the fixpoint must
+    # fire a RuntimeWarning (both operators), never exit silently.
+    import warnings as W
+
+    n = 64
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        dedup_clusters_star(pairs, ids, max_iter=1).collect()
+    assert any("did NOT reach its fixpoint" in str(w.message) for w in rec)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        dedup_clusters(pairs, ids, max_iter=2).collect()
+    assert any("did NOT converge" in str(w.message) for w in rec)
+    # converged runs must NOT warn
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        dedup_clusters_star(pairs, ids, max_iter=12).collect()
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
+
+
+def test_candidate_pair_guard(spark):
+    # VERDICT r5 #8: the expansion join must fail loudly when the exact
+    # candidate-pair bound exceeds the configured ceiling.
+    import pytest as _pytest
+
+    from kompactor_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same tiny text body repeated verbatim") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # 30 identical docs share all 5 trigram shingles: bound counts the
+    # join's emissions per shingle = 5 * 30*29/2 = 2175 (dedup to 435
+    # pairs happens only downstream — the guard bounds the EXPANSION)
+    with _pytest.raises(ValueError, match="candidate-pair bound"):
+        jaccard_pairs(docs, max_candidate_pairs=1000).collect()
+    with _pytest.raises(ValueError, match="candidate-pair bound"):
+        containment_pairs(docs, max_candidate_pairs=2000).collect()
+    # generous ceiling: passes through and produces the deduped pairs
+    assert jaccard_pairs(docs, max_candidate_pairs=10_000).count() == 435
+
+
 def test_reversed_and_duplicate_edges(spark):
     edges = [(3, 1), (1, 3), (3, 1), (7, 5), (5, 9), (9, 7)]
     star, prop = _run_both(spark, edges, 12)

@@ -95,8 +95,11 @@ _PRIORITY = [
     "f2_month_arithmetic",
     "x23_max_concurrency",
     "l6_token_budget",
-    "w15_gini_revenue",
+    # round-6 NEW operator (collapse-first containment — the
+    # duplicate-heavy-corpus scale path): graded immediately.
+    "l2_containment_collapsed",
     # --- 51+: previously-green rows, then rows-only ops ---
+    "w15_gini_revenue",
     "w14_pareto_share",
     "x27_interval_coverage",
     "a23_ab_ztest",

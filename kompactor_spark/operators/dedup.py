@@ -183,6 +183,64 @@ def containment_pairs(
     )
 
 
+def containment_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+    max_candidate_pairs: int | None = None,
+) -> DataFrame:
+    """Containment pairs with EXACT-DUPLICATE COLLAPSE first — the
+    scale path for duplicate-heavy corpora (crawls, replicated mirrors).
+
+    Pairwise verify is quadratic in duplicate multiplicity: a corpus
+    where each text recurs m times emits m² candidate rows per logical
+    pair, so raw :func:`containment_pairs` does m²x the work for the
+    same information. Measured on the 100x-replicated sf10 bench corpus
+    (500k rows, 4,992 distinct texts): the raw operator's exact
+    candidate bound is 10.4e9 rows — its expansion-join spill filled a
+    79 GB disk — while this shape's verify runs on the ~5k collapsed
+    representatives. The pipeline is: one hash shuffle collapses texts
+    to (min-id canonical, copy count) — the L1 exact-dedup shape — then
+    the SAME inverted-index containment runs over representatives, and
+    each pair carries both multiplicities so callers can weight or
+    re-expand. Output: (id_a, id_b, containment, n_copies_a,
+    n_copies_b) over canonical ids; pairs BETWEEN copies of one text
+    (containment 1.0 with itself) are represented by the collapsed row
+    counts, not materialized.
+    """
+    # The collapsed frame is read by five downstream subtrees (shingle
+    # index, sizes, hot-filter, and both multiplicity joins); without a
+    # checkpoint each re-evaluates the full-corpus text shuffle —
+    # measured 45 s -> ~6 s at sf10 (500k rows). The materialization is
+    # the dedup OUTPUT (one row per distinct text), the natural
+    # pipeline breakpoint at any scale.
+    canon = (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("bigint").alias("__n_copies"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = containment_pairs(
+        canon.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+        max_candidate_pairs=max_candidate_pairs,
+    )
+    ca = canon.select(F.col(id_col).alias("id_a"), F.col("__n_copies").alias("n_copies_a"))
+    cb = canon.select(F.col(id_col).alias("id_b"), F.col("__n_copies").alias("n_copies_b"))
+    return pairs.join(ca, "id_a").join(cb, "id_b").select(
+        "id_a", "id_b", "containment", "n_copies_a", "n_copies_b"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -115,6 +115,61 @@ def l2_containment_pairs(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L2f2 — containment pairs with exact-duplicate collapse (new round 6):
+# the scale path for duplicate-heavy corpora. Pairwise verify is
+# quadratic in duplicate multiplicity (operators/dedup.py
+# containment_pairs_collapsed docstring has the measured sf10 numbers:
+# raw bound 10.4e9 candidate rows over 500k docs vs a ~5k-representative
+# verify after collapse). One hash shuffle collapses texts to (min-id
+# canonical, copy count); the SAME inverted-index containment runs over
+# representatives; each pair carries both multiplicities.
+# --------------------------------------------------------------------------
+@register(
+    "l2_containment_collapsed",
+    oracle="""
+    WITH c AS (
+      SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY text),
+    d AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(ts) >= 3
+             THEN list_transform(generate_series(1, len(ts)-2),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             ELSE [array_to_string(ts, ' ')] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM c)),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+    s AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS containment,
+           ca.n_copies AS n_copies_a, cb.n_copies AS n_copies_b
+    FROM p
+    JOIN s ON s.doc_id = p.id_a
+    JOIN c ca ON ca.doc_id = p.id_a
+    JOIN c cb ON cb.doc_id = p.id_b
+    WHERE CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_containment_collapsed(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.containment_pairs_collapsed(T("documents"), threshold=0.12)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            "n_copies_a",
+            "n_copies_b",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2b — MinHash-LSH near-dup (seeded-randomized → rows-only check;
 # recall bound vs exact Jaccard asserted in tests)
 # --------------------------------------------------------------------------

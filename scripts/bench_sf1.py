@@ -58,12 +58,17 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
            "a22_equi_depth_histogram",
            "l7g_pca_power",
            "l2_containment_pairs",
-           "l2_minhash_banded"]
+           "l2_minhash_banded",
+           # round 6: the collapse-first scale path (see bench_sf10.py
+           # note) — published at both scales so its curve is on record.
+           "l2_containment_collapsed"]
 RUNS = 3
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time even with eager=False on Spark 4.1), so the
 # timer keeps construction inside — see bench.py EAGER_CONSTRUCT.
 EAGER_CONSTRUCT = {"l4_bm25", "g3_pagerank", "l7g_pca_power",
+                   # collapse shuffle runs at construction (checkpoint)
+                   "l2_containment_collapsed",
                    # a22's construction runs the order-statistics cut
                    # pass (checkpoint + counts + targeted collect) —
                    # real engine work that must stay inside the timer.

@@ -45,8 +45,26 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # sf1 (a1 crossed to 0.82x at sf10 already) — publish their
            # sf10 points so the floor/crossover claim is measured, not
            # extrapolated. documents is replicated 100x for these.
-           "l4_token_freq", "l4_surprisal"]
+           "l4_token_freq", "l4_surprisal",
+           # round 6 (VERDICT r5 #6): the dedup/ANN sf10 points. The
+           # sf10 corpus is 100x EXACT replication, so pairwise-verify
+           # dedup is quadratic in duplicate multiplicity by
+           # construction: raw l2_containment_pairs has a measured
+           # 10.4e9-row candidate bound here (its expansion spill
+           # filled a 79 GB disk; the max_candidate_pairs guard now
+           # computes that bound in ~95 s and fails loudly). The row
+           # that goes on record is the SCALE-PATH operator —
+           # collapse-first containment — compared against the same
+           # collapse-first DuckDB plan. embeddings is replicated 100x
+           # (vec_id shift; base copies keep ids 0..1999 so the
+           # deterministic seeds/query rows are unchanged).
+           "l2_containment_collapsed", "l3i_ivf_pq_topk"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
+# Construction does real engine work for these (localCheckpoint runs
+# its job at call time on Spark 4.1 — the collapse shuffle would
+# otherwise be excluded from the timed region): timer keeps
+# construction inside, mirroring bench.py/bench_sf1.py EAGER_CONSTRUCT.
+EAGER_CONSTRUCT = {"l2_containment_collapsed"}
 
 
 def generate() -> None:
@@ -74,7 +92,16 @@ def generate() -> None:
                    user_id, event_type, value, props
             FROM {src('events')} CROSS JOIN range({REPS}) t(rep) CROSS JOIN b""",
     }
-    for t in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    # embeddings: 100x replication with shifted vec_ids (round 6 — the
+    # ANN sf10 point). Base copy keeps vec_ids 0..N-1, so the
+    # deterministic centroid seeds (vec_id < 8 / < 16) and the query
+    # vector (vec_id = 0) are IDENTICAL rows in both engines; replicas
+    # are exact duplicates, which is the realistic near-dup-heavy shape
+    # for a crawl corpus and keeps every tie deterministic (id order).
+    copies["embeddings"] = f"""
+        SELECT vec_id + rep*10000000 AS vec_id, embedding
+        FROM {src('embeddings')} CROSS JOIN range({REPS}) t(rep)"""
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         copies[t] = f"SELECT * FROM {src(t)}"
     for t, sql in copies.items():
         out = os.path.join(DST, f"{t}.parquet")
@@ -156,8 +183,12 @@ def main() -> None:
             else:
 
                 def run() -> float:
-                    df = qs[name](spark, DST)  # construction untimed
-                    t0 = time.perf_counter()
+                    if name in EAGER_CONSTRUCT:
+                        t0 = time.perf_counter()
+                        df = qs[name](spark, DST)  # construction does engine work
+                    else:
+                        df = qs[name](spark, DST)  # construction untimed
+                        t0 = time.perf_counter()
                     assert len(df.toPandas()) >= 0
                     return time.perf_counter() - t0
 

@@ -118,6 +118,36 @@ def test_candidate_pair_guard(spark):
     assert jaccard_pairs(docs, max_candidate_pairs=10_000).count() == 435
 
 
+def test_containment_collapsed_matches_raw_on_uniques(spark):
+    # collapse-first containment == raw containment over distinct texts,
+    # with per-side copy counts attached; duplicate multiplicity must
+    # never inflate the pair set.
+    from kompactor_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_collapsed,
+    )
+
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (10, "alpha beta gamma delta epsilon eta"),
+        (20, "totally different words here entirely now"),
+    ]
+    rows = [(i + 100 * rep, t) for (i, t) in base for rep in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (round(r.containment, 6), r.n_copies_a, r.n_copies_b)
+        for r in containment_pairs_collapsed(df, threshold=0.3).collect()
+    }
+    uniq = spark.createDataFrame(base, "doc_id long, text string")
+    ref = {
+        (r.id_a, r.id_b): round(r.containment, 6)
+        for r in containment_pairs(uniq, threshold=0.3).collect()
+    }
+    assert set(got) == set(ref) and len(got) > 0
+    for k, (c, na, nb) in got.items():
+        assert c == ref[k] and na == 4 and nb == 4
+
+
 def test_reversed_and_duplicate_edges(spark):
     edges = [(3, 1), (1, 3), (3, 1), (7, 5), (5, 9), (9, 7)]
     star, prop = _run_both(spark, edges, 12)

@@ -94,11 +94,12 @@ _PRIORITY = [
     "m2_latest_per_key",
     "f2_month_arithmetic",
     "x23_max_concurrency",
-    "l6_token_budget",
-    # round-6 NEW operator (collapse-first containment — the
-    # duplicate-heavy-corpus scale path): graded immediately.
+    # round-6 NEW operators (collapse-first dedup — the duplicate-heavy
+    # corpus scale path): graded immediately.
     "l2_containment_collapsed",
+    "l2_dedup_clusters_collapsed",
     # --- 51+: previously-green rows, then rows-only ops ---
+    "l6_token_budget",
     "w15_gini_revenue",
     "w14_pareto_share",
     "x27_interval_coverage",

@@ -247,6 +247,97 @@ def l2_dedup_clusters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L2g2 — connected-component clustering with exact-duplicate collapse
+# (new round 6): IDENTICAL output to l2_dedup_clusters — exact copies
+# are jaccard-1.0 edges, so components over representatives project
+# exactly onto components over documents, and the component minimum is
+# the minimum representative (reps are per-text min ids) — but the
+# quadratic pair-verify runs over distinct texts only, making the
+# operator feasible on duplicate-heavy corpora where the raw pair
+# build is not (see l2_containment_collapsed / BASELINE.md §5). One
+# window pass maps every doc to its per-text min id (single text
+# shuffle, checkpointed — read by the rep filter and the final label
+# join), star-CC labels the representative graph, and docs join their
+# label on the INT rep key, never re-shuffling text.
+# --------------------------------------------------------------------------
+@register(
+    "l2_dedup_clusters_collapsed",
+    # Pairs use the inverted-index equi-join formulation, NOT all-pairs
+    # list_intersect: the theta join over ~5k sf10 representatives is
+    # 12.5M list-intersects (~35 min/run in DuckDB — killed a bench),
+    # while unnest + equi-join + COUNT(*) per pair is the identical
+    # integer (the l2_containment_pairs oracle made the same verified
+    # swap in round 5; shingle lists are list_distinct sets).
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(ts) >= 3
+             THEN list_transform(generate_series(1, len(ts)-2),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             ELSE [array_to_string(ts, ' ')] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM c)),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    s AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM p
+      JOIN s sa ON sa.doc_id = p.id_a
+      JOIN s sb ON sb.doc_id = p.id_b
+      WHERE CAST(n_shared AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.12
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT doc_id, doc_id FROM c
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    rep_label AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node)
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(r.label AS BIGINT) AS cluster_id
+    FROM documents d
+    JOIN c ON c.text = d.text
+    JOIN rep_label r ON r.node = c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def l2_dedup_clusters_collapsed(spark, sf_dir):
+    from pyspark.sql import Window
+
+    T = loader(sf_dir, spark)
+    docs = T("documents")
+    w = Window.partitionBy("text")
+    mapped = (
+        docs.select("doc_id", "text", F.min("doc_id").over(w).alias("rep_id"))
+        .localCheckpoint(eager=False)
+    )
+    reps = mapped.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    pairs = D.jaccard_pairs(reps, threshold=0.12)
+    labels = D.dedup_clusters_star(pairs, reps.select("doc_id")).withColumnRenamed(
+        "doc_id", "rep_id"
+    )
+    return (
+        mapped.select("doc_id", "rep_id")
+        .join(labels, "rep_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2c — SimHash signatures + near-dup pairs by Hamming distance
 # --------------------------------------------------------------------------
 @register("l2_simhash_pairs", check="T: hash-design-specific signatures — pair quality bounds tested in tests/")

@@ -61,7 +61,8 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
            "l2_minhash_banded",
            # round 6: the collapse-first scale path (see bench_sf10.py
            # note) — published at both scales so its curve is on record.
-           "l2_containment_collapsed"]
+           "l2_containment_collapsed",
+           "l2_dedup_clusters_collapsed"]
 RUNS = 3
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time even with eager=False on Spark 4.1), so the
@@ -69,6 +70,7 @@ RUNS = 3
 EAGER_CONSTRUCT = {"l4_bm25", "g3_pagerank", "l7g_pca_power",
                    # collapse shuffle runs at construction (checkpoint)
                    "l2_containment_collapsed",
+                   "l2_dedup_clusters_collapsed",
                    # a22's construction runs the order-statistics cut
                    # pass (checkpoint + counts + targeted collect) —
                    # real engine work that must stay inside the timer.

@@ -58,13 +58,14 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # collapse-first DuckDB plan. embeddings is replicated 100x
            # (vec_id shift; base copies keep ids 0..1999 so the
            # deterministic seeds/query rows are unchanged).
-           "l2_containment_collapsed", "l3i_ivf_pq_topk"]
+           "l2_containment_collapsed", "l2_dedup_clusters_collapsed",
+           "l3i_ivf_pq_topk"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would
 # otherwise be excluded from the timed region): timer keeps
 # construction inside, mirroring bench.py/bench_sf1.py EAGER_CONSTRUCT.
-EAGER_CONSTRUCT = {"l2_containment_collapsed"}
+EAGER_CONSTRUCT = {"l2_containment_collapsed", "l2_dedup_clusters_collapsed"}
 
 
 def generate() -> None:

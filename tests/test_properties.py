@@ -426,8 +426,9 @@ def test_exact_quantiles_match_percentile_property(spark, data):
         return struct.pack("<d", float(x)).hex()
 
     arr = ", ".join(repr(p) for p in probs)
-    # global
-    cuts, _ = exact_quantiles(df, "v", probs, num_partitions=5)
+    # global — tiny num_bins/task_cap force the refinement recursion
+    # through multiple levels even on small draws (round-6 API)
+    cuts, _ = exact_quantiles(df, "v", probs, num_bins=4, task_cap=8, max_levels=12)
     ref = df.agg(F.expr(f"percentile(v, array({arr}))")).collect()[0][0]
     assert [bits(c) for c in cuts] == [bits(r) for r in ref]
     # grouped

@@ -148,6 +148,23 @@ def test_containment_collapsed_matches_raw_on_uniques(spark):
         assert c == ref[k] and na == 4 and nb == 4
 
 
+def test_clusters_collapsed_identical_to_raw(spark):
+    # l2_dedup_clusters_collapsed must produce IDENTICAL (doc_id,
+    # cluster_id) rows to l2_dedup_clusters: exact copies are
+    # jaccard-1.0 edges, so collapsing them cannot change components or
+    # the component-min label.
+    from kompactor_spark.queries import all_queries
+
+    Q = all_queries()
+    sf = "/root/testdata/sf0.001"
+    raw = {(r.doc_id, r.cluster_id) for r in Q["l2_dedup_clusters"](spark, sf).collect()}
+    col = {
+        (r.doc_id, r.cluster_id)
+        for r in Q["l2_dedup_clusters_collapsed"](spark, sf).collect()
+    }
+    assert raw == col and len(raw) > 0
+
+
 def test_reversed_and_duplicate_edges(spark):
     edges = [(3, 1), (1, 3), (3, 1), (7, 5), (5, 9), (9, 7)]
     star, prop = _run_both(spark, edges, 12)

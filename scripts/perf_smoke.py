@@ -35,8 +35,18 @@ def main() -> None:
     from kompactor_spark.session import get_spark
 
     spark = get_spark("perf-smoke")
+    # Subset-rerun mode (mirrors bench_sf1.py): exact query names as
+    # argv; results MERGE into the existing perf_smoke_out.json so a
+    # touched-query re-sweep never clobbers the full-sweep record.
+    subset = set(sys.argv[1:])
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_smoke_out.json")
     out: dict[str, float | str] = {}
+    if subset and os.path.exists(out_path):
+        with open(out_path) as f:
+            out = json.load(f)
     for name, fn in sorted(all_queries().items()):
+        if subset and name not in subset:
+            continue
         if name in SKIP:
             out[name] = {"skipped": SKIP[name]}
             print(f"{out[name]}  {name}", flush=True)
@@ -49,7 +59,7 @@ def main() -> None:
         except Exception as exc:
             out[name] = {"sec": round(time.perf_counter() - t0, 2), "error": repr(exc)[:200]}
         print(f"{out[name]}  {name}", flush=True)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_smoke_out.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     worst = sorted(
         (v["sec"], k) for k, v in out.items() if isinstance(v, dict) and "sec" in v

@@ -80,7 +80,13 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     a zstd documents file often arrives as ONE input split —
     tables.fan_out), build the exploded (id, shingle) inverted index,
     drop shingles hotter than max_shingle_freq (stopword-shingle skew
-    guard), and PIN the index's partitioning on the shingle key with an
+    guard; the hot set rides a broadcast anti-join — its cardinality is
+    the HEAD of the shingle Zipf tail, bounded by |index|/max_freq in
+    the adversarial worst case but vocabulary-scale on text: if a
+    corpus ever produces a hot set too big to broadcast, drop the
+    F.broadcast hint here and the anti-join co-partitions on the same
+    shingle key the pinned expansion join already uses), and PIN the
+    index's partitioning on the shingle key with an
     explicit width: the self-join downstream is an EXPANSION join
     (a shingle shared by f docs emits ~f² pairs), and AQE sizes its
     post-shuffle partitions from the small INPUT map outputs — at 10×

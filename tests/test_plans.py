@@ -330,16 +330,35 @@ def test_a22_no_global_window(spark, Q):
     """A22: equi-depth bucketing must NOT use a global ntile/row_number
     window (the single-reducer scale-killer) NOR the exact `percentile`
     aggregate (distinct-value buffer on the final reducer — SCALE.md
-    §7d). Round-6 contract: the cuts ride in-plan as a broadcast one-row
-    subtree (exact_quantile_cuts) under the SAME action as the
-    bucketing scan; bucket totals are partial+final limb sums. At this
-    compact scale the cuts subtree is the one-task Arrow local sort
-    (MapInPandas), dispatched by input-split count."""
+    §7d). Round-7 contract (operators/quantiles.equi_depth_histogram):
+    at this compact scale the WHOLE histogram is one fused Arrow task
+    (MapInPandas — one job); the distributed branch (checked below via
+    a zeroed byte bound) broadcasts the one-row cuts frame into a
+    single bucketing scan with partial+final limb sums."""
+    from pyspark.sql import functions as F
+
     p = plan(spark, Q["a22_equi_depth_histogram"](spark, SF))
     assert "percentile" not in p
-    assert "BroadcastExchange" in p or "Broadcast" in p
     assert "MapInPandas" in p
-    assert "partial_sum" in p
+    assert "ntile" not in p and "row_number" not in p
+
+    from kompactor_spark.operators import quantiles as Qz
+    from kompactor_spark.queries.relational_ext import _A22_PROBS
+    from kompactor_spark.tables import loader
+
+    o = loader(SF, spark)("orders").select(F.col("o_totalprice").alias("p"))
+    old = Qz._SMALL_EST_BYTES
+    try:
+        Qz._SMALL_EST_BYTES = -1
+        Qz._SMALL_NPARTS = -1
+        dist = plan(spark, Qz.equi_depth_histogram(o, "p", _A22_PROBS))
+    finally:
+        Qz._SMALL_EST_BYTES = old
+        Qz._SMALL_NPARTS = 2
+    assert "percentile" not in dist
+    assert "BroadcastExchange" in dist or "Broadcast" in dist
+    assert "partial_sum" in dist
+    assert "MapInPandas" not in dist
 
 
 def test_quantiles_distributed_path_no_full_shuffle(spark):
@@ -349,13 +368,21 @@ def test_quantiles_distributed_path_no_full_shuffle(spark):
     no repartitionByRange/Sort over the full input, no percentile."""
     from pyspark.sql import functions as F
 
-    from kompactor_spark.operators.quantiles import exact_quantile_cuts
+    from kompactor_spark.operators import quantiles as Qz
 
     df = spark.range(0, 50_000, 1, 32).select(
         ((F.col("id") * 48271 % 65537) / F.lit(3.0)).alias("v")
     )
-    assert df.rdd.getNumPartitions() > 2
-    cuts_df, _ = exact_quantile_cuts(df, "v", [0.25, 0.5, 0.9])
+    # pin the distributed branch: the round-7 byte gate would route this
+    # test-sized input through the one-task fast path otherwise
+    old = Qz._SMALL_EST_BYTES
+    try:
+        Qz._SMALL_EST_BYTES = -1
+        Qz._SMALL_NPARTS = -1
+        cuts_df, _ = Qz.exact_quantile_cuts(df, "v", [0.25, 0.5, 0.9])
+    finally:
+        Qz._SMALL_EST_BYTES = old
+        Qz._SMALL_NPARTS = 2
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     p = cuts_df._jdf.queryExecution().explainString(mode)
     assert "percentile" not in p

@@ -13,9 +13,23 @@ import struct
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from kompactor_spark.operators.quantiles import exact_quantiles
 
 PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@pytest.fixture
+def force_distributed(monkeypatch):
+    """Pin the DISTRIBUTED histogram-refinement path: the round-7
+    byte-estimate dispatch (_compact_input) would route every
+    test-sized input through the one-task Arrow fast path, silently
+    un-covering the distributed machinery these tests exist for."""
+    from kompactor_spark.operators import quantiles as Qz
+
+    monkeypatch.setattr(Qz, "_SMALL_EST_BYTES", -1)
+    monkeypatch.setattr(Qz, "_SMALL_NPARTS", -1)
 
 
 def _bits(x: float) -> str:
@@ -33,7 +47,7 @@ def _assert_bit_equal(got, ref):
         assert _bits(g) == _bits(r), (g, r)
 
 
-def test_matches_percentile_nearly_distinct(spark):
+def test_matches_percentile_nearly_distinct(spark, force_distributed):
     df = spark.range(0, 100_000).select(
         ((F.col("id") * 2654435761 % 999983) / F.lit(7.0)).alias("v")
     )
@@ -41,7 +55,7 @@ def test_matches_percentile_nearly_distinct(spark):
     _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
 
 
-def test_matches_percentile_heavy_ties(spark):
+def test_matches_percentile_heavy_ties(spark, force_distributed):
     df = spark.range(0, 50_000).select((F.col("id") % 7).cast("double").alias("v"))
     cuts, _ = exact_quantiles(df, "v", PROBS)
     _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
@@ -67,7 +81,7 @@ def test_second_pass_frame_is_complete(spark):
     assert ranged.count() == 10_000
 
 
-def test_matches_percentile_under_forced_refinement(spark):
+def test_matches_percentile_under_forced_refinement(spark, force_distributed):
     # task_cap far below n with few bins: resolution must recurse
     # through multiple binning levels and still come back bit-exact.
     df = spark.range(0, 100_000).select(
@@ -77,7 +91,7 @@ def test_matches_percentile_under_forced_refinement(spark):
     _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
 
 
-def test_refinement_with_massive_tie_block(spark):
+def test_refinement_with_massive_tie_block(spark, force_distributed):
     # 90% of rows are one tied value (a bin that can never subdivide):
     # the tie fast-path must resolve it without a sort, and the tail
     # quantile must still be exact.
@@ -90,7 +104,7 @@ def test_refinement_with_massive_tie_block(spark):
     _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
 
 
-def test_inplan_cuts_bit_match_eager(spark):
+def test_inplan_cuts_bit_match_eager(spark, force_distributed):
     # exact_quantile_cuts's lazy interpolation must be bit-identical to
     # the eager path (and hence to percentile).
     from kompactor_spark.operators.quantiles import exact_quantile_cuts
@@ -104,19 +118,114 @@ def test_inplan_cuts_bit_match_eager(spark):
 
 
 def test_small_input_fast_path_bit_match(spark):
-    # <= _SMALL_NPARTS input splits -> one-task local-sort path; must be
-    # bit-identical to percentile and to the distributed path.
+    # compact (byte-estimate-gated) input -> one-task local-sort path;
+    # must be bit-identical to percentile and to the distributed path.
     df = (
         spark.range(0, 30_000)
         .select(((F.col("id") * 48271 % 65537) / F.lit(3.0)).alias("v"))
         .coalesce(2)
     )
-    assert df.rdd.getNumPartitions() <= 4
     cuts, _ = exact_quantiles(df, "v", PROBS)
     _assert_bit_equal(cuts, _spark_percentile(df, "v", PROBS))
 
 
-def test_inplan_cuts_all_ties(spark):
+def test_byte_gate_dispatch(spark):
+    # Round 7 (ADVICE r6): dispatch rides the Catalyst size ESTIMATE,
+    # not the split count — a 32-split but tiny input takes the
+    # one-task Arrow path (MapInPandas in the plan); the same input
+    # under a zeroed byte bound routes distributed (no MapInPandas).
+    from kompactor_spark.operators import quantiles as Qz
+
+    df = spark.range(0, 50_000, 1, 32).select(
+        ((F.col("id") * 48271 % 65537) / F.lit(3.0)).alias("v")
+    )
+    assert df.rdd.getNumPartitions() == 32
+    cuts_df, _ = Qz.exact_quantile_cuts(df, "v", [0.5])
+    fast_plan = cuts_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in fast_plan
+    old = Qz._SMALL_EST_BYTES
+    try:
+        Qz._SMALL_EST_BYTES = -1
+        Qz._SMALL_NPARTS = -1
+        cuts_df2, _ = Qz.exact_quantile_cuts(df, "v", [0.5])
+        dist_plan = cuts_df2._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in dist_plan
+    finally:
+        Qz._SMALL_EST_BYTES = old
+        Qz._SMALL_NPARTS = 2
+    got = list(cuts_df.collect()[0]["cuts"])
+    ref = list(cuts_df2.collect()[0]["cuts"])
+    _assert_bit_equal(got, ref)
+
+
+def test_distributed_empty_and_single_row(spark, force_distributed):
+    # distributed-path twins of the compact edge cases
+    import math as _m
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    cuts, _ = exact_quantiles(empty, "v", [0.5])
+    assert _m.isnan(cuts[0])
+    one = spark.createDataFrame([(42.5,), (None,)], "v double")
+    cuts, _ = exact_quantiles(one, "v", PROBS)
+    assert all(_bits(c) == _bits(42.5) for c in cuts)
+
+
+def test_equi_depth_histogram_kernel_matches_distributed(spark):
+    # The fused one-task kernel and the composed cuts+bucketing plan
+    # must agree bit-for-bit on every output column (counts, raw
+    # min/max doubles, correctly-rounded decimal totals).
+    from kompactor_spark.operators import quantiles as Qz
+
+    df = spark.range(0, 40_000).select(
+        (F.round((F.col("id") * 2654435761 % 999983) / F.lit(100.0), 2)).alias("v")
+    )
+    fast = Qz.equi_depth_histogram(df, "v", [0.25, 0.5, 0.75]).orderBy("bucket").collect()
+    old = Qz._SMALL_EST_BYTES
+    try:
+        Qz._SMALL_EST_BYTES = -1
+        Qz._SMALL_NPARTS = -1
+        slow = (
+            Qz.equi_depth_histogram(df, "v", [0.25, 0.5, 0.75]).orderBy("bucket").collect()
+        )
+    finally:
+        Qz._SMALL_EST_BYTES = old
+        Qz._SMALL_NPARTS = 2
+    assert len(fast) == len(slow) == 4
+    for a, b in zip(fast, slow):
+        assert a["bucket"] == b["bucket"] and a["n"] == b["n"]
+        for c in ("lo", "hi", "total"):
+            assert _bits(a[c]) == _bits(b[c]), (c, a, b)
+
+
+def test_equi_depth_histogram_tied_cuts_skip_empty_buckets(spark):
+    # 95% of rows share one value -> several cuts tie at it -> the
+    # buckets between tied cuts are empty and must emit NO row, on both
+    # paths identically.
+    from kompactor_spark.operators import quantiles as Qz
+
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 20 < 19, F.lit(5.0))
+        .otherwise((F.col("id") % 97).cast("double") + 100.0)
+        .alias("v")
+    )
+    fast = Qz.equi_depth_histogram(df, "v", [i / 10 for i in range(1, 10)]).orderBy("bucket").collect()
+    old = Qz._SMALL_EST_BYTES
+    try:
+        Qz._SMALL_EST_BYTES = -1
+        Qz._SMALL_NPARTS = -1
+        slow = (
+            Qz.equi_depth_histogram(df, "v", [i / 10 for i in range(1, 10)])
+            .orderBy("bucket")
+            .collect()
+        )
+    finally:
+        Qz._SMALL_EST_BYTES = old
+        Qz._SMALL_NPARTS = 2
+    assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
+    assert len(fast) < 10  # tied cuts collapsed at least one bucket away
+
+
+def test_inplan_cuts_all_ties(spark, force_distributed):
     from kompactor_spark.operators.quantiles import exact_quantile_cuts
 
     df = spark.range(0, 1000).select(F.lit(7.25).alias("v"))

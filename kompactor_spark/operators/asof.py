@@ -52,8 +52,16 @@ def asof_join(
     # rows — a null-bitmap bit each, not a struct header per row), and
     # only the right payload is wrapped — because it must travel through
     # last(ignorenulls) as ONE value. When the right payload is a single
-    # column, even that wrapper is dropped.
+    # column, even that wrapper is dropped. SAFETY (ADVICE r6): dropping
+    # the wrapper is only sound because right_payload_cols always
+    # contains right_ts (it is every right column except the key), so
+    # single_right implies the lone payload IS right_ts — which is never
+    # NULL on a usable right row (a NULL-ts row can never match), so
+    # last(ignorenulls) cannot skip a real match. If payload selection
+    # ever excludes right_ts, keep the struct wrapper for any nullable
+    # single payload or ignorenulls would return a stale older row.
     single_right = len(right_payload_cols) == 1
+    assert not single_right or right_payload_cols == [right_ts]
     right_carry = (
         F.col(right_payload_cols[0])
         if single_right
@@ -117,8 +125,10 @@ def asof_join_forward(
     if clash:
         raise ValueError(f"asof_join_forward reserves column names {sorted(clash)}")
 
-    # Same flat-union payload discipline as asof_join (see above).
+    # Same flat-union payload discipline as asof_join (see above),
+    # including the single_right => payload is right_ts invariant.
     single_right = len(right_payload_cols) == 1
+    assert not single_right or right_payload_cols == [right_ts]
     right_carry = (
         F.col(right_payload_cols[0])
         if single_right

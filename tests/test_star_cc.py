@@ -16,6 +16,10 @@ from kompactor_spark.operators.dedup import dedup_clusters, dedup_clusters_star
 
 
 def _run_both(spark, edge_list, n_nodes, star_iter=40, prop_iter=600):
+    """Returns (star_local, prop) and asserts the star DISTRIBUTED path
+    (small_edge_bound=-1 pins it) agrees with the round-7 union-find
+    short-circuit on every call — three-way equivalence for free in
+    every test that uses this helper."""
     pairs = spark.createDataFrame(
         edge_list or [(0, 0)], "id_a long, id_b long"
     )
@@ -26,6 +30,13 @@ def _run_both(spark, edge_list, n_nodes, star_iter=40, prop_iter=600):
         r.doc_id: r.cluster_id
         for r in dedup_clusters_star(pairs, ids, max_iter=star_iter).collect()
     }
+    star_dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters_star(
+            pairs, ids, max_iter=star_iter, small_edge_bound=-1
+        ).collect()
+    }
+    assert star == star_dist, "local union-find short-circuit != distributed star CC"
     prop = {
         r.doc_id: r.cluster_id
         for r in dedup_clusters(pairs, ids, max_iter=prop_iter).collect()
@@ -65,9 +76,14 @@ def test_long_chain_converges_in_log_rounds(spark):
     edges = [(i, i + 1) for i in range(n - 1)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    # small_edge_bound=-1 pins the DISTRIBUTED star rounds — the
+    # union-find short-circuit would otherwise absorb this graph and
+    # make the round-count pin vacuous
     out = {
         r.doc_id: r.cluster_id
-        for r in dedup_clusters_star(pairs, ids, max_iter=12).collect()
+        for r in dedup_clusters_star(
+            pairs, ids, max_iter=12, small_edge_bound=-1
+        ).collect()
     }
     assert out == {i: 0 for i in range(n)}
 
@@ -83,7 +99,7 @@ def test_unconverged_budget_warns(spark):
     ids = spark.range(n).select(F.col("id").alias("doc_id"))
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
-        dedup_clusters_star(pairs, ids, max_iter=1).collect()
+        dedup_clusters_star(pairs, ids, max_iter=1, small_edge_bound=-1).collect()
     assert any("did NOT reach its fixpoint" in str(w.message) for w in rec)
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
@@ -92,7 +108,7 @@ def test_unconverged_budget_warns(spark):
     # converged runs must NOT warn
     with W.catch_warnings(record=True) as rec:
         W.simplefilter("always")
-        dedup_clusters_star(pairs, ids, max_iter=12).collect()
+        dedup_clusters_star(pairs, ids, max_iter=12, small_edge_bound=-1).collect()
     assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]
 
 

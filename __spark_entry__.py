@@ -55,7 +55,7 @@ _PRIORITY = [
     # --- (1) the last never-graded oracle-backed row ---
     "l2_jaccard_collapsed",
     # --- (2) implementations changed in round 7: must re-grade ---
-    "j8_asof_join",                # sort-free compact-right strategy
+    "j8_asof_join",                # fused single-scan split variant
     "j8b_asof_tolerance",          # same operator
     "j8c_asof_forward",            # forward twin
     "a22_equi_depth_histogram",    # quantile fast path byte dispatch

@@ -14,6 +14,8 @@ by stream processors for temporal joins.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,6 +101,97 @@ def asof_join(
     else:
         out_cols += [F.col(f"_asof_match.{c}").alias(c) for c in right_payload_cols]
     return matched.select(*out_cols)
+
+
+def asof_join_split(
+    source: DataFrame,
+    on: str,
+    ts: str,
+    left_when: Column,
+    right_when: Column,
+    left_cols: Sequence[str],
+    left_ts_name: str,
+    right_ts_name: str,
+    forward: bool = False,
+) -> DataFrame:
+    """As-of join whose two sides are FILTERS OF THE SAME FRAME — the
+    event-stream shape (latest signup before each error, next purchase
+    after each error): both sides of the temporal join come from one
+    event table split by a type predicate.
+
+    Equivalent to::
+
+        asof_join(source.where(left_when)
+                        .select(on, *left_cols, F.col(ts).alias(left_ts_name)),
+                  source.where(right_when)
+                        .select(on, F.col(ts).alias(right_ts_name)),
+                  on, left_ts_name, right_ts_name)
+
+    but built from ONE scan: ``asof_join`` composed over two filters of
+    the same table scans it twice (Catalyst does not fuse a
+    union-of-filters back into one scan), and at sf10 the second events
+    pass is ~50% of the whole join's runtime. Here the tagged union
+    that feeds the window merge is a single scan with an isin-style
+    filter and a conditional projection — left payload columns are
+    NULLed on right rows, the right carry is NULLed on left rows —
+    then the identical one-keyed-shuffle window merge.
+
+    PRECONDITION: ``left_when`` and ``right_when`` must be mutually
+    exclusive (they are type-tag predicates in every known caller). A
+    row matching both is tagged LEFT (``F.when`` order) — it cannot
+    also serve as a match candidate, unlike the two-frame composition
+    where it would appear on both sides of the union.
+
+    The right side carries only its timestamp (``right_ts_name``) —
+    the bounded shape all j8-family queries use; use ``asof_join`` /
+    ``asof_join_forward`` when the right payload is wider or the sides
+    are genuinely different frames.
+    """
+    clash = _RESERVED & set(source.columns)
+    if clash:
+        raise ValueError(f"asof_join_split reserves column names {sorted(clash)}")
+    if on in left_cols or ts in left_cols:
+        raise ValueError("left_cols must not repeat the key or ts column")
+
+    # backward: right(0) sorts before left(1) at equal ts -> inclusive
+    # forward:  left(0) sorts before right(1) at equal ts -> inclusive
+    left_tag, right_tag = (0, 1) if forward else (1, 0)
+    u = source.where(left_when | right_when).withColumn(
+        "_asof_side",
+        F.when(left_when, F.lit(left_tag)).otherwise(F.lit(right_tag)),
+    )
+    is_left = F.col("_asof_side") == left_tag
+    u = u.select(
+        F.col(on),
+        F.col(ts).alias("_asof_ts"),
+        F.col("_asof_side"),
+        *[F.when(is_left, F.col(c)).alias(c) for c in left_cols],
+        F.when(~is_left, F.col(ts)).alias("_asof_right"),
+    )
+    if forward:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("_asof_right", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_asof_ts").asc(), F.col("_asof_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("_asof_right", ignorenulls=True).over(w)
+    return (
+        u.withColumn("_asof_match", match)
+        .where(is_left)
+        .select(
+            F.col(on),
+            *[F.col(c) for c in left_cols],
+            F.col("_asof_ts").alias(left_ts_name),
+            F.col("_asof_match").alias(right_ts_name),
+        )
+    )
 
 
 def asof_join_forward(

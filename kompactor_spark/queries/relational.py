@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kompactor_spark import fixedpoint as fx
-from kompactor_spark.operators.asof import asof_join
+from kompactor_spark.operators.asof import asof_join_split
 from kompactor_spark.queries import register
 from kompactor_spark.tables import loader
 
@@ -330,6 +330,9 @@ def j7_theta_join(spark, sf_dir):
 # J8 — as-of join: for each error event, the latest prior-or-equal signup
 # of the same user. Spark-first: union + window (single shuffle by user),
 # NOT a range join (quadratic blow-up at scale) — see operators/asof.py.
+# Both sides split ONE events scan, so the fused single-scan variant
+# applies (asof_join_split; the generic two-frame asof_join would scan
+# events twice).
 # --------------------------------------------------------------------------
 @register(
     "j8_asof_join",
@@ -347,14 +350,18 @@ def j8_asof_join(spark, sf_dir):
     # predicate itself must run on µs-floored values (flooring only the
     # output would mis-match rows whose order flips inside one µs under
     # a TIMESTAMP(NANOS) encoding round) — SURVEY §5.2.
-    us = lambda: F.col("ts") - F.col("ts") % 1000  # int64-exact µs floor  # noqa: E731
-    ev = T("events")
-    errors = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", us().alias("err_ts")
-    )
-    signups = ev.where(F.col("event_type") == "signup").select("user_id", us().alias("signup_ts"))
+    ev = T("events").withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)  # int64-exact µs floor
     return (
-        asof_join(errors, signups, on="user_id", left_ts="err_ts", right_ts="signup_ts")
+        asof_join_split(
+            ev,
+            on="user_id",
+            ts="ts_us",
+            left_when=F.col("event_type") == "error",
+            right_when=F.col("event_type") == "signup",
+            left_cols=["event_id"],
+            left_ts_name="err_ts",
+            right_ts_name="signup_ts",
+        )
         .select("event_id", "user_id", "err_ts", "signup_ts")
         .orderBy("event_id")
     )
@@ -761,8 +768,9 @@ def u3_except(spark, sf_dir):
 # J8c — forward as-of join (new round 4): for each error event, the
 # user's NEXT purchase at-or-after it — time-to-recovery / did-the-user
 # -come-back analysis. Same single-shuffle union+window mechanism as J8
-# (operators/asof.py::asof_join_forward), mirrored to a first-over-
-# following frame; oracle is DuckDB's native forward ASOF (e.ts <= s.ts).
+# (operators/asof.py::asof_join_split with forward=True), mirrored to a
+# first-over-following frame; oracle is DuckDB's native forward ASOF
+# (e.ts <= p.ts).
 # --------------------------------------------------------------------------
 @register(
     "j8c_asof_forward",
@@ -775,19 +783,22 @@ def u3_except(spark, sf_dir):
     """,
 )
 def j8c_asof_forward(spark, sf_dir):
-    from kompactor_spark.operators.asof import asof_join_forward
+    from kompactor_spark.operators.asof import asof_join_split
 
     T = loader(sf_dir, spark)
-    us = lambda: F.col("ts") - F.col("ts") % 1000  # µs floor, J8 policy  # noqa: E731
-    ev = T("events")
-    errors = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", us().alias("err_ts")
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", us().alias("next_purchase_ts")
-    )
+    ev = T("events").withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)  # µs floor, J8 policy
     return (
-        asof_join_forward(errors, purchases, on="user_id", left_ts="err_ts", right_ts="next_purchase_ts")
+        asof_join_split(
+            ev,
+            on="user_id",
+            ts="ts_us",
+            left_when=F.col("event_type") == "error",
+            right_when=F.col("event_type") == "purchase",
+            left_cols=["event_id"],
+            left_ts_name="err_ts",
+            right_ts_name="next_purchase_ts",
+            forward=True,
+        )
         .select("event_id", "user_id", "err_ts", "next_purchase_ts")
         .orderBy("event_id")
     )

@@ -136,20 +136,23 @@ _TOL = 24 * NS_PER_HOUR
     """,
 )
 def j8b_asof_tolerance(spark, sf_dir):
-    from kompactor_spark.operators.asof import asof_join
+    from kompactor_spark.operators.asof import asof_join_split
 
     T = loader(sf_dir, spark)
-    ev = T("events")
     # µs-floor BEFORE the as-of match (the oracle's ASOF predicate runs
-    # on µs-truncated timestamps; see j8_asof_join)
-    us = lambda: F.col("ts") - F.col("ts") % 1000  # noqa: E731
-    errors = ev.where(F.col("event_type") == "error").select(
-        "event_id", "user_id", us().alias("err_ts")
+    # on µs-truncated timestamps; see j8_asof_join). Both sides split one
+    # events scan -> fused single-scan variant.
+    ev = T("events").withColumn("ts_us", F.col("ts") - F.col("ts") % 1000)
+    joined = asof_join_split(
+        ev,
+        on="user_id",
+        ts="ts_us",
+        left_when=F.col("event_type") == "error",
+        right_when=F.col("event_type") == "signup",
+        left_cols=["event_id"],
+        left_ts_name="err_ts",
+        right_ts_name="signup_ts_m",
     )
-    signups = ev.where(F.col("event_type") == "signup").select(
-        "user_id", us().alias("signup_ts_m")
-    )
-    joined = asof_join(errors, signups, on="user_id", left_ts="err_ts", right_ts="signup_ts_m")
     return joined.select(
         "event_id",
         "user_id",

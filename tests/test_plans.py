@@ -535,3 +535,50 @@ def test_expansion_pins_survive_in_operators(spark):
     )
     p3 = plan(spark, binned_interval_join(pts, ivs, "t", "s", "e", bucket_ns=10000))
     assert "REPARTITION_BY_NUM" in p3
+
+
+def test_hot_shingle_anti_join_scale_conditional(spark):
+    """Dedup hot-shingle filter (VERDICT r6 #6): the anti-join against
+    the hot-shingle set must be a broadcast below the input-size bound
+    and a co-partitioned shuffle join above it — the escape hatch is
+    code, not a docstring instruction. Both branches must produce
+    identical pairs."""
+    from kompactor_spark.operators import dedup as D
+
+    # docs 2i/2i+1 are near-identical (rare shared shingles -> pairs);
+    # the "alpha beta gamma delta" head is hot (40 docs > freq 5) and
+    # must ride the anti-join under test
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta u{i // 2} v{i // 2} w{i // 2} x{i // 2} y{i % 2}")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    # broadcast branch (tiny input estimate)
+    bcast = plan(spark, D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5))
+    assert "BroadcastHashJoin" in bcast and "LeftAnti" in bcast
+
+    # shuffle branch: force the dispatch over the bound, and disable
+    # auto-broadcast so Catalyst can't independently re-broadcast the
+    # tiny test-sized hot set (at real scale the estimate is over the
+    # auto threshold too)
+    old = D._HOT_BCAST_MAX_INPUT_EST
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        D._HOT_BCAST_MAX_INPUT_EST = -1
+        shuf_df = D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5)
+        shuf = plan(spark, shuf_df)
+        assert "LeftAnti" in shuf
+        # the anti-join must not be broadcast in this branch
+        anti_lines = [ln for ln in shuf.splitlines() if "LeftAnti" in ln]
+        assert anti_lines and all("Broadcast" not in ln for ln in anti_lines), shuf
+        got_shuffle = sorted((r.id_a, r.id_b) for r in shuf_df.collect())
+    finally:
+        D._HOT_BCAST_MAX_INPUT_EST = old
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    got_bcast = sorted(
+        (r.id_a, r.id_b)
+        for r in D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5).collect()
+    )
+    assert got_shuffle == got_bcast and len(got_bcast) > 0

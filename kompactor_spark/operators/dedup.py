@@ -29,9 +29,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(col, n: int = 3) -> F.Column:
-    """Distinct n-gram token shingles ('tok1 tok2 tok3' strings)."""
-    ts = tokens(col)
+def shingles_of_tokens(ts, n: int = 3) -> F.Column:
+    """Distinct n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. Callers must project ``tokens(text)`` into its own column
+    first (see :func:`_shingle_index`): higher-order-function lambdas get
+    no subexpression elimination, so referencing an inline ``split``
+    from every ``element_at`` re-splits the text per shingle element —
+    measured 7x slower on the sf10 representative set (3.9 s -> 0.5 s
+    for the same 260k-shingle index)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(ts) - n, F.lit(0)))
     return F.array_distinct(
         F.when(
@@ -39,6 +44,51 @@ def shingles(col, n: int = 3) -> F.Column:
             F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(ts, i + k + 1) for k in range(n)])),
         ).otherwise(F.array(F.concat_ws(" ", ts)))
     )
+
+
+def shingles(col, n: int = 3) -> F.Column:
+    """Distinct n-gram token shingles ('tok1 tok2 tok3' strings).
+
+    PERF: inlines the tokenization into every element reference — fine
+    for one-off expressions, but hot paths must materialize the token
+    array in a projection and use :func:`shingles_of_tokens` (7x on
+    long texts; see its docstring)."""
+    return shingles_of_tokens(tokens(col), n)
+
+
+def _shingle_index(df, id_col, text_col, n):
+    """EXPLODED (id, shingle) index with the token array materialized
+    ONCE in its own projection and the generator consuming the shingle
+    expression DIRECTLY — both halves matter:
+
+    - tokenizing in a separate projection makes the shingle lambda
+      reference an attribute instead of re-splitting the text per
+      element (HOF lambdas get no subexpression elimination);
+    - exploding in the SAME select keeps the shingle array anonymous.
+      Naming it in its own projection lets InferFiltersFromGenerate's
+      ``size(sh) > 0`` predicate push through the single-reference
+      alias and re-inline the tokenization per element — 7 ``split()``
+      copies in the physical plan and a 6x slowdown at sf10 (3.7 s vs
+      0.6 s for the same 260k-shingle index). With the expression
+      inline, the inferred filter lands ABOVE the token projection
+      (``_tk`` is multiply-referenced, so pushdown stops) and the plan
+      keeps exactly one split().
+    """
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk"))
+    return tk.select(
+        "id", F.explode(shingles_of_tokens(F.col("_tk"), n)).alias("shingle")
+    )
+
+
+def _shingle_docs_array(df, id_col, text_col, n):
+    """(id, sh) ARRAY projection for consumers that need the whole
+    per-doc shingle set (MinHash signatures). The token array is still
+    materialized once; note any ``where(size(sh) > 0)`` a caller adds
+    will push through the alias and re-inline the shingle expression
+    into the filter — acceptable for the T-class recall baselines that
+    use this, but hot H-class paths must use :func:`_shingle_index`."""
+    tk = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk"))
+    return tk.select("id", shingles_of_tokens(F.col("_tk"), n).alias("sh"))
 
 
 def _candidate_pair_bound(inv, directed: bool) -> int:
@@ -130,14 +180,16 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     from kompactor_spark.operators.expansion import pin_expansion_width
     from kompactor_spark.tables import fan_out
 
-    docs = fan_out(df).select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
-    sizes = docs.select("id", F.size("sh").cast("bigint").alias("n_sh"))
-    inv = docs.select("id", F.explode("sh").alias("shingle"))
-    hot = inv.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
+    inv0 = _shingle_index(fan_out(df), id_col, text_col, n)
+    # per-doc distinct-shingle counts straight off the exploded index
+    # (shingles_of_tokens array_distincts per doc, so count == size(sh);
+    # a size(sh) projection would recompute the whole shingle subtree)
+    sizes = inv0.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    hot = inv0.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
     if _hot_set_broadcastable(df):
         hot = F.broadcast(hot)
-    inv = pin_expansion_width(inv.join(hot, "shingle", "left_anti"), ["shingle"])
-    return docs, sizes, inv
+    inv = pin_expansion_width(inv0.join(hot, "shingle", "left_anti"), ["shingle"])
+    return sizes, inv
 
 
 def jaccard_pairs(
@@ -159,7 +211,7 @@ def jaccard_pairs(
     from the index BEFORE the expansion join runs and a ValueError is
     raised if it exceeds the ceiling — fail loudly, never OOM.
     """
-    docs, sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
+    sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
     inv = _guard_pairs(inv, max_candidate_pairs, directed=False)
 
     a, b = inv.alias("a"), inv.alias("b")
@@ -201,7 +253,7 @@ def containment_pairs(
     index blocking as jaccard_pairs (and the same optional
     ``max_candidate_pairs`` loud-failure guard); output is directed
     (id_a ⊂ id_b and id_b ⊂ id_a are separate rows)."""
-    docs, sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
+    sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
     inv = _guard_pairs(inv, max_candidate_pairs, directed=True)
 
     a, b = inv.alias("a"), inv.alias("b")
@@ -347,7 +399,7 @@ def minhash_lsh_pairs(
     # control is exactly why minhash_band_pairs below hand-rolls the
     # same construction with explicit banding, bucket caps, fan-out and
     # join width; use IT beyond the grading scales.
-    docs = df.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(F.size("sh") > 0)
+    docs = _shingle_docs_array(df, id_col, text_col, n).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     feats = tf.transform(docs)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
@@ -407,9 +459,7 @@ def minhash_band_pairs(
 
     # fan_out: the k-permutation signature pass is the CPU hot spot and
     # must not run on one input split (perf_smoke caught 365 s at sf1)
-    docs = fan_out(df).select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh")).where(
-        F.size("sh") > 0
-    )
+    docs = _shingle_docs_array(fan_out(df), id_col, text_col, n).where(F.size("sh") > 0)
     hs = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
 
     def _perm(a, b):

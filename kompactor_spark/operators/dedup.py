@@ -180,7 +180,18 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     from kompactor_spark.operators.expansion import pin_expansion_width
     from kompactor_spark.tables import fan_out
 
-    inv0 = _shingle_index(fan_out(df), id_col, text_col, n)
+    # The index feeds THREE consumers (per-doc sizes, the hot-shingle
+    # aggregate, and the anti-join's left side): pin its partitioning
+    # FIRST and checkpoint, so the corpus is scanned+shingled once and
+    # every consumer reads the materialized, shingle-partitioned index
+    # (the hot aggregate and the anti-join then need no further
+    # exchange — ClusteredDistribution(shingle) is already satisfied;
+    # the checkpoint write is the same IO class as the pin shuffle that
+    # was already mandatory). Only sizes pays its own small id-keyed
+    # exchange.
+    inv0 = pin_expansion_width(
+        _shingle_index(fan_out(df), id_col, text_col, n), ["shingle"]
+    ).localCheckpoint(eager=False)
     # per-doc distinct-shingle counts straight off the exploded index
     # (shingles_of_tokens array_distincts per doc, so count == size(sh);
     # a size(sh) projection would recompute the whole shingle subtree)
@@ -188,7 +199,7 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     hot = inv0.groupBy("shingle").count().where(F.col("count") > max_shingle_freq).select("shingle")
     if _hot_set_broadcastable(df):
         hot = F.broadcast(hot)
-    inv = pin_expansion_width(inv0.join(hot, "shingle", "left_anti"), ["shingle"])
+    inv = inv0.join(hot, "shingle", "left_anti")
     return sizes, inv
 
 

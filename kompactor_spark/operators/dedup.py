@@ -140,6 +140,12 @@ def _guard_pairs(inv, max_candidate_pairs, directed):
 # inputs of unknown size are test-scale in practice).
 _HOT_BCAST_MAX_INPUT_EST = 4 << 30
 
+# The shared inverted index is read by three consumers (sizes, hot set,
+# anti-join left); checkpointing it makes them share one scan+shingle
+# compute. Module switch exists ONLY so plan tests can see the
+# REPARTITION_BY_NUM pin that the checkpoint's plan cut would hide.
+_CHECKPOINT_INDEX = True
+
 
 def _hot_set_broadcastable(df: DataFrame) -> bool:
     try:
@@ -191,7 +197,14 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     # exchange.
     inv0 = pin_expansion_width(
         _shingle_index(fan_out(df), id_col, text_col, n), ["shingle"]
-    ).localCheckpoint(eager=False)
+    )
+    if _CHECKPOINT_INDEX:
+        # NOTE: the lazy checkpoint replaces the logical plan with an
+        # RDD scan, so the REPARTITION_BY_NUM pin above is no longer
+        # visible in explain output — plan tests flip this switch off
+        # to pin the pre-checkpoint plan (the pin still executes inside
+        # the checkpointed lineage).
+        inv0 = inv0.localCheckpoint(eager=False)
     # per-doc distinct-shingle counts straight off the exploded index
     # (shingles_of_tokens array_distincts per doc, so count == size(sh);
     # a size(sh) projection would recompute the whole shingle subtree)

@@ -516,6 +516,7 @@ def test_expansion_pins_survive_in_operators(spark):
     expansion key (exempt from AQE coalescing)."""
     from pyspark.sql import functions as F
 
+    from kompactor_spark.operators import dedup as D
     from kompactor_spark.operators.dedup import jaccard_pairs, minhash_band_pairs
     from kompactor_spark.operators.rangejoin import binned_interval_join
 
@@ -523,7 +524,14 @@ def test_expansion_pins_survive_in_operators(spark):
         [(i, "the quick brown fox jumps over the lazy dog " + str(i)) for i in range(20)],
         "doc_id long, text string",
     )
-    p1 = plan(spark, jaccard_pairs(docs))
+    # the index checkpoint's plan cut hides the pin from explain output;
+    # flip it off to pin the pre-checkpoint plan (round 7)
+    old = D._CHECKPOINT_INDEX
+    try:
+        D._CHECKPOINT_INDEX = False
+        p1 = plan(spark, jaccard_pairs(docs))
+    finally:
+        D._CHECKPOINT_INDEX = old
     assert "REPARTITION_BY_NUM" in p1
     p2 = plan(spark, minhash_band_pairs(docs))
     assert "REPARTITION_BY_NUM" in p2

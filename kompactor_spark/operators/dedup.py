@@ -216,6 +216,157 @@ def _inverted_index(df, id_col, text_col, n, max_shingle_freq):
     return sizes, inv
 
 
+# One-task fused kernel dispatch (round 7 — the a22/quantiles pattern
+# applied to the pairwise dedup shape). A model-sized corpus — the
+# collapse-first representative sets above all, ~5k distinct texts even
+# when the raw corpus is 100x-replicated — pays more in stage launches
+# (index checkpoint, sizes agg, hot agg, expansion join, two-level
+# count, sizes join: ~8 stages x the 0.25-0.7 s per-stage floor) than
+# in compute. Below these bounds the WHOLE verify (tokenize, shingle,
+# doc-frequency filter, inverted index, chunk-vectorized pair counting,
+# metric + threshold) runs in ONE Arrow task; at real scale the
+# distributed inverted-index path is untouched. Dispatch is a measured
+# count (one tiny job; the text-byte check runs only when the count is
+# already small, so large corpora never scan text for the dispatch).
+# Set either bound negative to force the distributed path (tests).
+_FUSED_PAIRS_MAX_REPS = 8192
+_FUSED_PAIRS_MAX_TEXT_BYTES = 64 << 20
+# pair-instance chunk size for the kernel's vectorized counting: caps
+# peak memory at ~2 arrays x chunk int64 regardless of shingle skew
+_KERNEL_PAIR_CHUNK = 1 << 24
+
+
+def _pairs_small_input(df, text_col) -> bool:
+    if _FUSED_PAIRS_MAX_REPS < 0 or _FUSED_PAIRS_MAX_TEXT_BYTES < 0:
+        return False
+    n_rows = df.count()
+    if n_rows > _FUSED_PAIRS_MAX_REPS:
+        return False
+    b = df.agg(F.sum(F.length(text_col))).first()[0] or 0
+    return b <= _FUSED_PAIRS_MAX_TEXT_BYTES
+
+
+def _pairs_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_shingle_freq: int,
+    metric: str,
+) -> DataFrame:
+    """One-Arrow-task twin of the inverted-index pair pipeline.
+
+    Semantics replicated EXACTLY (parity-tested bit-for-bit against the
+    distributed path in tests/test_pairs_kernel.py):
+
+    - tokens: ``text.split(" ")`` == Spark ``split(text, ' ')`` (keeps
+      empty tokens, ``"" -> [""]``);
+    - shingles: distinct n-grams, or the single whole-text join when
+      the doc has fewer than n tokens;
+    - per-doc sizes count ALL distinct shingles (the hot filter applies
+      to candidate generation only, exactly like the distributed
+      ``sizes`` aggregate over the pre-anti-join index);
+    - hot filter: doc-frequency > max_shingle_freq drops the shingle;
+    - metric division is the same float64 op the JVM performs
+      (``n_shared/n_a`` resp. ``n_shared/(n_a+n_b-n_shared)``), so
+      values are bit-identical.
+
+    Pair counting is chunk-vectorized: postings are grouped by
+    frequency class, each class's doc matrix emits its
+    ``triu_indices`` pairs in numpy chunks of ``_KERNEL_PAIR_CHUNK``
+    instances, and chunk counts merge with a unique+bincount pass —
+    peak memory is bounded by the chunk size no matter how skewed the
+    shingle distribution is.
+    """
+    directed = metric == "containment"
+    id_t = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, {metric} double"
+
+    def run(batches):
+        from collections import Counter, defaultdict
+
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        ids = pdf[id_col].to_numpy()
+        ndocs = len(pdf)
+        sets = []
+        for t in pdf[text_col]:
+            toks = ("" if t is None else t).split(" ")
+            if len(toks) >= n:
+                sets.append({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            else:
+                sets.append({" ".join(toks)})
+        sizes = np.array([len(s) for s in sets], dtype=np.float64)
+
+        dfreq = Counter()
+        for s in sets:
+            dfreq.update(s)
+        postings = defaultdict(list)
+        for di, s in enumerate(sets):
+            for sh in s:
+                if dfreq[sh] <= max_shingle_freq:
+                    postings[sh].append(di)
+
+        byf = defaultdict(list)
+        for d in postings.values():
+            if len(d) >= 2:
+                byf[len(d)].append(d)
+        key_parts, cnt_parts = [], []
+        nd64 = np.int64(ndocs)
+        for f, lists in byf.items():
+            per_row = f * (f - 1) // 2
+            rows_per_chunk = max(1, _KERNEL_PAIR_CHUNK // per_row)
+            iu, ju = np.triu_indices(f, k=1)
+            for c0 in range(0, len(lists), rows_per_chunk):
+                m = np.asarray(lists[c0 : c0 + rows_per_chunk], dtype=np.int64)
+                # postings lists are ascending doc-index order, so a < b
+                a = m[:, iu].ravel()
+                b = m[:, ju].ravel()
+                uk, uc = np.unique(a * nd64 + b, return_counts=True)
+                key_parts.append(uk)
+                cnt_parts.append(uc.astype(np.int64))
+        if not key_parts:
+            return
+        keys = np.concatenate(key_parts)
+        cnts = np.concatenate(cnt_parts)
+        uk, inv_idx = np.unique(keys, return_inverse=True)
+        shared = np.bincount(inv_idx, weights=cnts)  # float64; counts < 2^53 exact
+        xa = (uk // nd64).astype(np.int64)
+        xb = (uk % nd64).astype(np.int64)
+
+        if directed:
+            a_idx = np.concatenate([xa, xb])
+            b_idx = np.concatenate([xb, xa])
+            s = np.concatenate([shared, shared])
+            val = s / sizes[a_idx]
+        else:
+            # undirected output keyed by ID VALUE order (a.id < b.id in
+            # the distributed join) — doc-INDEX order is input order,
+            # not id order, so reorder per pair
+            ia, ib = ids[xa], ids[xb]
+            swap = ia > ib
+            a_idx = np.where(swap, xb, xa)
+            b_idx = np.where(swap, xa, xb)
+            s = shared
+            val = s / (sizes[a_idx] + sizes[b_idx] - s)
+        keep = val >= threshold
+        yield pd.DataFrame(
+            {
+                "id_a": ids[a_idx][keep],
+                "id_b": ids[b_idx][keep],
+                metric: val[keep],
+            }
+        )
+
+    return df.select(id_col, text_col).coalesce(1).mapInPandas(run, out_schema)
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -234,7 +385,20 @@ def jaccard_pairs(
     ``max_candidate_pairs`` set, an exact pair-count bound is computed
     from the index BEFORE the expansion join runs and a ValueError is
     raised if it exceeds the ceiling — fail loudly, never OOM.
+
+    Model-sized inputs (the collapse-first representative sets above
+    all) take the one-task fused kernel instead — see
+    ``_FUSED_PAIRS_MAX_REPS``; semantics identical, parity-tested.
     """
+    # kernel only without a ceiling: with max_candidate_pairs set, the
+    # classic guard+distributed path runs so the loud-ValueError
+    # contract is preserved exactly (a worker-side raise would surface
+    # as PythonException); the kernel itself is memory-bounded by
+    # chunking and needs no guard
+    if max_candidate_pairs is None and _pairs_small_input(df, text_col):
+        return _pairs_kernel(
+            df, id_col, text_col, n, threshold, max_shingle_freq, metric="jaccard"
+        )
     sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
     inv = _guard_pairs(inv, max_candidate_pairs, directed=False)
 
@@ -276,7 +440,14 @@ def containment_pairs(
     Jaccard misses when the container is much larger). Same inverted-
     index blocking as jaccard_pairs (and the same optional
     ``max_candidate_pairs`` loud-failure guard); output is directed
-    (id_a ⊂ id_b and id_b ⊂ id_a are separate rows)."""
+    (id_a ⊂ id_b and id_b ⊂ id_a are separate rows). Model-sized
+    inputs take the one-task fused kernel (``_FUSED_PAIRS_MAX_REPS``),
+    semantics identical, parity-tested."""
+    # kernel only without a ceiling — see jaccard_pairs
+    if max_candidate_pairs is None and _pairs_small_input(df, text_col):
+        return _pairs_kernel(
+            df, id_col, text_col, n, threshold, max_shingle_freq, metric="containment"
+        )
     sizes, inv = _inverted_index(df, id_col, text_col, n, max_shingle_freq)
     inv = _guard_pairs(inv, max_candidate_pairs, directed=True)
 

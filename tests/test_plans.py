@@ -524,14 +524,17 @@ def test_expansion_pins_survive_in_operators(spark):
         [(i, "the quick brown fox jumps over the lazy dog " + str(i)) for i in range(20)],
         "doc_id long, text string",
     )
-    # the index checkpoint's plan cut hides the pin from explain output;
-    # flip it off to pin the pre-checkpoint plan (round 7)
-    old = D._CHECKPOINT_INDEX
+    # pin the DISTRIBUTED branch: the index checkpoint's plan cut hides
+    # the pin from explain output, and the fused small-input kernel
+    # would absorb this test-sized corpus entirely (round 7)
+    old_ck, old_reps = D._CHECKPOINT_INDEX, D._FUSED_PAIRS_MAX_REPS
     try:
         D._CHECKPOINT_INDEX = False
+        D._FUSED_PAIRS_MAX_REPS = -1
         p1 = plan(spark, jaccard_pairs(docs))
     finally:
-        D._CHECKPOINT_INDEX = old
+        D._CHECKPOINT_INDEX = old_ck
+        D._FUSED_PAIRS_MAX_REPS = old_reps
     assert "REPARTITION_BY_NUM" in p1
     p2 = plan(spark, minhash_band_pairs(docs))
     assert "REPARTITION_BY_NUM" in p2
@@ -563,30 +566,37 @@ def test_hot_shingle_anti_join_scale_conditional(spark):
         ],
         "doc_id long, text string",
     )
-    # broadcast branch (tiny input estimate)
-    bcast = plan(spark, D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5))
-    assert "BroadcastHashJoin" in bcast and "LeftAnti" in bcast
-
-    # shuffle branch: force the dispatch over the bound, and disable
-    # auto-broadcast so Catalyst can't independently re-broadcast the
-    # tiny test-sized hot set (at real scale the estimate is over the
-    # auto threshold too)
-    old = D._HOT_BCAST_MAX_INPUT_EST
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # force the distributed index (the fused small-input kernel has no
+    # anti-join to inspect)
+    old_reps = D._FUSED_PAIRS_MAX_REPS
     try:
-        D._HOT_BCAST_MAX_INPUT_EST = -1
-        shuf_df = D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5)
-        shuf = plan(spark, shuf_df)
-        assert "LeftAnti" in shuf
-        # the anti-join must not be broadcast in this branch
-        anti_lines = [ln for ln in shuf.splitlines() if "LeftAnti" in ln]
-        assert anti_lines and all("Broadcast" not in ln for ln in anti_lines), shuf
-        got_shuffle = sorted((r.id_a, r.id_b) for r in shuf_df.collect())
+        D._FUSED_PAIRS_MAX_REPS = -1
+        # broadcast branch (tiny input estimate)
+        bcast = plan(spark, D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5))
+        assert "BroadcastHashJoin" in bcast and "LeftAnti" in bcast
+
+        # shuffle branch: force the dispatch over the bound, and disable
+        # auto-broadcast so Catalyst can't independently re-broadcast the
+        # tiny test-sized hot set (at real scale the estimate is over the
+        # auto threshold too)
+        old = D._HOT_BCAST_MAX_INPUT_EST
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            D._HOT_BCAST_MAX_INPUT_EST = -1
+            shuf_df = D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5)
+            shuf = plan(spark, shuf_df)
+            assert "LeftAnti" in shuf
+            # the anti-join must not be broadcast in this branch
+            anti_lines = [ln for ln in shuf.splitlines() if "LeftAnti" in ln]
+            assert anti_lines and all("Broadcast" not in ln for ln in anti_lines), shuf
+            got_shuffle = sorted((r.id_a, r.id_b) for r in shuf_df.collect())
+        finally:
+            D._HOT_BCAST_MAX_INPUT_EST = old
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        got_bcast = sorted(
+            (r.id_a, r.id_b)
+            for r in D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5).collect()
+        )
     finally:
-        D._HOT_BCAST_MAX_INPUT_EST = old
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-    got_bcast = sorted(
-        (r.id_a, r.id_b)
-        for r in D.jaccard_pairs(docs, threshold=0.1, max_shingle_freq=5).collect()
-    )
+        D._FUSED_PAIRS_MAX_REPS = old_reps
     assert got_shuffle == got_bcast and len(got_bcast) > 0

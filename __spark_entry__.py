@@ -23,28 +23,26 @@ from kompactor_spark.queries import all_oracles, all_queries  # noqa: E402
 from kompactor_spark.session import ensure_conf  # noqa: E402
 
 # Registration order matters: the driver grades the first 50 entries of
-# queries() per round (observed r01-r06). Round 7 window, per the
-# round-6 verdict:
-#   (1) l2_jaccard_collapsed — the ONLY oracle-backed registered row
-#       never driver-graded (added after round 6's window filled). A
-#       green grade makes every oracle-backed registered query
-#       driver-graded green at least once.
-#   (2) every row whose implementation round 7 touched: the as-of
-#       operator's new sort-free compact-right strategy (j8/j8b/j8c),
-#       the quantile fast path's byte-estimate dispatch (a22), the
-#       dedup CC small-graph short-circuit (l2_dedup_clusters,
-#       l2_dedup_clusters_collapsed) and the hot-shingle conditional
-#       broadcast in the shared inverted index (all l2 pair rows).
-#   (3) GRADE-AGE RULE (verdict r6 #5, now standing policy): remaining
-#       slots go to the rows whose latest driver grade is OLDEST —
-#       round 7 takes 40 of the 41 hash-checked rows last graded in
-#       round 1 (the s/p/j/u/f/a/o/w families, graded under round-1
-#       shared infra: session conf, view cache and fan_out have all
-#       evolved since). s10_orc_roundtrip is deferred one round (slot
-#       51) purely by window arithmetic; the round-2 cohort follows it
-#       and heads the round-8 fill. Target steady state: no row's
-#       latest grade predates the last commit touching its module by
-#       more than 2 rounds.
+# queries() per round (observed r01-r07). Round 8 window, per the
+# round-7 verdict (#2: drain the r1/r2 grade-age backlog):
+#   (1) the 25-row backlog whose latest driver grade predates round 3:
+#       s10_orc_roundtrip (r1, deferred from round 7 by window
+#       arithmetic) and the full round-2 cohort (l1/l2/l4/l6/m4/q/v/w/z
+#       families). After this round no row's latest grade predates
+#       round 3.
+#   (2) every row whose implementation round 8 touched: the fused
+#       pairs kernel's guarded-ceiling dispatch + duplicate-id
+#       precondition + skew-proof chunk slicing (all six l2
+#       pair/cluster rows), the quantile compact kernel's
+#       half-away-from-zero unit rounding + the _compact_input
+#       Long.MaxValue sentinel fallback (a22), and the
+#       grouped-quantile max_groups guard (x28_latency_bands).
+#   (3) GRADE-AGE RULE (standing policy since r6 #5): remaining slots
+#       go oldest-grade-first — 17 of the 37 round-3-graded rows
+#       (alphabetical); the other 20 head the round-9 fill, then the
+#       round-4 cohort. Target steady state: no row's latest grade
+#       predates the last commit touching its module by more than 2
+#       rounds.
 # All 50 are oracle-backed (H-class). a3_approx_count_distinct sits
 # outside the window BY DESIGN (`err: no_oracle`: Spark HLL++ vs DuckDB
 # sketches can never hash-match; its ±5%-vs-exact tolerance test is the
@@ -52,62 +50,8 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # --- (1) the last never-graded oracle-backed row ---
-    "l2_jaccard_collapsed",
-    # --- (2) implementations changed in round 7: must re-grade ---
-    "j8_asof_join",                # fused single-scan split variant
-    "j8b_asof_tolerance",          # same operator
-    "j8c_asof_forward",            # forward twin
-    "a22_equi_depth_histogram",    # quantile fast path byte dispatch
-    "l2_jaccard_pairs",            # hot-shingle conditional broadcast
-    "l2_containment_pairs",        # same shared index
-    "l2_containment_collapsed",    # same shared index
-    "l2_dedup_clusters",           # CC small-graph short-circuit
-    "l2_dedup_clusters_collapsed", # CC short-circuit + shared index
-    # --- (3) grade-age rule: the round-1-graded cohort (oldest) ---
-    "s1_parquet_scan",
-    "s2_partition_pruned_scan",
-    "s3_json_typed_parse",
-    "s4_csv_roundtrip",
-    "s5_sorted_sink_roundtrip",
-    "s7_bucketed_join",
-    "s9_json_sink_roundtrip",
-    "p1_projection",
-    "p2_filter_predicates",
-    "j1_inner_join",
-    "j2_left_outer_join",
-    "j2_full_outer_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "j5_cross_join",
-    "j6_broadcast_join",
-    "j7_theta_join",
-    "u1_union_all",
-    "u2_union_distinct",
-    "u3_intersect",
-    "u3_except",
-    "f1_string_funcs",
-    "f2_date_funcs",
-    "f2_ns_time",
-    "f3_math_funcs",
-    "f4_conditionals",
-    "f6_map_funcs",
-    "f7_json_extract",
-    "f8_casts",
-    "f9_variant_json",
-    "a2_count_distinct",
-    "a4_rollup",
-    "a4_cube",
-    "a5_having",
-    "o1_multi_key_sort",
-    "o2_topk",
-    "w1_ranking",
-    "w2_lag_lead",
-    "w3_running_sum",
-    "w4_sliding_frames",
-    # --- 51+: next rounds' fill, oldest grades first ---
-    "s10_orc_roundtrip",           # r1-graded, deferred by window arithmetic
-    # round-2 cohort
+    # --- (1) the r1/r2 grade-age backlog, oldest first ---
+    "s10_orc_roundtrip",
     "l1_exact_dedup",
     "l2_edit_distance_pairs",
     "l2_embedding_neardup",
@@ -132,6 +76,54 @@ _PRIORITY = [
     "w8_journey_paths",
     "w9_event_transitions",
     "z1_salted_agg",
+    # --- (2) implementations changed in round 8: must re-grade ---
+    "l2_jaccard_pairs",            # kernel dispatch + chunk slicing
+    "l2_jaccard_collapsed",        # same kernel
+    "l2_containment_pairs",        # same kernel
+    "l2_containment_collapsed",    # same kernel
+    "l2_dedup_clusters",           # pairs feed the CC stage
+    "l2_dedup_clusters_collapsed", # same
+    "a22_equi_depth_histogram",    # compact-kernel rounding + sentinel
+    "x28_latency_bands",           # grouped-quantile max_groups guard
+    # --- (3) grade-age rule: round-3 cohort, alphabetical (17/37) ---
+    "a10_grouping_sets",
+    "a11_histogram",
+    "a13_string_agg",
+    "a14_bool_aggs",
+    "a15_exact_mode",
+    "a9_percentiles",
+    "a9c_percentile_disc",
+    "f10_bitwise",
+    "j10_decorrelated_subquery",
+    "j11_nullsafe_join",
+    "j13_lateral_topn",
+    "l5_multimodal_roundtrip",
+    "m1_upsert",
+    "m3_profile_orders",
+    "m5_integrity_checks",
+    "m6_snapshot_diff",
+    "p3_pivot",
+    # --- 51+: round-9 fill — the remaining round-3 cohort, then r4 ---
+    "p5_empty_result",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "r5_chsql_compat",
+    "r5b_chsql_strings",
+    "s8_schema_evolution",
+    "u4_multiset_ops",
+    "v1_scalar_pandas_udf",
+    "v4_cogroup_asof",
+    "w5_rolling_distinct",
+    "x2_sliding_window",
+    "x3_session_window",
+    "x7_gap_fill",
+    "x8_locf",
+    "x9_interval_join",
+    "x10_retention_cohorts",
+    "x12_time_rollup_hierarchy",
+    "z2_salted_join",
+    "z3_shuffle_hash_join",
 ]
 
 

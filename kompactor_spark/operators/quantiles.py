@@ -98,6 +98,12 @@ def _compact_input(vals: DataFrame) -> bool:
         est = int(vals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         est = None
+    if est is not None and est >= (1 << 60):
+        # stats-less plans (LogicalRDD/createDataFrame) report the
+        # defaultSizeInBytes sentinel (Long.MaxValue), not a real size —
+        # treat as unknown so such inputs actually reach the split-count
+        # fallback below (ADVICE r7; mirrors _hot_set_broadcastable)
+        est = None
     if est is not None:
         return est <= _SMALL_EST_BYTES
     return vals.rdd.getNumPartitions() <= _SMALL_NPARTS
@@ -495,6 +501,7 @@ def grouped_exact_quantiles(
     probs: dict[str, float],
     num_partitions: int | None = None,
     count_col: str | None = "n",
+    max_groups: int | None = 100_000,
 ) -> DataFrame:
     """Per-group exact interpolated quantiles for a BOUNDED group count
     over unbounded rows — the grouped twin of :func:`exact_quantiles`.
@@ -509,7 +516,13 @@ def grouped_exact_quantiles(
     ``O(groups * partitions + groups * len(probs))`` — model-sized
     IF the group count is bounded (dashboard cells, sources, types...).
     For unbounded group counts this operator is the WRONG tool — keep
-    the grouped aggregate and bound the group size instead.
+    the grouped aggregate and bound the group size instead. That
+    assumption is ENFORCED (VERDICT r7 #7, same loud-failure class as
+    the dedup pair guard): the group count is measured BEFORE any
+    driver collect and a ValueError raised above ``max_groups``
+    (default 100k ≈ the quantile-histogram key bound), so a mis-tuned
+    caller fails fast instead of OOMing the driver at scale. Pass
+    ``max_groups=None`` to disable (caller asserts boundedness).
 
     NULL semantics match ``GROUP BY g, quantile_cont(v, ...)`` +
     ``COUNT(*)`` exactly (ADVICE r5): the ``count_col`` column counts
@@ -531,10 +544,22 @@ def grouped_exact_quantiles(
         )
     spark = df.sparkSession
     # Per-group COUNT(*) — from the UNFILTERED frame, so all-NULL groups
-    # survive and the reported n matches the oracle's COUNT(*).
-    totals_rows = (
-        df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__c")).collect()
-    )
+    # survive and the reported n matches the oracle's COUNT(*). The agg
+    # is checkpointed so the guard's count() and the collect share one
+    # aggregation pass (the _guard_pairs pattern).
+    totals_df = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__c"))
+    if max_groups is not None:
+        totals_df = totals_df.localCheckpoint(eager=False)
+        n_groups = totals_df.count()
+        if n_groups > max_groups:
+            raise ValueError(
+                f"group count {n_groups} exceeds max_groups={max_groups}; "
+                "grouped_exact_quantiles keeps O(groups * partitions) driver "
+                "state — for unbounded group counts use a grouped percentile "
+                "aggregate (and bound the group SIZE) instead, or raise the "
+                "ceiling if the count is genuinely model-sized"
+            )
+    totals_rows = totals_df.collect()
     group_total: dict[tuple, int] = {
         tuple(r[g] for g in group_cols): int(r["__c"]) for r in totals_rows
     }
@@ -700,7 +725,19 @@ def equi_depth_histogram(
             # at a tied cut <=> that bucket has no rows)
             splits = np.searchsorted(v, cuts, side="right")
             bounds = np.concatenate(([0], splits, [len(v)]))
-            units = np.rint(v * 10**scale).astype("int64")
+            # half-AWAY-FROM-ZERO (trunc after shifting a half toward
+            # the value's sign), matching F.round in the distributed
+            # path's fixedpoint.to_units (np.rint is half-to-even: the
+            # two diverge on exact .5 fractions of the scaled value,
+            # i.e. inputs with more fractional digits than `scale`,
+            # outside to_units's contract — and the path taken depends
+            # only on the size estimate; ADVICE r7). Residual
+            # divergence is confined to values whose shortest decimal
+            # repr rounds differently from their binary expansion
+            # (e.g. 0.49999999999999994) — unreachable for fixed-point
+            # money inputs.
+            scaled = v * 10**scale
+            units = np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64")
             cum = np.concatenate(([0], np.cumsum(units)))
             div = Decimal(10) ** scale
             rows = []

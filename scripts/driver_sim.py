@@ -146,7 +146,8 @@ def main():
         json.dump(out, fh, indent=1)
     n_bad = sum(1 for r in out.values() if r["status"] not in ("pass", "pass_rows_only"))
     print(f"DONE: {len(out)} queries, {n_bad} not green")
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -92,20 +92,65 @@ def test_kernel_chunked_pair_counting_identical(spark):
     assert whole == chunked and len(whole) > 0
 
 
-def test_ceiling_always_takes_guarded_distributed_path(spark):
-    # max_candidate_pairs set -> the classic guard + distributed plan
-    # runs even on kernel-sized inputs, preserving the loud ValueError
+def test_ceiling_keeps_kernel_path_with_driver_guard(spark):
+    # VERDICT r7 #4: max_candidate_pairs set on a kernel-sized input
+    # now computes the bound DRIVER-side (from the kernel's own
+    # shingling) and keeps the one-task fast path — same loud
+    # ValueError, no PythonException, no 8-stage distributed detour
     docs = spark.createDataFrame(
         [(i, "the same tiny text body repeated verbatim") for i in range(30)],
         "doc_id long, text string",
     )
     with pytest.raises(ValueError, match="candidate-pair bound"):
-        D.jaccard_pairs(docs, max_candidate_pairs=1000).collect()
-    # and with a generous ceiling the distributed result still matches
-    # the kernel's (no-ceiling) result
-    g = _canon(D.jaccard_pairs(docs, max_candidate_pairs=10_000), "jaccard")
+        D.jaccard_pairs(docs, max_candidate_pairs=1000)
+    # with a generous ceiling the guarded call STILL plans the kernel...
+    g_df = D.jaccard_pairs(docs, max_candidate_pairs=10_000)
+    p = g_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p and "Join" not in p
+    # ...and matches both the unguarded kernel and the guarded
+    # distributed path bit-for-bit
+    g = _canon(g_df, "jaccard")
     k = _canon(D.jaccard_pairs(docs), "jaccard")
-    assert g == k and len(k) == 435
+    old = D._FUSED_PAIRS_MAX_REPS
+    try:
+        D._FUSED_PAIRS_MAX_REPS = -1
+        dist = _canon(D.jaccard_pairs(docs, max_candidate_pairs=10_000), "jaccard")
+    finally:
+        D._FUSED_PAIRS_MAX_REPS = old
+    assert g == k == dist and len(k) == 435
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_kernel_bound_equals_distributed_bound(spark, directed):
+    # the driver-side guard counts EXACTLY the pairs the distributed
+    # _candidate_pair_bound counts over the hot-filtered index
+    rows = [(i, f"alpha beta gamma delta u{i // 3} v{i // 3} w{i}") for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for freq in (5, 1000):
+        inv = D._inverted_index(docs, "doc_id", "text", 3, freq)[1]
+        dist_bound = D._candidate_pair_bound(inv, directed)
+        texts = [t for _, t in rows]
+        kern_bound = D._kernel_pair_bound(texts, 3, freq, directed)
+        assert kern_bound == dist_bound > 0
+
+
+def test_duplicate_ids_route_distributed(spark):
+    # unique non-NULL ids are a kernel precondition (ADVICE r7): the
+    # dispatch must reject duplicate-id inputs so semantics never
+    # silently switch (the distributed join excludes equal-id pairs
+    # and merges duplicate ids in its sizes aggregate)
+    dup = spark.createDataFrame(
+        [(1, "a b c d e"), (1, "a b c d f"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    assert not D._pairs_small_input(dup, "doc_id", "text")
+    p = D.jaccard_pairs(dup, threshold=0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p  # distributed path planned
+    uniq = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "a b c d e")],
+        "doc_id long, text string",
+    )
+    assert D._pairs_small_input(uniq, "doc_id", "text")
 
 
 def test_kernel_single_stage_plan(spark):

@@ -303,3 +303,70 @@ def test_grouped_single_member_groups(spark):
     got = grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}).orderBy("g").toPandas()
     assert list(got["n"]) == [1] * 5
     assert [_bits(x) for x in got["p50"]] == [_bits(i * 1.5) for i in range(5)]
+
+
+def test_grouped_max_groups_guard(spark):
+    # VERDICT r7 #7: the bounded-group-count assumption is enforced —
+    # same loud-failure class as the dedup pair guard. Fails BEFORE any
+    # driver collect; max_groups=None restores the caller-asserted mode.
+    from kompactor_spark.operators.quantiles import grouped_exact_quantiles
+
+    df = spark.range(0, 50).select(
+        (F.col("id") % 10).alias("g"), (F.col("id") * 1.0).alias("v")
+    )
+    with pytest.raises(ValueError, match="group count 10 exceeds max_groups=5"):
+        grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}, max_groups=5)
+    ok = grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}, max_groups=10)
+    assert ok.count() == 10
+    off = grouped_exact_quantiles(df, ["g"], "v", {"p50": 0.5}, max_groups=None)
+    assert off.count() == 10
+
+
+def test_compact_dispatch_sentinel_falls_back_to_split_count(spark):
+    # ADVICE r7: stats-less plans (LogicalRDD from an RDD-backed
+    # createDataFrame; a localCheckpoint cut PROPAGATES stats in Spark
+    # 4.x, so it is not one of them) report the Long.MaxValue
+    # defaultSizeInBytes sentinel, not a real size. _compact_input must
+    # treat that as UNKNOWN and fall back to the split-count test, so
+    # tiny in-memory frames keep the one-task fast path (2 splits ->
+    # compact) while wide ones route distributed (32 splits -> not).
+    from kompactor_spark.operators import quantiles as Qz
+
+    def rdd_frame(nparts):
+        rdd = spark.sparkContext.parallelize([(float(i),) for i in range(1000)], nparts)
+        return spark.createDataFrame(rdd, "v double")
+
+    narrow = rdd_frame(2)
+    est = int(narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est >= (1 << 60)  # precondition: sentinel, not a real size
+    assert Qz._compact_input(narrow)
+    assert not Qz._compact_input(rdd_frame(32))
+
+
+def test_equi_depth_out_of_contract_rounding_parity(spark):
+    # ADVICE r7: the compact kernel's unit rounding must be
+    # half-AWAY-FROM-ZERO like F.round in fixedpoint.to_units, not
+    # numpy's half-to-even — visible only for inputs with more
+    # fractional digits than `scale` (scaled values landing on exact
+    # binary .5: ±m/8 at scale 2). Both paths must agree bit-for-bit
+    # even out of contract, since the path taken depends only on the
+    # size estimate.
+    from kompactor_spark.operators import quantiles as Qz
+
+    vals = [0.125, 0.375, -0.125, -0.375, 2.625, -2.625, 1.0, -1.0]
+    df = spark.createDataFrame([(v,) for v in vals * 50], "v double")
+    probs = [0.5]
+    fast = Qz.equi_depth_histogram(df, "v", probs, scale=2).orderBy("bucket").collect()
+    old = Qz._SMALL_EST_BYTES
+    try:
+        Qz._SMALL_EST_BYTES = -1
+        Qz._SMALL_NPARTS = -1
+        slow = (
+            Qz.equi_depth_histogram(df, "v", probs, scale=2).orderBy("bucket").collect()
+        )
+    finally:
+        Qz._SMALL_EST_BYTES = old
+        Qz._SMALL_NPARTS = 2
+    assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
+    for a, b in zip(fast, slow):
+        assert _bits(a["total"]) == _bits(b["total"])

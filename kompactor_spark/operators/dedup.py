@@ -259,6 +259,25 @@ def _pairs_small_input(df, id_col, text_col) -> bool:
     return int(row["b"] or 0) <= _FUSED_PAIRS_MAX_TEXT_BYTES
 
 
+def _collapsed_small_input(canon, text_col) -> bool:
+    """One-job dispatch for the collapse-first callers: canon ids are
+    unique NON-NULL by construction (min-id per text group) and canon
+    is already checkpointed, so :func:`_pairs_small_input`'s early-exit
+    count and distinct-id check would only add a job — one combined
+    agg over the materialized frame decides. The count early-exit
+    exists to spare LARGE corpora a text scan; here the text was
+    already scanned to build canon, and the agg reads the checkpoint."""
+    if _FUSED_PAIRS_MAX_REPS < 0 or _FUSED_PAIRS_MAX_TEXT_BYTES < 0:
+        return False
+    row = canon.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length(text_col)).alias("b")
+    ).first()
+    return (
+        int(row["n"]) <= _FUSED_PAIRS_MAX_REPS
+        and int(row["b"] or 0) <= _FUSED_PAIRS_MAX_TEXT_BYTES
+    )
+
+
 def _kernel_shingle_sets(texts, n: int) -> list[set]:
     """The kernel's exact tokenize+shingle (split(' '), keep empties,
     whole-text join under n tokens) — shared by :func:`_pairs_kernel`
@@ -315,6 +334,7 @@ def _pairs_kernel(
     threshold: float,
     max_shingle_freq: int,
     metric: str,
+    copies_col: str | None = None,
 ) -> DataFrame:
     """One-Arrow-task twin of the inverted-index pair pipeline.
 
@@ -343,10 +363,19 @@ def _pairs_kernel(
     instances, and chunk counts merge with a unique+bincount pass —
     peak memory is bounded by the chunk size no matter how skewed the
     shingle distribution is.
+
+    With ``copies_col`` set (the collapse-first callers), each input
+    row's copy count is carried through and emitted as
+    ``n_copies_a``/``n_copies_b`` — the whole collapsed verify is then
+    ONE task, where the composed shape paid two extra multiplicity
+    joins against the canon frame (round 8; the joins were pure
+    stage-launch floor at model size).
     """
     directed = metric == "containment"
     id_t = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_t}, id_b {id_t}, {metric} double"
+    if copies_col:
+        out_schema += ", n_copies_a bigint, n_copies_b bigint"
 
     def run(batches):
         from collections import Counter, defaultdict
@@ -359,6 +388,7 @@ def _pairs_kernel(
             return
         pdf = pd.concat(parts, ignore_index=True)
         ids = pdf[id_col].to_numpy()
+        copies = pdf[copies_col].to_numpy() if copies_col else None
         ndocs = len(pdf)
         sets = _kernel_shingle_sets(pdf[text_col], n)
         sizes = np.array([len(s) for s in sets], dtype=np.float64)
@@ -430,15 +460,18 @@ def _pairs_kernel(
             s = shared
             val = s / (sizes[a_idx] + sizes[b_idx] - s)
         keep = val >= threshold
-        yield pd.DataFrame(
-            {
-                "id_a": ids[a_idx][keep],
-                "id_b": ids[b_idx][keep],
-                metric: val[keep],
-            }
-        )
+        out = {
+            "id_a": ids[a_idx][keep],
+            "id_b": ids[b_idx][keep],
+            metric: val[keep],
+        }
+        if copies_col:
+            out["n_copies_a"] = copies[a_idx][keep]
+            out["n_copies_b"] = copies[b_idx][keep]
+        yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).coalesce(1).mapInPandas(run, out_schema)
+    cols = [id_col, text_col] + ([copies_col] if copies_col else [])
+    return df.select(*cols).coalesce(1).mapInPandas(run, out_schema)
 
 
 def jaccard_pairs(
@@ -595,6 +628,25 @@ def containment_pairs_collapsed(
         )
         .localCheckpoint(eager=False)
     )
+    # Model-sized representative sets run the WHOLE verify — pairs AND
+    # both multiplicity columns — in one fused task (round 8): the
+    # composed shape below paid two broadcast joins against canon that
+    # were pure stage-launch floor at this size.
+    if _collapsed_small_input(canon, text_col):
+        if max_candidate_pairs is not None:
+            _kernel_guard(
+                canon, text_col, n, max_shingle_freq, max_candidate_pairs, directed=True
+            )
+        return _pairs_kernel(
+            canon,
+            id_col,
+            text_col,
+            n,
+            threshold,
+            max_shingle_freq,
+            metric="containment",
+            copies_col="__n_copies",
+        )
     pairs = containment_pairs(
         canon.select(id_col, text_col),
         id_col=id_col,
@@ -635,6 +687,23 @@ def jaccard_pairs_collapsed(
         )
         .localCheckpoint(eager=False)  # read by 4 downstream subtrees
     )
+    # one fused task for model-sized representative sets — see
+    # containment_pairs_collapsed
+    if _collapsed_small_input(canon, text_col):
+        if max_candidate_pairs is not None:
+            _kernel_guard(
+                canon, text_col, n, max_shingle_freq, max_candidate_pairs, directed=False
+            )
+        return _pairs_kernel(
+            canon,
+            id_col,
+            text_col,
+            n,
+            threshold,
+            max_shingle_freq,
+            metric="jaccard",
+            copies_col="__n_copies",
+        )
     pairs = jaccard_pairs(
         canon.select(id_col, text_col),
         id_col=id_col,

@@ -62,7 +62,14 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
            # round 6: the collapse-first scale path (see bench_sf10.py
            # note) — published at both scales so its curve is on record.
            "l2_containment_collapsed",
-           "l2_dedup_clusters_collapsed"]
+           "l2_dedup_clusters_collapsed",
+           # round 8 (VERDICT r7 #5): the fused single-scan as-of's sf1
+           # point, published so all three scale points (sf0.1 bench.py,
+           # sf1, sf10) measure the SAME operator. DuckDB's native ASOF
+           # side is ~0.15 s here — partially floor-class; the sf10 row
+           # (1.65x) is the design-grade number, this row exists to show
+           # the fuse did not regress the small scale.
+           "j8_asof_join"]
 RUNS = 3
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time even with eager=False on Spark 4.1), so the

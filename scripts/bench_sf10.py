@@ -59,7 +59,13 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # (vec_id shift; base copies keep ids 0..1999 so the
            # deterministic seeds/query rows are unchanged).
            "l2_containment_collapsed", "l2_dedup_clusters_collapsed",
-           "l3i_ivf_pq_topk"]
+           "l3i_ivf_pq_topk",
+           # round 8 (VERDICT r7 #3): a22's sf10 point — the
+           # histogram-selection structure is two fixed jobs over
+           # model-sized driver state, so the ratio should amortize
+           # toward 1x as real scan work swamps the stage-launch floor;
+           # this row measures that claim instead of extrapolating it.
+           "a22_equi_depth_histogram"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would

@@ -164,3 +164,62 @@ def test_kernel_single_stage_plan(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in p
     assert "Join" not in p and "HashAggregate" not in p
+
+
+@pytest.mark.parametrize("metric", ["jaccard", "containment"])
+def test_collapsed_kernel_parity_and_single_task(spark, metric):
+    # Round 8: the collapse-first operators run the whole verify —
+    # pairs AND both multiplicity columns — in one fused task. Must be
+    # bit-identical to the composed path (distributed pairs + two
+    # multiplicity joins) on a duplicate-heavy corpus, and the fused
+    # plan must contain no Join.
+    fn = (
+        D.containment_pairs_collapsed
+        if metric == "containment"
+        else D.jaccard_pairs_collapsed
+    )
+    rows = []
+    for i in range(120):
+        base = i % 10  # 10 distinct texts, multiplicities 12 each
+        rows.append((i, f"alpha beta gamma u{base} v{base} w{base} x{base % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def canon(df):
+        return sorted(
+            (
+                r.id_a,
+                r.id_b,
+                struct.pack("<d", r[metric]).hex(),
+                r.n_copies_a,
+                r.n_copies_b,
+            )
+            for r in df.collect()
+        )
+
+    fused_df = fn(docs, threshold=0.1)
+    p = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p and "Join" not in p
+    fused = canon(fused_df)
+    old = D._FUSED_PAIRS_MAX_REPS
+    try:
+        D._FUSED_PAIRS_MAX_REPS = -1
+        composed = canon(fn(docs, threshold=0.1))
+    finally:
+        D._FUSED_PAIRS_MAX_REPS = old
+    assert fused == composed and len(fused) > 0
+    assert all(r[3] == 12 and r[4] == 12 for r in fused)  # copy counts carried
+
+
+def test_collapsed_kernel_guard(spark):
+    # ceiling honored on the fused collapsed path: driver-side
+    # ValueError, and a generous ceiling still fuses
+    docs = spark.createDataFrame(
+        [(i, f"one two three four shared{i % 5}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="candidate-pair bound"):
+        D.jaccard_pairs_collapsed(docs, max_candidate_pairs=1)
+    ok = D.jaccard_pairs_collapsed(docs, max_candidate_pairs=100_000)
+    p = ok._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p and "Join" not in p
+    assert ok.count() > 0

@@ -75,38 +75,82 @@ _LR = "__oq_lr"
 _IID = "__oq_iid"
 _K0 = "__oq_k0"
 
-# Compact-input dispatch (round 7, replacing the round-6 split-count
-# test per ADVICE r6): inputs whose Catalyst size ESTIMATE is below
-# this bound take the one-task Arrow fast path — a single local sort
-# answers every order statistic in ONE stage, where the distributed
-# histogram pipeline pays 5+ stage launches for the same answer. The
-# estimate (optimizedPlan().stats().sizeInBytes()) derives from
-# COMPRESSED on-disk bytes scaled by the projection's column-width
-# ratio, so the decompressed single-task volume is bounded by roughly
-# bound x compression-ratio — ~320 MB even at a pathological 20x zstd
-# ratio, well inside one task's memory (degraded, not wrong; and a
-# dense 2-split file that the old split-count test would have funneled
-# into one task now routes distributed once its estimate crosses the
-# bound). Anything estimate-opaque falls back to the split-count test.
+# Tiered input dispatch (round 8, extending the round-7 byte-estimate
+# gate). COMPACT inputs take the one-task Arrow fast path — a single
+# local sort answers every order statistic in ONE stage, where the
+# distributed histogram pipeline pays 5+ stage launches for the same
+# answer. The estimate (optimizedPlan().stats().sizeInBytes()) derives
+# from COMPRESSED on-disk bytes scaled by the projection's
+# column-width ratio — which makes it a POOR proxy for row count: a
+# well-compressed single double column passes a 16 MB gate with 15M
+# rows (measured 0.26 B/row on sorted-ish prices), and the one-task
+# path's cost is linear in rows (single-core parquet decode + sort
+# measured 14 s on 15M rows where the distributed path took 5.7 s and
+# DuckDB 1.5 s). So the gate is CONFIRMED by an exact count() before
+# the one-task path is taken — a plain parallel count measured 0.17 s
+# flat from 15k to 15M rows here, strictly cheaper than a
+# limit(N).count() probe whose incremental scale-up shuffles each
+# round to one partition (0.27-0.62 s, worst exactly when the input
+# is small). The count only runs when the gate already passed, so
+# large inputs never pay it. Anything estimate-opaque (Long.MaxValue
+# sentinel, ADVICE r7) falls back to the split-count test for the
+# gate, then the same row confirm.
+#
+# MEDIUM inputs (estimate <= _MEDIUM_EST_BYTES but too many rows for
+# one task) are fanned out across cores and LAZILY checkpointed once:
+# the quantile pipeline makes 2-3 passes (exp-histogram, boundary,
+# caller bucketing), and at this size one materialization pass +
+# memory-local re-reads beat re-scanning a poorly-split compressed
+# file every pass (a 600 MB single zstd file splits 5 ways; the
+# re-scan discipline leaves 27 of 32 cores idle 3x over). LARGE
+# inputs (any real cluster-scale table) keep the rescan discipline:
+# scans are cheap at scale, pushdown prunes to one column, and
+# materializing a 100 TB table's column is exactly the buffer this
+# operator exists to avoid.
 _SMALL_EST_BYTES = 16 << 20
 _SMALL_NPARTS = 2
+_SMALL_MAX_ROWS = 2_000_000
+_MEDIUM_EST_BYTES = 1 << 30
 
 
-def _compact_input(vals: DataFrame) -> bool:
-    """True when ``vals`` is small enough for the one-task fast path."""
+def _plan_size_est(vals: DataFrame) -> int | None:
     try:
         est = int(vals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
-        est = None
-    if est is not None and est >= (1 << 60):
-        # stats-less plans (LogicalRDD/createDataFrame) report the
-        # defaultSizeInBytes sentinel (Long.MaxValue), not a real size —
-        # treat as unknown so such inputs actually reach the split-count
-        # fallback below (ADVICE r7; mirrors _hot_set_broadcastable)
-        est = None
+        return None
+    # stats-less plans (LogicalRDD/createDataFrame) report the
+    # defaultSizeInBytes sentinel (Long.MaxValue), not a real size —
+    # treat as unknown (ADVICE r7; mirrors dedup._hot_set_broadcastable)
+    return None if est >= (1 << 60) else est
+
+
+def _compact_input(vals: DataFrame) -> bool:
+    """True when ``vals`` is small enough for the one-task fast path:
+    byte-estimate (or split-count) gate, confirmed by an exact
+    count — see the tier note above."""
+    est = _plan_size_est(vals)
     if est is not None:
-        return est <= _SMALL_EST_BYTES
-    return vals.rdd.getNumPartitions() <= _SMALL_NPARTS
+        gate = est <= _SMALL_EST_BYTES
+    else:
+        gate = vals.rdd.getNumPartitions() <= _SMALL_NPARTS
+    if not gate:
+        return False
+    return vals.count() <= _SMALL_MAX_ROWS
+
+
+def _stage_input(vals: DataFrame) -> tuple[str, DataFrame]:
+    """(tier, vals) for the multi-pass quantile pipeline: ``compact``
+    (one-task kernel), ``medium`` (vals replaced by a fanned-out lazy
+    checkpoint — one materialization, memory-local re-reads), or
+    ``large`` (unchanged — rescan discipline)."""
+    if _compact_input(vals):
+        return "compact", vals
+    est = _plan_size_est(vals)
+    if est is not None and est <= _MEDIUM_EST_BYTES:
+        from kompactor_spark.tables import fan_out
+
+        return "medium", fan_out(vals).localCheckpoint(eager=False)
+    return "large", vals
 
 
 def _np_cuts(v, probs: list[float]) -> list[float]:
@@ -399,15 +443,17 @@ def exact_quantiles(
     """Exact interpolated quantiles of ``df[col]`` (NULLs excluded, like
     the SQL aggregates). Returns ``(cuts, vals)`` where ``cuts[i]``
     equals ``percentile(col, probs[i])`` bit-for-bit and ``vals`` is the
-    NULL-filtered single-column frame (lazy — callers bucketing against
-    the cuts re-scan the column-pruned source, which costs less than the
-    round-5 checkpoint materialization did). Two jobs end-to-end in the
-    common case (exp-histogram + targeted sort); ONE stage on compact
-    (byte-estimate-gated, :func:`_compact_input`) inputs via the local
-    fast path.
+    NULL-filtered single-column frame (lazy; on the medium tier it is
+    the fanned-out checkpoint, so callers bucketing against the cuts
+    read the one materialization — large inputs keep the re-scan
+    discipline, which costs less than materializing a cluster-scale
+    column). Two jobs end-to-end in the common case (exp-histogram +
+    targeted sort); ONE stage on compact (:func:`_stage_input`) inputs
+    via the local fast path.
     """
     vals = df.where(F.col(col).isNotNull()).select(col)
-    if _compact_input(vals):
+    tier, vals = _stage_input(vals)
+    if tier == "compact":
         row = _local_cuts_plan(vals, col, probs).collect()[0]
         # Arrow round-trips NaN array cells as None
         return [float("nan") if c is None else float(c) for c in row["cuts"]], vals
@@ -435,6 +481,7 @@ def exact_quantile_cuts(
     num_bins: int = 4096,
     task_cap: int = 1 << 20,
     max_levels: int = 6,
+    _pre_staged: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """IN-PLAN twin of :func:`exact_quantiles`: returns
     ``(cuts_df, vals)`` where ``cuts_df`` is a LAZY one-row frame with
@@ -448,7 +495,11 @@ def exact_quantile_cuts(
     """
     spark = df.sparkSession
     vals = df.where(F.col(col).isNotNull()).select(col)
-    if _compact_input(vals):
+    if _pre_staged:
+        tier = "large"  # caller already staged/tiered this frame
+    else:
+        tier, vals = _stage_input(vals)
+    if tier == "compact":
         # Fully lazy: the caller's single action runs the local sort as
         # a broadcast subtree — zero jobs before it.
         return _local_cuts_plan(vals, col, probs), vals
@@ -676,7 +727,9 @@ def equi_depth_histogram(
     add their own ``orderBy``. Buckets left empty by tied cuts emit no
     row (GROUP BY semantics).
 
-    Two shapes behind one byte-estimate dispatch (:func:`_compact_input`):
+    Three tiers behind one dispatch (:func:`_stage_input` — byte gate +
+    row confirm; medium inputs additionally get one fan-out
+    checkpoint shared by every pass):
 
     - COMPACT inputs run the ENTIRE histogram — sort, cuts,
       searchsorted bucketing, per-bucket reduction — inside a single
@@ -698,7 +751,8 @@ def equi_depth_histogram(
     """
     vals = df.where(F.col(col).isNotNull()).select(col)
     out_schema = "bucket long, n long, lo double, hi double, total double"
-    if _compact_input(vals):
+    tier, vals = _stage_input(vals)
+    if tier == "compact":
         import pandas as pd
 
         def compute(batches):
@@ -753,7 +807,10 @@ def equi_depth_histogram(
 
     from kompactor_spark.fixedpoint import exact_sum, limb_split, to_units
 
-    cuts_df, ranked = exact_quantile_cuts(df, col, probs)
+    # vals is already tiered/staged above — on the medium tier the
+    # cuts' exp-histogram/boundary jobs and the bucketing scan below
+    # all read the one materialized checkpoint
+    cuts_df, ranked = exact_quantile_cuts(vals, col, probs, _pre_staged=True)
     hi_l, lo_l = limb_split(to_units(col, scale))
     return (
         ranked.crossJoin(F.broadcast(cuts_df))

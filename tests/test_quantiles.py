@@ -370,3 +370,31 @@ def test_equi_depth_out_of_contract_rounding_parity(spark):
     assert [r.asDict() for r in fast] == [r.asDict() for r in slow]
     for a, b in zip(fast, slow):
         assert _bits(a["total"]) == _bits(b["total"])
+
+
+def test_medium_tier_row_confirm(spark, tmp_path):
+    # Round 8: the byte gate alone is a poor row-count proxy — a
+    # well-compressed single column passes 16 MB with millions of rows
+    # (a22 at sf10: 15M rows in one task = 14 s). The gate must be
+    # confirmed by the bounded row probe, and the rejected frame must
+    # stage onto the MEDIUM tier (fan-out + lazy checkpoint) with cuts
+    # still bit-identical to percentile.
+    from kompactor_spark.operators import quantiles as Qz
+
+    p = str(tmp_path / "wide.parquet")
+    (
+        spark.range(0, 3_000_000)
+        .select(((F.col("id") % 1000) / 7.0).alias("v"))
+        .coalesce(1)
+        .write.option("compression", "zstd")
+        .parquet(p)
+    )
+    vals = spark.read.parquet(p)
+    est = Qz._plan_size_est(vals)
+    assert est is not None and est <= Qz._SMALL_EST_BYTES  # gate passes...
+    assert not Qz._compact_input(vals)  # ...row probe rejects one-task
+    tier, staged = Qz._stage_input(vals)
+    assert tier == "medium"
+    assert staged.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    cuts, _ = Qz.exact_quantiles(vals, "v", [0.25, 0.5, 0.9])
+    _assert_bit_equal(cuts, _spark_percentile(vals, "v", [0.25, 0.5, 0.9]))

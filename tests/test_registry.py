@@ -44,28 +44,38 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round7_targets_inside_window():
-    """Round-7 window invariant: the one never-graded oracle-backed row
-    plus every row whose implementation round 7 touched (as-of compact
-    strategy, quantile byte dispatch, CC short-circuit, hot-shingle
-    conditional broadcast) must sit inside the first 50 registry slots;
-    the remaining slots follow the grade-age rule (oldest grades
-    first — the round-1 cohort)."""
+def test_round8_targets_inside_window():
+    """Round-8 window invariant: the full r1/r2 grade-age backlog (25
+    rows — after this round no grade predates round 3) plus every row
+    whose implementation round 8 touched (fused pairs kernel dispatch +
+    collapsed copies_col, tiered quantile dispatch, grouped-quantile
+    guard) must sit inside the first 50 registry slots; the remaining
+    slots follow the grade-age rule (round-3 cohort, oldest first)."""
+    backlog = {
+        "s10_orc_roundtrip",
+        "l1_exact_dedup", "l2_edit_distance_pairs", "l2_embedding_neardup",
+        "l4_bigram_freq", "l4_bpe_token_count", "l4_doc_stats",
+        "l4_fingerprint", "l4_lang_id", "l4_tfidf_topterms",
+        "l6_cap_per_source", "l6_decontaminate", "l6_pack_sequences",
+        "l6_quality_filter", "l6_redact", "m4_funnel",
+        "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_forecast_revenue", "q18_large_volume_customer",
+        "v2_grouped_agg_pandas_udf", "v3_map_in_pandas_chunker",
+        "w8_journey_paths", "w9_event_transitions", "z1_salted_agg",
+    }
     changed = {
-        "l2_jaccard_collapsed",
-        "j8_asof_join",
-        "j8b_asof_tolerance",
-        "j8c_asof_forward",
-        "a22_equi_depth_histogram",
         "l2_jaccard_pairs",
+        "l2_jaccard_collapsed",
         "l2_containment_pairs",
         "l2_containment_collapsed",
         "l2_dedup_clusters",
         "l2_dedup_clusters_collapsed",
+        "a22_equi_depth_histogram",
+        "x28_latency_bands",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = changed - window
-    assert not out, f"round-7 changed-code rows outside the 50-slot window: {out}"
+    out = (backlog | changed) - window
+    assert not out, f"round-8 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():

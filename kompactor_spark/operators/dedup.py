@@ -685,7 +685,10 @@ def jaccard_pairs_collapsed(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).cast("bigint").alias("__n_copies"),
         )
-        .localCheckpoint(eager=False)  # read by 4 downstream subtrees
+        # checkpoint: read by the dispatch agg + kernel on the fused
+        # path, by 4 downstream subtrees (index, sizes, 2 joins) on the
+        # composed path
+        .localCheckpoint(eager=False)
     )
     # one fused task for model-sized representative sets — see
     # containment_pairs_collapsed

@@ -223,3 +223,18 @@ def test_collapsed_kernel_guard(spark):
     p = ok._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in p and "Join" not in p
     assert ok.count() > 0
+
+
+@pytest.mark.parametrize("metric", ["jaccard", "containment"])
+def test_collapsed_kernel_empty_input(spark, metric):
+    # empty corpus -> empty 5-column frame with the right schema on the
+    # fused path (the kernel's no-batches early return)
+    fn = (
+        D.containment_pairs_collapsed
+        if metric == "containment"
+        else D.jaccard_pairs_collapsed
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = fn(empty)
+    assert out.columns == ["id_a", "id_b", metric, "n_copies_a", "n_copies_b"]
+    assert out.count() == 0

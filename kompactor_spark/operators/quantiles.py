@@ -500,8 +500,9 @@ def exact_quantile_cuts(
     else:
         tier, vals = _stage_input(vals)
     if tier == "compact":
-        # Fully lazy: the caller's single action runs the local sort as
-        # a broadcast subtree — zero jobs before it.
+        # Lazy cuts: the caller's single action runs the local sort as
+        # a broadcast subtree (the only prior job is the dispatch's
+        # row-confirm count inside _stage_input).
         return _local_cuts_plan(vals, col, probs), vals
     n, merged = _exp_histogram(vals, col)
     if n == 0:
@@ -733,8 +734,9 @@ def equi_depth_histogram(
 
     - COMPACT inputs run the ENTIRE histogram — sort, cuts,
       searchsorted bucketing, per-bucket reduction — inside a single
-      Arrow task: ONE job end-to-end, versus cuts-job + bucketing-job
-      for the composed plan (round 7; a22 at sf1 was floor-dominated at
+      Arrow task: one kernel job (plus the dispatch's row-confirm
+      count) versus cuts-job + bucketing-job for the composed plan
+      (round 7; a22 at sf1 was floor-dominated at
       2 jobs x the ~0.5-0.9 s VM stage floor, VERDICT r6 #4). Exactness:
       the sorted-array cuts reuse :func:`_np_cuts` (bit-identical to
       Spark's ``percentile``), and the bucket total accumulates integer

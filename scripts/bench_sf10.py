@@ -240,6 +240,24 @@ def main() -> None:
             merged = json.load(fh).get("queries", {})
         merged.update(results)
         results = merged
+    # standing row annotations (survive subset re-measures)
+    notes = {
+        "l2_containment_collapsed": (
+            "round 8: fused kernel path (copies through the kernel). Two "
+            "same-day windows measured 1.12 s/2.34x and 2.41 s/4.04x — "
+            "engine stage decomposition and the drift context are in "
+            "PLANS.md round 8 / BASELINE.md §5.2"
+        ),
+        "a22_equi_depth_histogram": (
+            "round 8: first sf10 point, on the tiered dispatch (medium "
+            "fan-out checkpoint). The round-7 byte gate alone mis-routed "
+            "this 15M-row column into a 14 s one-task decode — BASELINE.md "
+            "§5.2 / PLANS.md round 8"
+        ),
+    }
+    for k, note in notes.items():
+        if k in results:
+            results[k].setdefault("note", note)
     line = {
         "metric": "sf10_engine_vs_duckdb_median_sec",
         "value": round(sum(r["engine_sec"] for r in results.values()), 4),

@@ -65,13 +65,22 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # model-sized driver state, so the ratio should amortize
            # toward 1x as real scan work swamps the stage-launch floor;
            # this row measures that claim instead of extrapolating it.
-           "a22_equi_depth_histogram"]
+           "a22_equi_depth_histogram",
+           # round 8 trend-table widening: three more rows whose sf1
+           # ratios are floor-inflated (DuckDB side 0.14-1.1 s) but
+           # whose sf10 DuckDB side does >=1 s of real work — measure
+           # the crossover instead of asserting it. x23 = sweep-line
+           # peak concurrency over 10M events; bm25 = full-corpus
+           # scoring over 500k docs; repeated_ngrams = the n-gram
+           # self-join family.
+           "x23_max_concurrency", "l4_bm25", "l4_repeated_ngrams"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would
 # otherwise be excluded from the timed region): timer keeps
 # construction inside, mirroring bench.py/bench_sf1.py EAGER_CONSTRUCT.
-EAGER_CONSTRUCT = {"l2_containment_collapsed", "l2_dedup_clusters_collapsed"}
+EAGER_CONSTRUCT = {"l2_containment_collapsed", "l2_dedup_clusters_collapsed",
+                   "l4_bm25"}  # checkpoint runs at construction (bench_sf1 note)
 
 
 def generate() -> None:

@@ -284,12 +284,15 @@ def _kernel_shingle_sets(texts, n: int) -> list[set]:
     and the driver-side bound in :func:`_kernel_pair_bound` so the
     guard counts precisely the pairs the kernel would generate."""
     sets = []
+    join = " ".join
     for t in texts:
         toks = ("" if t is None else t).split(" ")
         if len(toks) >= n:
-            sets.append({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+            # zip-of-offsets n-gram walk: one C-level pass instead of a
+            # Python slice per position (~2x on the bench corpus)
+            sets.append(set(map(join, zip(*(toks[i:] for i in range(n))))))
         else:
-            sets.append({" ".join(toks)})
+            sets.append({join(toks)})
     return sets
 
 
@@ -378,7 +381,7 @@ def _pairs_kernel(
         out_schema += ", n_copies_a bigint, n_copies_b bigint"
 
     def run(batches):
-        from collections import Counter, defaultdict
+        from collections import defaultdict
 
         import numpy as np
         import pandas as pd
@@ -386,25 +389,26 @@ def _pairs_kernel(
         parts = [b for b in batches if len(b)]
         if not parts:
             return
-        pdf = pd.concat(parts, ignore_index=True)
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         ids = pdf[id_col].to_numpy()
         copies = pdf[copies_col].to_numpy() if copies_col else None
         ndocs = len(pdf)
         sets = _kernel_shingle_sets(pdf[text_col], n)
         sizes = np.array([len(s) for s in sets], dtype=np.float64)
 
-        dfreq = Counter()
-        for s in sets:
-            dfreq.update(s)
+        # one unconditional postings pass; the hot filter moves to the
+        # length test below — len(postings[sh]) IS the doc frequency
+        # (sets are distinct per doc), so `2 <= len <= max_shingle_freq`
+        # is exactly the old Counter-precomputed `dfreq[sh] <= max` gate
+        # on lists that can pair, minus a whole pass over the shingles
         postings = defaultdict(list)
         for di, s in enumerate(sets):
             for sh in s:
-                if dfreq[sh] <= max_shingle_freq:
-                    postings[sh].append(di)
+                postings[sh].append(di)
 
         byf = defaultdict(list)
         for d in postings.values():
-            if len(d) >= 2:
+            if 2 <= len(d) <= max_shingle_freq:
                 byf[len(d)].append(d)
         key_parts, cnt_parts = [], []
         nd64 = np.int64(ndocs)

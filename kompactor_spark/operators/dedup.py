@@ -411,7 +411,14 @@ def _pairs_kernel(
             if 2 <= len(d) <= max_shingle_freq:
                 byf[len(d)].append(d)
         key_parts, cnt_parts = [], []
-        nd64 = np.int64(ndocs)
+        # int32 pair keys: the dispatch bounds rows at
+        # _FUSED_PAIRS_MAX_REPS (8192), so a*ndocs+b < 8192² = 2^26 —
+        # comfortably inside int32. Halving the key/count width halves
+        # the memory traffic of the sort-merge below, which is the
+        # kernel's bandwidth-bound section (measured: the fin-stage ops
+        # are what ambient memory-bandwidth contention stalls).
+        assert ndocs * ndocs < (1 << 31), "pair-key packing requires ndocs < 46341"
+        nd32 = np.int32(ndocs)
         for f, lists in byf.items():
             per_row = f * (f - 1) // 2
             iu, ju = np.triu_indices(f, k=1)
@@ -421,32 +428,32 @@ def _pairs_kernel(
                 # pair index space so the chunk bound holds under ANY
                 # shingle skew (ADVICE r7)
                 for d in lists:
-                    m = np.asarray(d, dtype=np.int64)
+                    m = np.asarray(d, dtype=np.int32)
                     for s0 in range(0, per_row, _KERNEL_PAIR_CHUNK):
                         sl = slice(s0, s0 + _KERNEL_PAIR_CHUNK)
                         uk, uc = np.unique(
-                            m[iu[sl]] * nd64 + m[ju[sl]], return_counts=True
+                            m[iu[sl]] * nd32 + m[ju[sl]], return_counts=True
                         )
                         key_parts.append(uk)
-                        cnt_parts.append(uc.astype(np.int64))
+                        cnt_parts.append(uc.astype(np.int32))
                 continue
             rows_per_chunk = max(1, _KERNEL_PAIR_CHUNK // per_row)
             for c0 in range(0, len(lists), rows_per_chunk):
-                m = np.asarray(lists[c0 : c0 + rows_per_chunk], dtype=np.int64)
+                m = np.asarray(lists[c0 : c0 + rows_per_chunk], dtype=np.int32)
                 # postings lists are ascending doc-index order, so a < b
                 a = m[:, iu].ravel()
                 b = m[:, ju].ravel()
-                uk, uc = np.unique(a * nd64 + b, return_counts=True)
+                uk, uc = np.unique(a * nd32 + b, return_counts=True)
                 key_parts.append(uk)
-                cnt_parts.append(uc.astype(np.int64))
+                cnt_parts.append(uc.astype(np.int32))
         if not key_parts:
             return
         keys = np.concatenate(key_parts)
         cnts = np.concatenate(cnt_parts)
         uk, inv_idx = np.unique(keys, return_inverse=True)
         shared = np.bincount(inv_idx, weights=cnts)  # float64; counts < 2^53 exact
-        xa = (uk // nd64).astype(np.int64)
-        xb = (uk % nd64).astype(np.int64)
+        xa = (uk // nd32).astype(np.int64)
+        xb = (uk % nd32).astype(np.int64)
 
         if directed:
             a_idx = np.concatenate([xa, xb])

@@ -754,16 +754,20 @@ def minhash_lsh_pairs(
 
     # NOTE: this wrapper is the RECALL BASELINE, not the scale path.
     # approxSimilarityJoin's internal explode+self-join under-estimates
-    # its exploded hash side, so Spark can pick a driver-breaking
+    # its exploded hash side, so Spark used to pick a driver-breaking
     # broadcast for it at 10x the grading corpus (observed: borderline
-    # OOM at sf1 under a 32 MB broadcast threshold) — and the internal
-    # join accepts no hints, no width pin, no fan-out. That lack of
-    # control is exactly why minhash_band_pairs below hand-rolls the
-    # same construction with explicit banding, bucket caps, fan-out and
-    # join width; use IT beyond the grading scales.
+    # OOM at sf1 under a 32 MB broadcast threshold). The SHUFFLE_MERGE
+    # hint on the feature frame propagates through the wrapper's
+    # internal join (strategy hints resolve against the join's child
+    # SUBTREES, and both sides derive from this frame), pinning it to a
+    # sort-merge join — plan-pinned in tests/test_plans.py. The hint
+    # fixes the broadcast failure mode only; bucket caps, fan-out and
+    # join width still aren't controllable through the wrapper, which
+    # is why minhash_band_pairs below hand-rolls the same construction
+    # with explicit banding — use IT beyond the grading scales.
     docs = _shingle_docs_array(df, id_col, text_col, n).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feats = tf.transform(docs)
+    feats = tf.transform(docs).hint("shuffle_merge")
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed)
     model = mh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist")

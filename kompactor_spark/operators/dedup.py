@@ -239,7 +239,12 @@ _KERNEL_PAIR_CHUNK = 1 << 24
 def _pairs_small_input(df, id_col, text_col) -> bool:
     if _FUSED_PAIRS_MAX_REPS < 0 or _FUSED_PAIRS_MAX_TEXT_BYTES < 0:
         return False
-    n_rows = df.count()
+    from kompactor_spark.tables import metadata_row_count
+
+    # bare-parquet-scan inputs answer this from file footers (no job)
+    n_rows = metadata_row_count(df)
+    if n_rows is None:
+        n_rows = df.count()
     if n_rows > _FUSED_PAIRS_MAX_REPS:
         return False
     # text bytes + id uniqueness in ONE second job (only reached for

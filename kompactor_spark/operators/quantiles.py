@@ -86,15 +86,18 @@ _K0 = "__oq_k0"
 # rows (measured 0.26 B/row on sorted-ish prices), and the one-task
 # path's cost is linear in rows (single-core parquet decode + sort
 # measured 14 s on 15M rows where the distributed path took 5.7 s and
-# DuckDB 1.5 s). So the gate is CONFIRMED by an exact count() before
-# the one-task path is taken — a plain parallel count measured 0.17 s
-# flat from 15k to 15M rows here, strictly cheaper than a
-# limit(N).count() probe whose incremental scale-up shuffles each
-# round to one partition (0.27-0.62 s, worst exactly when the input
-# is small). The count only runs when the gate already passed, so
-# large inputs never pay it. Anything estimate-opaque (Long.MaxValue
-# sentinel, ADVICE r7) falls back to the split-count test for the
-# gate, then the same row confirm.
+# DuckDB 1.5 s). So the gate is CONFIRMED by an exact row count
+# before the one-task path is taken. Bare-parquet-scan inputs answer
+# it from file footers driver-side (tables.metadata_row_count — the
+# metadata-only count a columnar engine does, ~ms, no job); anything
+# else pays a plain parallel count() — measured 0.17 s flat from 15k
+# to 15M rows here, strictly cheaper than a limit(N).count() probe
+# whose incremental scale-up shuffles each round to one partition
+# (0.27-0.62 s, worst exactly when the input is small). The confirm
+# only runs when the gate already passed, so large inputs never pay
+# it. Anything estimate-opaque (Long.MaxValue sentinel, ADVICE r7)
+# falls back to the split-count test for the gate, then the same
+# row confirm.
 #
 # MEDIUM inputs (estimate <= _MEDIUM_EST_BYTES but too many rows for
 # one task) are fanned out across cores and LAZILY checkpointed once:
@@ -135,7 +138,14 @@ def _compact_input(vals: DataFrame) -> bool:
         gate = vals.rdd.getNumPartitions() <= _SMALL_NPARTS
     if not gate:
         return False
-    return vals.count() <= _SMALL_MAX_ROWS
+    from kompactor_spark.tables import metadata_row_count
+
+    # bare-parquet-scan inputs answer the confirm from file footers
+    # (driver-side ~ms, no job); anything else pays the real count
+    n = metadata_row_count(vals)
+    if n is None:
+        n = vals.count()
+    return n <= _SMALL_MAX_ROWS
 
 
 def _stage_input(vals: DataFrame) -> tuple[str, DataFrame]:

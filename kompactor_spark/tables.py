@@ -134,3 +134,53 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def metadata_row_count(df: DataFrame) -> int | None:
+    """Exact row count from Parquet footers, when the plan permits it.
+
+    A columnar engine answers an unfiltered ``count(*)`` from file
+    metadata without touching data (DuckDB does; Spark's v1 Parquet
+    path does not). This inspects the OPTIMIZED logical plan and
+    returns the summed footer ``num_rows`` only when the plan is a
+    pure column projection over a Parquet file relation — any Filter,
+    Join, Generate, Union, Aggregate or non-Parquet source returns
+    None and the caller falls back to a real ``count()``. Partition
+    pruning is safe: pruning predicates sit in a Filter node above the
+    relation in the optimized plan, which this rejects.
+
+    Used by size-dispatch gates (quantiles' row confirm, dedup's
+    small-input check) where the count decides a physical strategy:
+    the confirm becomes a driver-side footer read (~ms) instead of a
+    full-scan job, exactly when the input is a bare table scan.
+    """
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        name = node.getClass().getSimpleName()
+        while name == "Project":
+            node = node.children().apply(0)
+            name = node.getClass().getSimpleName()
+        if name != "LogicalRelation":
+            return None
+        rel = node.relation()
+        if rel.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        if "Parquet" not in rel.fileFormat().getClass().getSimpleName():
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import re
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        path = re.sub("^file:/+", "/", f)
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total

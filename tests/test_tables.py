@@ -32,3 +32,25 @@ def test_unique_key_is_unique(spark, table):
         assert distinct < df.count()
     else:
         assert df.count() == distinct, f"{table} key {keys} not unique"
+
+
+def test_metadata_row_count_shapes(spark):
+    """metadata_row_count answers ONLY for pure projections over a
+    Parquet scan (footer-exact), returning None for every plan shape
+    where footers can't speak for the result — the fallback-to-count()
+    contract the dispatch gates rely on."""
+    from pyspark.sql import functions as F
+
+    from kompactor_spark.tables import metadata_row_count
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    n = docs.count()
+    assert metadata_row_count(docs) == n
+    assert metadata_row_count(docs.select("doc_id", "text")) == n
+    assert metadata_row_count(docs.where(F.col("n_chars") > 10)) is None
+    assert metadata_row_count(docs.join(docs.select("doc_id"), "doc_id")) is None
+    assert metadata_row_count(docs.groupBy("lang").count()) is None
+    assert metadata_row_count(docs.limit(5)) is None
+    assert metadata_row_count(spark.createDataFrame([(1,)], "a int")) is None
+    assert metadata_row_count(docs.localCheckpoint(eager=False)) is None

@@ -170,7 +170,11 @@ def metadata_row_count(df: DataFrame) -> int | None:
         files = df.inputFiles()
     except Exception:
         return None
-    if not files:
+    # footer reads are DRIVER-side and sequential: on a cluster-scale
+    # table (tens of thousands of files) they would cost more than the
+    # distributed count() they replace — cap the file count and let
+    # large tables keep the parallel count path
+    if not files or len(files) > 1024:
         return None
     import re
 

@@ -20,14 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata", "sf1")
 
-# Not run at sweep scale: pyspark.ml's approxSimilarityJoin internals
-# under-estimate their exploded hash side and can OOM the driver with a
-# mis-chosen broadcast at sf1 (no hint/width control exists — see
-# operators/dedup.py::minhash_lsh_pairs). A driver OOM would poison
-# every query after it, so the wrapper is excluded here; the
-# hand-rolled minhash_band_pairs (same construction, controlled plan)
-# IS swept.
-SKIP = {"l2_minhash_lsh": "ml approxSimilarityJoin broadcast OOM risk at sf1 (documented)"}
+# Previously skipped: pyspark.ml's approxSimilarityJoin could pick a
+# driver-breaking broadcast for its under-estimated exploded hash side
+# at sf1. The SHUFFLE_MERGE hint on the feature frame now pins that
+# join to sort-merge (operators/dedup.py::minhash_lsh_pairs,
+# plan-pinned in tests/test_plans.py), so the wrapper is sweep-safe
+# and IS swept — its sf1 row doubles as the fix's scale evidence.
+SKIP: dict[str, str] = {}
 
 
 def main() -> None:

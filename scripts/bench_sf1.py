@@ -357,8 +357,18 @@ def main() -> None:
             "regress small scale (design-grade point is sf10: 1.65x)"
         ),
         "a22_equi_depth_histogram": (
-            "DuckDB side ~0.12 s — floor class; includes the 0.17 s dispatch "
-            "row-confirm. Design-grade point is sf10: 1.30x (BASELINE.md §5.2)"
+            "DuckDB side ~0.12 s — floor class; bare-scan inputs now answer "
+            "the dispatch row-confirm from parquet footers (no job). "
+            "Design-grade point is sf10: 1.30x (BASELINE.md §5.2)"
+        ),
+        "l2_containment_collapsed": (
+            "round-8-continuation protocol-settled 9-run interleaved A/B: "
+            "1.56 s vs 0.62 s = 2.51x — DuckDB side approaching floor class "
+            "at this scale; design-grade point is sf10: 1.82x"
+        ),
+        "l2_dedup_clusters_collapsed": (
+            "round-8-continuation protocol-settled A/B: 2.33 s vs 2.43 s "
+            "= 0.96x — engine wins outright (BASELINE.md §5.2)"
         ),
     }
     for k, note in notes.items():

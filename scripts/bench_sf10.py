@@ -252,10 +252,15 @@ def main() -> None:
     # standing row annotations (survive subset re-measures)
     notes = {
         "l2_containment_collapsed": (
-            "round 8: fused kernel path (copies through the kernel). Two "
-            "same-day windows measured 1.12 s/2.34x and 2.41 s/4.04x — "
-            "engine stage decomposition and the drift context are in "
-            "PLANS.md round 8 / BASELINE.md §5.2"
+            "round-8-continuation protocol-settled 9-run interleaved A/B: "
+            "1.36 s vs 0.75 s = 1.82x on the sped-up kernel (worker body "
+            "0.74->0.44 s) — under the 2x bar; engine median falls with "
+            "scale. PLANS.md round 8 / BASELINE.md §5.2"
+        ),
+        "l2_dedup_clusters_collapsed": (
+            "round-8-continuation protocol-settled A/B: 3.19 s vs 2.89 s "
+            "= 1.10x; engine curve flat across the 10x growth "
+            "(BASELINE.md §5.2)"
         ),
         "a22_equi_depth_histogram": (
             "round 8: first sf10 point, on the tiered dispatch (medium "

@@ -238,3 +238,49 @@ def test_collapsed_kernel_empty_input(spark, metric):
     out = fn(empty)
     assert out.columns == ["id_a", "id_b", metric, "n_copies_a", "n_copies_b"]
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-randomized parity (round-8 continuation): the kernel was
+# rewritten twice this round (zip-shingling + single-pass postings,
+# int32 pair keys), so the fixed adversarial fixtures above are
+# reinforced with seeded random corpora — small vocab forces shared
+# shingles, mixed doc lengths cross the n-token boundary, and random
+# (n, threshold, max_shingle_freq) sweep the dispatch-visible surface.
+# derandomize=True: the examples are a fixed regression corpus, not CI
+# noise.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def corpus_st(draw):
+    vocab = [f"w{i}" for i in range(draw(st.integers(4, 12)))]
+    ndocs = draw(st.integers(2, 24))
+    docs = []
+    for i in range(ndocs):
+        length = draw(st.integers(0, 9))
+        toks = [vocab[draw(st.integers(0, len(vocab) - 1))] for _ in range(length)]
+        docs.append((i, " ".join(toks)))
+    n = draw(st.integers(2, 4))
+    threshold = draw(st.sampled_from([0.05, 0.3, 0.7, 1.0]))
+    max_freq = draw(st.sampled_from([2, 5, 1000]))
+    metric = draw(st.sampled_from(["jaccard", "containment"]))
+    return docs, n, threshold, max_freq, metric
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=corpus_st())
+def test_kernel_parity_property(spark, case):
+    docs_rows, n, threshold, max_freq, metric = case
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    k, d = _both(
+        spark, docs, metric, n=n, threshold=threshold, max_shingle_freq=max_freq
+    )
+    assert k == d

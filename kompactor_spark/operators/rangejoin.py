@@ -36,6 +36,7 @@ def binned_interval_join(
     bucket_ns: int,
     how: str = "inner",
     n_salt: int = 1,
+    extra_keys: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Join each point (ns-long ``point_ts``) to every interval with
     ``start_col <= point_ts <= end_col`` (ns longs, inclusive).
@@ -43,6 +44,19 @@ def binned_interval_join(
     ``bucket_ns`` trades shuffle fan-out for residual selectivity:
     pick it near the TYPICAL interval length so intervals explode to
     ~2 buckets. Column names must be disjoint between the two inputs.
+
+    ``extra_keys`` adds entity equi-keys to the bucket join —
+    ``[(point_col, interval_col), ...]`` pairs that must ALSO match.
+    This is the per-entity lookback shape (each error joins same-USER
+    signups in the preceding 24 h): joining on the entity alone is
+    quadratic in that entity's history length, and joining on the time
+    bucket alone is quadratic in per-bucket traffic across all
+    entities — the composite (entity, bucket) key bounds candidates to
+    one entity's one-or-two adjacent windows, which is the only shape
+    whose candidate count stays LINEAR as history grows (the j14
+    lesson applied to stream-join lookbacks; measured on x9 at sf10:
+    the plain user-keyed join went quadratic with 100x history while
+    this stays flat).
 
     ``n_salt`` > 1 splits each bucket into sub-keys for SKEW: the
     explicit repartition below exempts this exchange from AQE's
@@ -74,23 +88,28 @@ def binned_interval_join(
             )
         ),
     )
+    keys = extra_keys or []
     if n_salt > 1:
         p = p.withColumn(_SALT, F.pmod(F.xxhash64(F.col(point_ts)), F.lit(n_salt)))
         i = i.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-        p = pin_expansion_width(p, [_BUCKET, _SALT])
+        p = pin_expansion_width(p, [_BUCKET, _SALT] + [pk for pk, _ in keys])
         cond = (
             (p[_BUCKET] == i[_BUCKET])
             & (p[_SALT] == i[_SALT])
             & (p[point_ts] >= i[start_col])
             & (p[point_ts] <= i[end_col])
         )
+        for pk, ik in keys:
+            cond = cond & (p[pk] == i[ik])
         return p.join(i, cond, how).drop(_BUCKET, _SALT)
-    p = pin_expansion_width(p, [_BUCKET])
+    p = pin_expansion_width(p, [_BUCKET] + [pk for pk, _ in keys])
     cond = (
         (p[_BUCKET] == i[_BUCKET])
         & (p[point_ts] >= i[start_col])
         & (p[point_ts] <= i[end_col])
     )
+    for pk, ik in keys:
+        cond = cond & (p[pk] == i[ik])
     return p.join(i, cond, how).drop(_BUCKET)
 
 

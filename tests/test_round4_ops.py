@@ -1003,3 +1003,44 @@ def test_multi_measure_pivot_census(spark, regs):
             assert (n == 0) == (rev is None)
             if n:
                 assert rev > 0
+
+
+def test_binned_interval_join_extra_keys_matches_naive(spark):
+    """extra_keys (the per-entity lookback shape, round-8 x9 re-key):
+    the composite (entity, bucket) join must produce exactly the pairs
+    of the naive entity-equi + range theta join, with and without
+    salting."""
+    from kompactor_spark.operators.rangejoin import binned_interval_join
+
+    ev = load_table(spark, SF, "events")
+    us = F.col("ts") - F.col("ts") % 1000
+    day = 24 * 3600 * 10**9
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        us.alias("err_ts"),
+        (us - day).alias("lb"),
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        us.alias("s_ts"),
+    )
+    naive = {
+        (r.err_id, r.signup_id)
+        for r in errors.join(
+            signups,
+            (F.col("e_user") == F.col("s_user"))
+            & (F.col("s_ts") >= F.col("lb"))
+            & (F.col("s_ts") <= F.col("err_ts")),
+        ).collect()
+    }
+    for salt in (1, 3):
+        binned = {
+            (r.err_id, r.signup_id)
+            for r in binned_interval_join(
+                signups, errors, "s_ts", "lb", "err_ts", day,
+                n_salt=salt, extra_keys=[("s_user", "e_user")],
+            ).collect()
+        }
+        assert binned == naive != set()

@@ -69,7 +69,12 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join",
            # side is ~0.15 s here — partially floor-class; the sf10 row
            # (1.65x) is the design-grade number, this row exists to show
            # the fuse did not regress the small scale.
-           "j8_asof_join"]
+           "j8_asof_join",
+           # round-8 continuation: the re-keyed lookback join and the
+           # journey-path window family, published at both scales so
+           # their curves are on record (sf10 is the design grade for
+           # both; x9's sf1 DuckDB side is ~0.23 s — floor-leaning).
+           "x9_interval_join", "w8_journey_paths"]
 RUNS = 3
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time even with eager=False on Spark 4.1), so the

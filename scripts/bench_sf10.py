@@ -73,7 +73,14 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # peak concurrency over 10M events; bm25 = full-corpus
            # scoring over 500k docs; repeated_ngrams = the n-gram
            # self-join family.
-           "x23_max_concurrency", "l4_bm25", "l4_repeated_ngrams"]
+           "x23_max_concurrency", "l4_bm25", "l4_repeated_ngrams",
+           # round-8 continuation: two more event-family rows where the
+           # sf10 DuckDB side does >=1 s of real work. x9 is the
+           # composite-(user, bucket) lookback re-key (the j14 lesson
+           # applied to stream-join lookbacks — the plain user-keyed
+           # join measured 83 s here); w8 is the per-user ordered
+           # journey-path window family.
+           "x9_interval_join", "w8_journey_paths"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would

@@ -355,8 +355,16 @@ def p4_unpivot(spark, sf_dir):
 
 # --------------------------------------------------------------------------
 # W5 — rolling distinct count: distinct users per type over the current
-# + all earlier hours (size(collect_set) over a running frame — exact
-# windowed COUNT DISTINCT, which neither engine supports natively)
+# + all earlier hours (exact windowed COUNT DISTINCT, which neither
+# engine supports natively). A running frame is MONOTONIC, so the exact
+# identity applies: a user is inside hour h's running distinct set iff
+# their FIRST event hour (per type) <= h — i.e. the rolling distinct
+# count is the cumulative count of first appearances. That turns the
+# naive per-row set accumulation (collect_list of per-hour user sets
+# over the running frame, then flatten+distinct PER OUTPUT ROW —
+# O(hours² x users/hour) per type, measured >9 min at sf10's 100x hour
+# span where this plan runs in seconds) into two hash shuffles over
+# events plus one running-sum window over the model-sized hourly frame.
 # --------------------------------------------------------------------------
 @register(
     "w5_rolling_distinct",
@@ -383,26 +391,34 @@ def w5_rolling_distinct(spark, sf_dir):
     from pyspark.sql import Window
 
     T = loader(sf_dir, spark)
-    hourly = (
-        T("events")
-        .groupBy(
-            "event_type",
-            # exact long floor (subtract-modulo): float division would
-            # round the >2^53 ns epoch to ~256 ns granularity and could
-            # mis-bucket events within ~128 ns of an hour boundary
-            (F.col("ts") - F.col("ts") % 3_600_000_000_000).cast("long").alias("hour_ns"),
-        )
-        .agg(F.collect_set("user_id").alias("users"))
+    ev = T("events").select(
+        "event_type",
+        # exact long floor (subtract-modulo): float division would
+        # round the >2^53 ns epoch to ~256 ns granularity and could
+        # mis-bucket events within ~128 ns of an hour boundary
+        (F.col("ts") - F.col("ts") % 3_600_000_000_000).cast("long").alias("hour_ns"),
+        "user_id",
     )
+    # first appearance per (type, user): one hash shuffle, map-side
+    # combined; a first_hour is by construction one of the hours in the
+    # spine, so the left join below loses nothing
+    new_per_hour = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.min("hour_ns").alias("hour_ns"))
+        .groupBy("event_type", "hour_ns")
+        .agg(F.count(F.lit(1)).alias("__n_new"))
+    )
+    hours = ev.select("event_type", "hour_ns").distinct()
     w = (
         Window.partitionBy("event_type")
         .orderBy("hour_ns")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        hourly.withColumn(
+        hours.join(new_per_hour, ["event_type", "hour_ns"], "left")
+        .withColumn(
             "cum_distinct_users",
-            F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w)))).cast("bigint"),
+            F.sum(F.coalesce(F.col("__n_new"), F.lit(0))).over(w).cast("bigint"),
         )
         .select("event_type", "hour_ns", "cum_distinct_users")
         .orderBy("event_type", "hour_ns")

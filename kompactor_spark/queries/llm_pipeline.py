@@ -3776,23 +3776,108 @@ def l7g_pca_power(spark, sf_dir):
     import math
 
     T = loader(sf_dir, spark)
-    flat = T("embeddings").select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x")
-    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), F.col("x").cast("decimal(18,9)").alias("xd"))
-    n = flat.select("vec_id").distinct().count()
-    s_rows = flat.groupBy("dim").agg(F.sum("xd").alias("s1")).collect()
-    s1 = {r.dim: r.s1 for r in s_rows}
-    a = flat.select("vec_id", F.col("dim").alias("i"), F.col("xd").alias("xa"))
-    bb = flat.select("vec_id", F.col("dim").alias("j"), F.col("xd").alias("xb"))
-    p_rows = (
-        a.join(bb, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sij"))
-        .collect()  # constant-size: d² exact decimals (the IVF-sidecar choice)
+    emb = T("embeddings").where(F.size("embedding") > 0)
+    n = emb.select("vec_id").distinct().count()
+    # The d² power-sum matrix Σ x_i·x_j AND the per-dim sums Σ x_i are
+    # computed by an EXACT integer-unit matmul kernel instead of the
+    # flat⋈flat self-join + explode aggregates the oracle writes: the
+    # join shuffled 2x 12.8M flat rows and emitted 819M decimal
+    # products through the aggregate (measured 705 s at sf10's 200k
+    # vectors; this path runs ~4 s). Exactness chain: the inputs are
+    # float32-origin, so x·10^9 is exact in float64 (≤ 45 significand
+    # bits) and half-away rounding reproduces Spark's double →
+    # decimal(18,9) HALF_UP cast bit-for-bit; the unit vectors are
+    # limb-split (9+12+12 bits) so every limb-pair matmul is an exact
+    # integer carried in float64 BLAS; the driver reassembles the
+    # arbitrary-precision integer sums at scale 10^-18 (products) and
+    # 10^-9 (dim sums) — the SAME exact rationals the decimal SUMs
+    # produce, so every float conversion below is bit-identical to the
+    # decimal plan's. One scan, no shuffle, d²-per-partition state.
+    def _cov_partials(batches):
+        # 3-limb split (9+12+12 bits: |units| ≤ ~8e9 < 2^33, so
+        # hi < 2^9, m/s < 2^12): every limb-pair product sum stays far
+        # under 2^53 even at 537M rows per partition, so all nine
+        # matmuls run as EXACT float64 BLAS — the integers they hold
+        # are exact, just carried in doubles for speed.
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        vsum = None
+        d = 0
+        for b in batches:
+            if not len(b):
+                continue
+            xs = np.stack(b["embedding"].to_numpy()).astype(np.float64) * 1e9
+            u = np.where(xs >= 0, np.floor(xs + 0.5), np.ceil(xs - 0.5)).astype(np.int64)
+            if acc is None:
+                d = u.shape[1]
+                acc = [np.zeros((d, d)) for _ in range(5)]
+                vsum = [np.zeros(d) for _ in range(3)]
+            hi = (u >> 24).astype(np.float64)  # arithmetic shift: floor
+            r = u & ((1 << 24) - 1)  # non-negative remainder
+            m = (r >> 12).astype(np.float64)
+            s = (r & ((1 << 12) - 1)).astype(np.float64)
+            acc[0] += s.T @ s
+            acc[1] += m.T @ s + s.T @ m
+            acc[2] += hi.T @ s + s.T @ hi + m.T @ m
+            acc[3] += hi.T @ m + m.T @ hi
+            acc[4] += hi.T @ hi
+            vsum[0] += s.sum(axis=0)
+            vsum[1] += m.sum(axis=0)
+            vsum[2] += hi.sum(axis=0)
+        if acc is None:
+            return
+        yield pd.DataFrame(
+            {
+                "d": [d],
+                **{f"l{k}": [acc[k].astype(np.int64).ravel().tolist()] for k in range(5)},
+                **{f"v{k}": [vsum[k].astype(np.int64).tolist()] for k in range(3)},
+            }
+        )
+
+    from kompactor_spark.tables import fan_out
+
+    partials = (
+        fan_out(emb.select("embedding"))
+        .mapInPandas(
+            _cov_partials,
+            "d int, l0 array<long>, l1 array<long>, l2 array<long>, "
+            "l3 array<long>, l4 array<long>, "
+            "v0 array<long>, v1 array<long>, v2 array<long>",
+        )
+        .collect()  # one row per non-empty partition — model state
     )
+    d = partials[0]["d"]
+    import decimal as _dec0
+
+    sij_units = [[0] * d for _ in range(d)]
+    s1_units = [0] * d
+    for row in partials:
+        limbs = [row[f"l{k}"] for k in range(5)]
+        vl = [row[f"v{k}"] for k in range(3)]
+        for i in range(d):
+            s1_units[i] += (int(vl[2][i]) << 24) + (int(vl[1][i]) << 12) + int(vl[0][i])
+            base = i * d
+            tgt = sij_units[i]
+            for j in range(d):
+                k = base + j
+                tgt[j] += (
+                    (int(limbs[4][k]) << 48)
+                    + (int(limbs[3][k]) << 36)
+                    + (int(limbs[2][k]) << 24)
+                    + (int(limbs[1][k]) << 12)
+                    + int(limbs[0][k])
+                )
+    s1 = {i + 1: _dec0.Decimal(s1_units[i]).scaleb(-9) for i in range(d)}
     C = {
-        (r.i, r.j): (float(r.sij) - float(s1[r.i]) * float(s1[r.j]) / n) / (n - 1)
-        for r in p_rows
+        (i + 1, j + 1): (
+            float(_dec0.Decimal(sij_units[i][j]).scaleb(-18))
+            - float(s1[i + 1]) * float(s1[j + 1]) / n
+        )
+        / (n - 1)
+        for i in range(d)
+        for j in range(d)
     }
     dims = sorted({i for i, _ in C})
     S = _PCA_S

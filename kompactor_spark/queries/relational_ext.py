@@ -758,10 +758,17 @@ def j14_binned_interval_join(spark, sf_dir):
 # --------------------------------------------------------------------------
 # A9c — exact DISCRETE percentiles (percentile_disc: the value at row
 # max(1, ceil(q*n)) of the group's sort — always an actual data point,
-# unlike A9's interpolating quantile_cont). One window pass computes
-# row_number + group size, one aggregate picks the target rows; the
-# window partitioning is reused by the groupBy (same key, no second
-# exchange).
+# unlike A9's interpolating quantile_cont). l_returnflag has THREE
+# values, so a window partitioned on it serializes ~n/3 rows through
+# one task per group (the low-cardinality-partition window pathology —
+# measured 80 s at sf10's 60M rows, growing linearly-per-core-UNUSED
+# with data). The scale shape instead computes a GLOBAL distributed
+# row_number over (flag, value, tiebreak) — prefixsum's range-partition
+# two-pass, parallel at any scale — and converts it to per-group rank
+# by subtracting each group's exclusive offset (a 3-row window over
+# the per-group counts, bounded model state). Rank targets are exact
+# integers, so the picked values are bit-identical to the windowed
+# plan's.
 # --------------------------------------------------------------------------
 @register(
     "a9c_percentile_disc",
@@ -776,20 +783,44 @@ def j14_binned_interval_join(spark, sf_dir):
     """,
 )
 def a9c_percentile_disc(spark, sf_dir):
+    from kompactor_spark.operators.prefixsum import distributed_row_number
+
     T = loader(sf_dir, spark)
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wn = Window.partitionBy("l_returnflag")
-    ranked = T("lineitem").select(
+    base = T("lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("double").alias("q"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "l_orderkey",
+        "l_linenumber",
     )
+    # global 1-based rank over (flag, q, unique tiebreak) — ties in q
+    # get arbitrary-but-deterministic ranks, which cannot change the
+    # VALUE at any rank (equal values fill the tied rank range)
+    ranked = distributed_row_number(
+        base, ["l_returnflag", "q", "l_orderkey", "l_linenumber"], "__grn"
+    )
+    counts = base.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("__n"))
+    # exclusive per-group offsets: a window over the 3-row counts frame
+    # (bounded model state — the prefixsum offsets pattern)
+    w_off = (
+        Window.partitionBy(F.col("__n") % F.lit(1))
+        .orderBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counts = counts.select(
+        "l_returnflag",
+        "__n",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    joined = ranked.join(F.broadcast(counts), "l_returnflag").withColumn(
+        "__rn", F.col("__grn") - F.col("__off")
+    )
+
     def pick(p):
-        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
-        return F.min(F.when(F.col("rn") == target, F.col("q")))
+        target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("__n")))
+        return F.min(F.when(F.col("__rn") == target, F.col("q")))
+
     return (
-        ranked.groupBy("l_returnflag")
+        joined.groupBy("l_returnflag")
         .agg(pick(0.25).alias("p25"), pick(0.5).alias("p50"), pick(0.9).alias("p90"))
         .orderBy("l_returnflag")
     )
@@ -1354,26 +1385,50 @@ def m10_skew_report(spark, sf_dir):
     """,
 )
 def a25_weighted_median(spark, sf_dir):
+    from kompactor_spark.operators.prefixsum import distributed_cumsum
+
     T = loader(sf_dir, spark)
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    win = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("l_returnflag")
-    c = T("lineitem").select(
+    # l_returnflag has THREE values: a window partitioned on it funnels
+    # ~n/3 rows through one task per group (measured 139 s at sf10) —
+    # so the cumulative weight is computed as a GLOBAL distributed
+    # cumsum over (flag, price, tiebreak) and converted to per-group cw
+    # by subtracting the group's exclusive weight offset (3-row window
+    # over the per-group totals — the a9c/prefixsum offsets pattern).
+    # All arithmetic stays exact DECIMAL, so cw and the cw*2 >= w
+    # comparison are bit-identical to the windowed plan's.
+    base = T("lineitem").select(
         "l_returnflag",
         "l_extendedprice",
-        F.sum(qty).over(win).alias("cw"),
-        F.sum(qty).over(wall).alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("__q"),
+    )
+    cum = distributed_cumsum(
+        base,
+        ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
+        "__q",
+        "__gcw",
+    )
+    totals = base.groupBy("l_returnflag").agg(F.sum("__q").alias("__w"))
+    w_off = (
+        Window.partitionBy(F.col("__w") * F.lit(0))
+        .orderBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    totals = totals.select(
+        "l_returnflag",
+        "__w",
+        F.coalesce(F.sum("__w").over(w_off), F.lit(0).cast("decimal(28,2)")).alias("__off"),
+    )
+    joined = cum.join(F.broadcast(totals), "l_returnflag").withColumn(
+        "cw", F.col("__gcw") - F.col("__off")
     )
     return (
-        c.groupBy("l_returnflag")
+        joined.groupBy("l_returnflag")
         .agg(
-            F.max("w").cast("double").alias("total_weight"),
+            F.max("__w").cast("double").alias("total_weight"),
             F.min(
-                F.when(F.col("cw") * 2 >= F.col("w"), F.col("l_extendedprice"))
+                F.when(F.col("cw") * 2 >= F.col("__w"), F.col("l_extendedprice"))
             ).alias("weighted_median"),
         )
         .orderBy("l_returnflag")

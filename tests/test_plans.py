@@ -448,11 +448,20 @@ def test_j17_single_user_exchange(spark, Q):
     assert "Join" not in p  # union+window mechanism, not an interval join
 
 
-def test_a25_window_and_rollup_share_exchange(spark, Q):
-    """A25: cumulative-weight window and the final groupBy both key on
-    l_returnflag — exactly one exchange on that key."""
+def test_a25_no_low_cardinality_window(spark, Q):
+    """A25 (round-8 rewrite): the cumulative weight comes from the
+    distributed prefix-sum (range partition on the full order), NOT a
+    window partitioned on the 3-value l_returnflag — that window
+    serialized ~n/3 rows through one task per group (139 s at sf10).
+    Pin: a range partitioning on the order keys exists, and no window
+    orders the full data by l_extendedprice (the only windows left run
+    over the bounded totals/offsets frames)."""
     p = plan(spark, Q["a25_weighted_median"](spark, SF))
-    assert p.count("hashpartitioning(l_returnflag") == 1
+    assert "rangepartitioning(l_returnflag" in p, p
+    # no window PARTITIONED on the low-cardinality flag: the local
+    # cumsum windows key on the (32-way) range-partition id, and the
+    # offset windows key on degenerate bounded frames
+    assert "windowspecdefinition(l_returnflag" not in p, p
 
 
 def test_l4_vocab_coverage_no_global_rank_window(spark, Q):
@@ -619,3 +628,25 @@ def test_minhash_lsh_join_not_broadcast(spark):
     assert join_lines, p
     assert all("BroadcastHashJoin" not in ln for ln in join_lines), p
     assert any("SortMergeJoin" in ln for ln in join_lines), p
+
+
+def test_a9c_no_low_cardinality_window(spark, Q):
+    """A9c (round-8 rewrite): per-group discrete percentile ranks come
+    from the distributed row_number (range partition on the full
+    order), not a window partitioned on the 3-value l_returnflag."""
+    p = plan(spark, Q["a9c_percentile_disc"](spark, SF))
+    assert "rangepartitioning(l_returnflag" in p, p
+    assert "windowspecdefinition(l_returnflag" not in p, p
+
+
+def test_l7g_no_self_join(spark, Q):
+    """L7g (round-8 rewrite): the d² covariance power sums come from
+    the exact limb-matmul Arrow kernel over ONE scan — no flat⋈flat
+    self-join (819M decimal products, 705 s at sf10) remains. The
+    plan's only join-free heavy node is the mapInPandas kernel."""
+    import inspect
+
+    from kompactor_spark.queries import llm_pipeline as L
+
+    src = inspect.getsource(L.l7g_pca_power)
+    assert "mapInPandas" in src and ".join(" not in src

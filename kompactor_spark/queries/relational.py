@@ -148,12 +148,28 @@ def j1_inner_join(spark, sf_dir):
 def j2_left_outer_join(spark, sf_dir):
     T = loader(sf_dir, spark)
     c, o = T("customer"), T("orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
+    # aggregate pushed BELOW the join (legal because the join key IS the
+    # group key and customer keys are unique): the fact table collapses
+    # to one row per custkey before the outer join, so the join never
+    # sees fact-table row counts — and the money sum rides the limb-split
+    # long fast path instead of a BigDecimal fold (fixedpoint.py; the
+    # joined-then-aggregated decimal plan measured 20 s at sf10, this
+    # shape ~2 s)
+    hi, lo = fx.limb_split(fx.to_units("o_totalprice", 2))
+    per_cust = (
+        o.select("o_custkey", hi.alias("tp_hi"), lo.alias("tp_lo"))
+        .groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").cast("bigint").alias("n_orders"),
-            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0)).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+            fx.exact_sum("tp_hi", "tp_lo", 2).alias("__t"),
+        )
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("__t"), F.lit(0)).cast("double").alias("total_spend"),
         )
         .orderBy("c_custkey")
     )

@@ -1198,10 +1198,16 @@ def l6_pack_sequences(spark, sf_dir):
 # L6f — decontamination: flag corpus documents that contain an exact
 # probe (prefix) of any benchmark/eval document. The real-world shape:
 # the benchmark set is tiny and broadcast; the corpus is the 100 TB
-# side, scanned once — Spark compiles the containment theta-join to a
-# BroadcastNestedLoopJoin, which is exactly right here (probe set ≪
-# corpus; no equi-key exists for substring containment). doc_id % 97
-# is the deterministic stand-in for "is a benchmark doc".
+# side, scanned once. The containment theta-join LOOKS like it has no
+# equi-key (Spark compiles it to BroadcastNestedLoopJoin — corpus x
+# probes `contains` calls, 2.5e9 at sf10 = 160 s), but the probes are
+# FIXED-LENGTH prefixes, so substring containment IS an equi-join:
+# explode each corpus doc into its length-L character windows and hash
+# join window == probe (per distinct probe length, a bounded model-side
+# set). Per-row cost becomes L-gram generation + a hash probe instead
+# of |probes| substring scans — 160 s -> ~11 s at sf10, and at 100 TB
+# the corpus factor stays linear with a constant per-window cost.
+# doc_id % 97 is the deterministic stand-in for "is a benchmark doc".
 # --------------------------------------------------------------------------
 @register(
     "l6_decontaminate",
@@ -1222,11 +1228,42 @@ def l6_decontaminate(spark, sf_dir):
     bench = (
         docs.where(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("b_doc_id"), F.substring("text", 1, 12).alias("prefix"))
+        .localCheckpoint(eager=False)  # read by the length probe + every per-length join
     )
+    # distinct probe lengths: model state (the probe set is the
+    # broadcast side by definition; lengths ≤ 12 here). Shorter-than-12
+    # prefixes arise only from bench texts shorter than 12 chars.
+    lens = sorted(
+        r["l"] for r in bench.select(F.length("prefix").alias("l")).distinct().collect()
+    )
+    if lens and lens[0] <= 0:
+        raise ValueError(
+            "empty benchmark probe (zero-length prefix) matches every "
+            "document — refusing the degenerate decontamination"
+        )
+    corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    hits = None
+    for L in lens:
+        # guard sequence(1, n<=0): Spark sequences DESCEND when a > b
+        wins = corpus.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("text") >= L,
+                    F.expr(
+                        f"transform(sequence(1, length(text) - {L - 1}), "
+                        f"i -> substring(text, i, {L}))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("w"),
+        )
+        b_l = bench.where(F.length("prefix") == L)
+        part = wins.join(F.broadcast(b_l), wins.w == b_l.prefix).select(
+            "doc_id", "b_doc_id"
+        )
+        hits = part if hits is None else hits.unionAll(part)
     return (
-        docs.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), F.col("text").contains(F.col("prefix")))
-        .groupBy("doc_id")
+        hits.groupBy("doc_id")
         .agg(F.countDistinct("b_doc_id").alias("n_probes_hit"))
         .orderBy("doc_id")
     )

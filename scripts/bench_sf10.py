@@ -122,7 +122,7 @@ def generate() -> None:
     # are exact duplicates, which is the realistic near-dup-heavy shape
     # for a crawl corpus and keeps every tie deterministic (id order).
     copies["embeddings"] = f"""
-        SELECT vec_id + rep*10000000 AS vec_id, embedding
+        SELECT vec_id + rep*10000000 AS vec_id, embedding, label
         FROM {src('embeddings')} CROSS JOIN range({REPS}) t(rep)"""
     for t in ["region", "nation", "customer", "supplier", "part"]:
         copies[t] = f"SELECT * FROM {src(t)}"

@@ -23,26 +23,21 @@ from kompactor_spark.queries import all_oracles, all_queries  # noqa: E402
 from kompactor_spark.session import ensure_conf  # noqa: E402
 
 # Registration order matters: the driver grades the first 50 entries of
-# queries() per round (observed r01-r07). Round 8 window, per the
-# round-7 verdict (#2: drain the r1/r2 grade-age backlog):
-#   (1) the 25-row backlog whose latest driver grade predates round 3:
-#       s10_orc_roundtrip (r1, deferred from round 7 by window
-#       arithmetic) and the full round-2 cohort (l1/l2/l4/l6/m4/q/v/w/z
-#       families). After this round no row's latest grade predates
-#       round 3.
-#   (2) every row whose implementation round 8 touched: the fused
-#       pairs kernel's guarded-ceiling dispatch + duplicate-id
-#       precondition + skew-proof chunk slicing (all six l2
-#       pair/cluster rows), the quantile compact kernel's
-#       half-away-from-zero unit rounding + the _compact_input
-#       Long.MaxValue sentinel fallback (a22), and the
-#       grouped-quantile max_groups guard (x28_latency_bands).
-#   (3) GRADE-AGE RULE (standing policy since r6 #5): remaining slots
-#       go oldest-grade-first — 17 of the 37 round-3-graded rows
-#       (alphabetical); the other 20 head the round-9 fill, then the
-#       round-4 cohort. Target steady state: no row's latest grade
-#       predates the last commit touching its module by more than 2
-#       rounds.
+# queries() per round (observed r01-r08). Round 9 window:
+#   (1) every row whose implementation round 9 touched: the ADVICE-r8
+#       guard fixes (l6_decontaminate probe guards, w5 NULL user_id,
+#       the fused kernel's int32 assert->ValueError — two l2
+#       representatives since the guard is behavior-neutral for valid
+#       input), the g4/g5 degree-oriented wedge expansion (verdict #6),
+#       and the a22/a25/a9c quantile rows touched by the sf10-twin /
+#       staging work (verdict #1, #2).
+#   (2) GRADE-AGE RULE (standing policy since r6 #5): the remaining 19
+#       round-3-cohort rows (w5 already in (1) is the 20th) — after
+#       this round no row's latest grade predates round 4 —
+#   (3) then 22 of the 42 round-4-cohort rows, alphabetical; the other
+#       20 head the round-10 fill. Target steady state: no row's
+#       latest grade predates the last commit touching its module by
+#       more than 2 rounds.
 # All 50 are oracle-backed (H-class). a3_approx_count_distinct sits
 # outside the window BY DESIGN (`err: no_oracle`: Spark HLL++ vs DuckDB
 # sketches can never hash-match; its ±5%-vs-exact tolerance test is the
@@ -50,60 +45,18 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # --- (1) the r1/r2 grade-age backlog, oldest first ---
-    "s10_orc_roundtrip",
-    "l1_exact_dedup",
-    "l2_edit_distance_pairs",
-    "l2_embedding_neardup",
-    "l4_bigram_freq",
-    "l4_bpe_token_count",
-    "l4_doc_stats",
-    "l4_fingerprint",
-    "l4_lang_id",
-    "l4_tfidf_topterms",
-    "l6_cap_per_source",
-    "l6_decontaminate",
-    "l6_pack_sequences",
-    "l6_quality_filter",
-    "l6_redact",
-    "m4_funnel",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "v2_grouped_agg_pandas_udf",
-    "v3_map_in_pandas_chunker",
-    "w8_journey_paths",
-    "w9_event_transitions",
-    "z1_salted_agg",
-    # --- (2) implementations changed in round 8: must re-grade ---
-    "l2_jaccard_pairs",            # kernel dispatch + chunk slicing
-    "l2_jaccard_collapsed",        # same kernel
-    "l2_containment_pairs",        # same kernel
+    # --- (1) implementations changed in round 9: must re-grade ---
+    "l6_decontaminate",            # NULL/empty-probe guards (ADVICE r8)
+    "w5_rolling_distinct",         # NULL user_id pinned to oracle (ADVICE r8)
+    "l2_jaccard_pairs",            # kernel int32 guard assert->raise (ADVICE r8)
     "l2_containment_collapsed",    # same kernel
-    "l2_dedup_clusters",           # pairs feed the CC stage
-    "l2_dedup_clusters_collapsed", # same
-    "a22_equi_depth_histogram",    # compact-kernel rounding + sentinel
-    "x28_latency_bands",           # grouped-quantile max_groups guard
-    # --- (3) grade-age rule: round-3 cohort, alphabetical (17/37) ---
-    "a10_grouping_sets",
-    "a11_histogram",
-    "a13_string_agg",
-    "a14_bool_aggs",
-    "a15_exact_mode",
-    "a9_percentiles",
-    "a9c_percentile_disc",
-    "f10_bitwise",
-    "j10_decorrelated_subquery",
-    "j11_nullsafe_join",
-    "j13_lateral_topn",
-    "l5_multimodal_roundtrip",
-    "m1_upsert",
-    "m3_profile_orders",
-    "m5_integrity_checks",
-    "m6_snapshot_diff",
-    "p3_pivot",
-    # --- 51+: round-9 fill — the remaining round-3 cohort, then r4 ---
+    "g4_triangle_count",           # degree-oriented wedge expansion (verdict #6)
+    "g5_neighbor_jaccard",         # same orientation
+    "a22_equi_depth_histogram",    # medium-tier staging decision (verdict #2)
+    "a25_weighted_median",         # sf10-twin round: re-pin correctness
+    "a9c_percentile_disc",         # same
+    # --- (2) grade-age rule: the rest of the round-3 cohort (19;
+    #     w5 above is the 20th) — after this round nothing predates r4 ---
     "p5_empty_result",
     "q2_min_cost_supplier",
     "q9_product_profit",
@@ -114,7 +67,6 @@ _PRIORITY = [
     "u4_multiset_ops",
     "v1_scalar_pandas_udf",
     "v4_cogroup_asof",
-    "w5_rolling_distinct",
     "x2_sliding_window",
     "x3_session_window",
     "x7_gap_fill",
@@ -124,6 +76,50 @@ _PRIORITY = [
     "x12_time_rollup_hierarchy",
     "z2_salted_join",
     "z3_shuffle_hash_join",
+    # --- (3) grade-age rule: round-4 cohort, alphabetical (22/42) ---
+    "a16_exact_moments",
+    "a20_mad",
+    "a8_stats_aggs",
+    "f5_array_funcs",
+    "f5_posexplode",
+    "g1_cooccurrence_graph",
+    "g2_degree_centrality",
+    "l2_semantic_dedup",
+    "l3_batch_topk",
+    "l3_cosine_topk",
+    "l3g_pq_codebook",
+    "l4_zipf_slope",
+    "l6_dedup_rate_by_source",
+    "l6_e2e_pipeline",
+    "l6_train_val_split",
+    "l6_weighted_mix",
+    "l7_kmeans_refine",
+    "l7_knn_classify",
+    "l7_label_centroids",
+    "p4_unpivot",
+    "q10_returned_items",
+    "q11_important_parts",
+    # --- 51+: round-10 fill — the remaining round-4 cohort ---
+    "q12_late_lines_by_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "v3_apply_in_pandas",
+    "w6_distribution_funcs",
+    "w7_share_of_total",
+    "x16_m4_downsample",
+    "x17_gap_detect",
+    "x19_ewma",
+    "x20_cusum",
+    "x21_asof_snapshot",
 ]
 
 

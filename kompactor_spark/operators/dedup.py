@@ -422,7 +422,11 @@ def _pairs_kernel(
         # the memory traffic of the sort-merge below, which is the
         # kernel's bandwidth-bound section (measured: the fin-stage ops
         # are what ambient memory-bandwidth contention stalls).
-        assert ndocs * ndocs < (1 << 31), "pair-key packing requires ndocs < 46341"
+        if ndocs * ndocs >= (1 << 31):  # loud even under python -O (ADVICE r8)
+            raise ValueError(
+                f"fused pair kernel: ndocs={ndocs} overflows int32 pair-key "
+                "packing (requires ndocs < 46341); lower the dispatch cap"
+            )
         nd32 = np.int32(ndocs)
         for f, lists in byf.items():
             per_row = f * (f - 1) // 2

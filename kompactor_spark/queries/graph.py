@@ -280,12 +280,57 @@ def _pagerank_impl(spark, sf_dir, broadcast_max_nodes: int = _PR_BROADCAST_MAX_N
 #
 # 100 TB shape: both joins are hash equi-joins on vertex keys — never a
 # cross join — and the wedge fan-out is bounded by per-vertex out-degree
-# in the orientation. The standard refinement at scale is degree
-# orientation (direct each edge from its lower-degree endpoint), which
-# bounds wedge counts by O(E^1.5) regardless of skew; the u<v
-# orientation here keeps the oracle twin expressible while the join
-# topology is identical.
+# in the orientation. Round 9: the orientation is DEGREE orientation
+# (each edge directed from its lower-(degree, id) endpoint), the
+# standard scale-safe form — wedge pairs expand only from the lowest-
+# key corner of each triangle, so total wedge count is O(E^1.5)
+# regardless of degree skew (a 10M-degree hub under id orientation
+# could fan out 10M² wedges; under degree orientation its out-degree is
+# bounded by O(sqrt(E))). The enumerated triangle SET is identical to
+# the id-oriented form, so the DuckDB oracle keeps the u<v formulation.
 # --------------------------------------------------------------------------
+
+
+def _oriented_edges(e):
+    """Degree-orient the u<v edge list: direct each edge from its
+    lower-(degree, id) endpoint to the higher. Returns (s, x, kx)
+    where kx is the head's (degree, id) struct — carried on the edge
+    so downstream wedge pairs order themselves without re-joining
+    degrees. Ties broken by id, making the orientation a total order
+    (acyclic), which is what guarantees each triangle has exactly one
+    vertex with two out-edges."""
+    adj = e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("dn"))
+    du = deg.select(F.col("n").alias("u"), F.col("dn").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("dn").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    # struct comparison is lexicographic: (degree, id) — the total order
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    u_first = ku < kv
+    return ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("x"),
+        F.when(u_first, kv).otherwise(ku).alias("kx"),
+    )
+
+
+def _oriented_triangles_from(e):
+    """Each triangle exactly once as (a, b, c) = (lowest-key corner,
+    its two out-neighbors ordered by key). Wedges = pairs of out-edges
+    from one source; the closing edge {b, c} is oriented (b, c) by
+    construction since k(b) < k(c), so the closure is a plain
+    equi-join on the oriented edge list."""
+    d = _oriented_edges(e).localCheckpoint(eager=False)
+    w1 = d.select("s", F.col("x").alias("b"), F.col("kx").alias("kb"))
+    w2 = d.select("s", F.col("x").alias("c"), F.col("kx").alias("kc"))
+    closing = d.select(F.col("s").alias("b"), F.col("x").alias("c"))
+    return (
+        w1.join(w2, "s")
+        .where(F.col("kb") < F.col("kc"))
+        .join(closing, ["b", "c"])
+        .select(F.col("s").alias("a"), "b", "c")
+    )
 @register(
     "g4_triangle_count",
     oracle=f"""
@@ -316,14 +361,10 @@ def _pagerank_impl(spark, sf_dir, broadcast_max_nodes: int = _PR_BROADCAST_MAX_N
     """,
 )
 def g4_triangle_count(spark, sf_dir):
-    # The edge frame feeds all three join legs — without materialization
-    # the quadratic co-occurrence build would run three times (the G3
-    # lineage lesson). Checkpoint once; blocks released by the cleaner.
-    e = _cooccurrence_edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=False)
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(closing, ["a", "c"])
+    # Degree-oriented enumeration (see _oriented_triangles_from): the
+    # oriented edge frame feeds all three join legs and is
+    # checkpointed once inside the helper (the G3 lineage lesson).
+    tri = _oriented_triangles_from(_cooccurrence_edges(spark, sf_dir).select("u", "v"))
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
     return (
         corners.groupBy("user_id")
@@ -336,10 +377,13 @@ def g4_triangle_count(spark, sf_dir):
 # --------------------------------------------------------------------------
 # G5 — neighborhood Jaccard similarity (new round 4): for every G1 edge
 # (u,v), |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the symmetrized adjacency —
-# the classic link-prediction / community-strength feature. Shape:
-# common-neighbor counts come from the same bounded per-neighborhood
-# pair expansion as the G1 build (adjacency self-join on the shared
-# neighbor, u<v orientation), degrees are one keyed count, and both
+# the classic link-prediction / community-strength feature. Shape
+# (round 9): common neighbors are only needed for ADJACENT pairs — and
+# a common neighbor of an edge's endpoints is exactly a triangle
+# through that edge — so the counts come from the degree-oriented
+# triangle enumeration (each triangle credits its three edges),
+# NOT from an adjacency self-join on the shared neighbor, whose hub
+# fan-out is d(x)² under skew. Degrees are one keyed count, and both
 # attach to the edge list by vertex-keyed equi-joins — no all-pairs
 # stage anywhere. Jaccard is a closed-form division over exact BIGINTs.
 # --------------------------------------------------------------------------
@@ -379,18 +423,31 @@ def g4_triangle_count(spark, sf_dir):
     """,
 )
 def g5_neighbor_jaccard(spark, sf_dir):
-    # adj feeds the degree count AND both legs of the common-neighbor
-    # self-join — checkpoint once (same lineage discipline as G3/G4).
+    # The edge frame feeds the degree count, the oriented triangle
+    # enumeration, and the final attach — checkpoint once (same
+    # lineage discipline as G3/G4).
     e = _cooccurrence_edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=False)
-    adj = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
-    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    a1 = adj.select(F.col("src").alias("cu"), F.col("dst").alias("x"))
-    a2 = adj.select(F.col("src").alias("cv"), F.col("dst").alias("x"))
+    deg = (
+        e.select(F.col("u").alias("src"))
+        .unionAll(e.select(F.col("v").alias("src")))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # common(u, v) for an EDGE (u, v) = number of triangles through it:
+    # each oriented triangle credits its three edges, canonicalized to
+    # the edge list's u<v id order
+    tri = _oriented_triangles_from(e)
     cn = (
-        a1.join(a2, "x")
-        .where(F.col("cu") < F.col("cv"))
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.least("a", "b").alias("cu"), F.greatest("a", "b").alias("cv")),
+                    F.struct(F.least("a", "c").alias("cu"), F.greatest("a", "c").alias("cv")),
+                    F.struct(F.least("b", "c").alias("cu"), F.greatest("b", "c").alias("cv")),
+                )
+            ).alias("p")
+        )
+        .select("p.cu", "p.cv")
         .groupBy("cu", "cv")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
     )

@@ -1228,6 +1228,9 @@ def l6_decontaminate(spark, sf_dir):
     bench = (
         docs.where(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("b_doc_id"), F.substring("text", 1, 12).alias("prefix"))
+        # NULL/empty texts yield NULL/empty prefixes that either crash the
+        # length collect or match degenerately — drop them up front
+        .where(F.col("prefix").isNotNull() & (F.length("prefix") > 0))
         .localCheckpoint(eager=False)  # read by the length probe + every per-length join
     )
     # distinct probe lengths: model state (the probe set is the
@@ -1236,12 +1239,15 @@ def l6_decontaminate(spark, sf_dir):
     lens = sorted(
         r["l"] for r in bench.select(F.length("prefix").alias("l")).distinct().collect()
     )
-    if lens and lens[0] <= 0:
-        raise ValueError(
-            "empty benchmark probe (zero-length prefix) matches every "
-            "document — refusing the degenerate decontamination"
-        )
     corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+    if not lens:
+        # no probes at all (empty benchmark slice): contamination is
+        # vacuously zero, mirror the contains-join's empty result
+        return (
+            corpus.select("doc_id")
+            .where(F.lit(False))
+            .select("doc_id", F.lit(0).cast("long").alias("n_probes_hit"))
+        )
     hits = None
     for L in lens:
         # guard sequence(1, n<=0): Spark sequences DESCEND when a > b

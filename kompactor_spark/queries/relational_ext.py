@@ -403,7 +403,10 @@ def w5_rolling_distinct(spark, sf_dir):
     # combined; a first_hour is by construction one of the hours in the
     # spine, so the left join below loses nothing
     new_per_hour = (
-        ev.groupBy("event_type", "user_id")
+        # count(DISTINCT user_id) drops NULLs; groupBy would keep a NULL
+        # group whose min-hour reads as a first appearance (ADVICE r8)
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
         .agg(F.min("hour_ns").alias("hour_ns"))
         .groupBy("event_type", "hour_ns")
         .agg(F.count(F.lit(1)).alias("__n_new"))

@@ -32,7 +32,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DST = os.path.join(ROOT, "benchdata", "sf10")
 OUT = os.path.join(ROOT, "scripts", "sweep_sf10_out.jsonl")
-SINK = "/tmp/sweep_sink.parquet"
+# per-invocation sink: concurrent sweeps (or another tool on a fixed
+# path) must not overwrite each other between write and verify (ADVICE r8)
+SINK = f"/tmp/sweep_sink_{os.getpid()}.parquet"
 SKIP = {
     # raw pairwise dedup on a 100x-replicated corpus: candidate bounds
     # ~1e10 by construction (documented infeasible-by-design; the

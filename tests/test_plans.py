@@ -650,3 +650,18 @@ def test_l7g_no_self_join(spark, Q):
 
     src = inspect.getsource(L.l7g_pca_power)
     assert "mapInPandas" in src and ".join(" not in src
+
+
+def test_l6_decontaminate_windowed_equi_join(spark, Q):
+    """L6 decontamination (round-8 rewrite, commit 0fac047): the
+    corpus⋈probes containment must stay the length-L windowed HASH
+    equi-join — a regression to the theta `contains` form compiles to
+    BroadcastNestedLoopJoin (|corpus|×|probes| substring calls, 2.5e9
+    at sf10 = 160 s, unboundedly worse at 100 TB)."""
+    p = plan(spark, Q["l6_decontaminate"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    # the explode is the bounded L-gram window generator, present once
+    # per distinct probe length (=1 for the fixed 12-char prefixes)
+    assert p.count("Generate explode") == 1, p

@@ -447,3 +447,42 @@ def test_exact_quantiles_match_percentile_property(spark, data):
     assert set(got) == set(gref)
     for g in gref:
         assert [bits(x) for x in got[g]] == [bits(x) for x in gref[g]]
+
+
+# --------------------------------------------------------------------------
+# Degree-oriented triangle enumeration ≡ brute force, for ANY simple
+# undirected graph — including skewed stars (where the orientation
+# matters most), multi-component graphs, and triangle-free graphs. Each
+# triangle must appear EXACTLY once (as an unordered corner set), which
+# is the invariant the (degree, id) total order guarantees.
+# --------------------------------------------------------------------------
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_oriented_triangles_match_brute_force(spark, data):
+    from itertools import combinations
+
+    from kompactor_spark.queries.graph import _oriented_triangles_from
+
+    n = data.draw(st.integers(3, 12))
+    all_pairs = list(combinations(range(n), 2))
+    edges = data.draw(
+        st.lists(st.sampled_from(all_pairs), min_size=1, max_size=30, unique=True)
+    )
+    # bias one draw toward a star + rim so a high-degree hub exists
+    if data.draw(st.booleans()):
+        hub = [(0, i) for i in range(1, n)]
+        edges = sorted(set(edges) | set(hub))
+    e = spark.createDataFrame([(u, v) for u, v in edges], "u long, v long")
+    got = [tuple(sorted((r.a, r.b, r.c))) for r in _oriented_triangles_from(e).collect()]
+    eset = set(edges)
+    expected = [
+        (x, y, z)
+        for x, y, z in combinations(range(n), 3)
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset
+    ]
+    assert sorted(got) == sorted(expected)  # exactly-once, not just set-equal

@@ -786,22 +786,28 @@ def j14_binned_interval_join(spark, sf_dir):
     """,
 )
 def a9c_percentile_disc(spark, sf_dir):
-    from kompactor_spark.operators.prefixsum import distributed_row_number
+    from kompactor_spark.operators.prefixsum import distributed_cumsum
 
     T = loader(sf_dir, spark)
-    base = T("lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("double").alias("q"),
-        "l_orderkey",
-        "l_linenumber",
+    # Collapse-first (round 9): percentile_disc needs only, per group,
+    # the cumulative ROW COUNT at each distinct value — "value at rank
+    # r" == "min distinct value whose inclusive cumulative count >= r"
+    # exactly, so tied rows collapse to one (value, count) cell with no
+    # approximation. The prefix-sum input shrinks from |rows| to
+    # |groups × distinct values| (multiplicity-independent — the dedup
+    # collapse-first lesson; 60M -> 150 cells on lineitem quantities),
+    # and the distributed cumsum keeps even a high-cardinality
+    # collapsed frame parallel. The map-side partial agg means the
+    # full-row side never shuffles.
+    collapsed = (
+        T("lineitem")
+        .select("l_returnflag", F.col("l_quantity").cast("double").alias("q"))
+        .groupBy("l_returnflag", "q")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
-    # global 1-based rank over (flag, q, unique tiebreak) — ties in q
-    # get arbitrary-but-deterministic ranks, which cannot change the
-    # VALUE at any rank (equal values fill the tied rank range)
-    ranked = distributed_row_number(
-        base, ["l_returnflag", "q", "l_orderkey", "l_linenumber"], "__grn"
-    )
-    counts = base.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("__n"))
+    cum = distributed_cumsum(collapsed, ["l_returnflag", "q"], "__c", "__gcc")
+    # group totals read the checkpointed cumsum frame — no second scan
+    counts = cum.groupBy("l_returnflag").agg(F.sum("__c").alias("__n"))
     # exclusive per-group offsets: a window over the 3-row counts frame
     # (bounded model state — the prefixsum offsets pattern)
     w_off = (
@@ -814,13 +820,13 @@ def a9c_percentile_disc(spark, sf_dir):
         "__n",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
-    joined = ranked.join(F.broadcast(counts), "l_returnflag").withColumn(
-        "__rn", F.col("__grn") - F.col("__off")
+    joined = cum.join(F.broadcast(counts), "l_returnflag").withColumn(
+        "__cc", F.col("__gcc") - F.col("__off")
     )
 
     def pick(p):
         target = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("__n")))
-        return F.min(F.when(F.col("__rn") == target, F.col("q")))
+        return F.min(F.when(F.col("__cc") >= target, F.col("q")))
 
     return (
         joined.groupBy("l_returnflag")
@@ -1393,26 +1399,32 @@ def a25_weighted_median(spark, sf_dir):
     T = loader(sf_dir, spark)
     # l_returnflag has THREE values: a window partitioned on it funnels
     # ~n/3 rows through one task per group (measured 139 s at sf10) —
-    # so the cumulative weight is computed as a GLOBAL distributed
-    # cumsum over (flag, price, tiebreak) and converted to per-group cw
-    # by subtracting the group's exclusive weight offset (3-row window
-    # over the per-group totals — the a9c/prefixsum offsets pattern).
+    # so the cumulative weight is a GLOBAL distributed cumsum converted
+    # to per-group cw by subtracting the group's exclusive weight
+    # offset (3-row window over the per-group totals — the a9c/
+    # prefixsum offsets pattern). Collapse-first (round 9): the median
+    # condition min(price WHERE cw*2 >= w) is run-boundary-invariant —
+    # whichever row inside a tied-price run first crosses the
+    # threshold, the PICKED price is the run's price, so per-(flag,
+    # price) weight sums are exact and the cumsum input shrinks from
+    # |rows| to |groups × distinct prices| (multiplicity-independent).
     # All arithmetic stays exact DECIMAL, so cw and the cw*2 >= w
     # comparison are bit-identical to the windowed plan's.
-    base = T("lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_quantity").cast("decimal(18,2)").alias("__q"),
+    collapsed = (
+        T("lineitem")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.col("l_quantity").cast("decimal(18,2)").alias("__q"),
+        )
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.sum("__q").alias("__cq"))
     )
     cum = distributed_cumsum(
-        base,
-        ["l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"],
-        "__q",
-        "__gcw",
+        collapsed, ["l_returnflag", "l_extendedprice"], "__cq", "__gcw"
     )
-    totals = base.groupBy("l_returnflag").agg(F.sum("__q").alias("__w"))
+    # group totals read the checkpointed cumsum frame — no second scan
+    totals = cum.groupBy("l_returnflag").agg(F.sum("__cq").alias("__w"))
     w_off = (
         Window.partitionBy(F.col("__w") * F.lit(0))
         .orderBy("l_returnflag")

@@ -80,7 +80,19 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # applied to stream-join lookbacks — the plain user-keyed
            # join measured 83 s here); w8 is the per-user ordered
            # journey-path window family.
-           "x9_interval_join", "w8_journey_paths"]
+           "x9_interval_join", "w8_journey_paths",
+           # round 9 (VERDICT r8 #1): the two round-8 percentile
+           # rewrites (one-task window funnel -> distributed prefix
+           # sum) shipped without a DuckDB twin at the scale that
+           # motivated them — publish the ratio where both sides do
+           # real work (engine sweep rows were 55 s / 40 s).
+           "a25_weighted_median", "a9c_percentile_disc",
+           # round 9 (VERDICT r8 #6): the degree-oriented wedge
+           # expansion's trend rows — the id-oriented form measured
+           # 71.9 s / 92.4 s in the r8 sweep on the dense synthetic
+           # graph; both engines now enumerate the same oriented
+           # wedge set.
+           "g4_triangle_count", "g5_neighbor_jaccard"]
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would
@@ -268,6 +280,25 @@ def main() -> None:
             "round-8-continuation protocol-settled A/B: 3.19 s vs 2.89 s "
             "= 1.10x; engine curve flat across the 10x growth "
             "(BASELINE.md §5.2)"
+        ),
+        "a25_weighted_median": (
+            "round 9: collapse-first rewrite — per-(flag, price) weight "
+            "sums (exact; the cw*2>=w pick is run-boundary-invariant) "
+            "feed the distributed cumsum, shrinking its input from 60M "
+            "rows to |distinct prices| (multiplicity-independent). "
+            "Engine 55 s (r8 sweep) -> 1.31 s. The recorded DuckDB side "
+            "(47.9 s) pays the row-wise 3-partition window the "
+            "grading oracle states; against a collapse-first DuckDB "
+            "twin (same plan, threads=4, median of 3: 2.04 s) the "
+            "engine is still 0.64x"
+        ),
+        "a9c_percentile_disc": (
+            "round 9: collapse-first rewrite — value-at-rank-r == min "
+            "distinct value with inclusive cumulative count >= r, so "
+            "the cumsum runs over |groups x distinct values| (150 "
+            "cells) instead of 60M rows. Engine 40 s (r8 sweep) -> "
+            "0.63 s vs DuckDB's native quantile_disc aggregate 3.90 s "
+            "= 0.16x"
         ),
         "a22_equi_depth_histogram": (
             "round 8: first sf10 point, on the tiered dispatch (medium "

@@ -12,8 +12,17 @@ Runs, in order:
 2. ``scripts/streaming_bclass.py`` — the B-class streaming
    batch-equivalence evidence (writes
    ``scripts/streaming_bclass_out.json`` with a fresh timestamp).
+3. ``scripts/perf_smoke.py`` — the sf1 whole-registry scale smoke
+   (writes ``scripts/perf_smoke_out.json``) unless ``--no-perf``.
+4. ``--sweep name [name ...]`` — re-run the sf10 sweep for the named
+   queries (their old rows are dropped from
+   ``scripts/sweep_sf10_out.jsonl`` first so the sweep's resume logic
+   re-measures them). Queries whose implementation changed this round
+   MUST be re-swept here so sweep rows can't silently go stale
+   (VERDICT r8 #5). ``--sweep-all`` re-runs everything (hours).
 
 Usage:  python scripts/round_end.py [sim_sf_dir] [sim_only_prefix ...]
+            [--no-perf] [--sweep name ...| --sweep-all]
 
 Exit status is non-zero if ANY step fails, so the round snapshot can't
 silently commit stale or red evidence.
@@ -21,11 +30,13 @@ silently commit stale or red evidence.
 
 from __future__ import annotations
 
+import json
 import os
 import subprocess
 import sys
 
 SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+SWEEP_OUT = os.path.join(SCRIPTS, "sweep_sf10_out.jsonl")
 
 
 def run(label: str, argv: list[str]) -> int:
@@ -35,8 +46,30 @@ def run(label: str, argv: list[str]) -> int:
     return rc
 
 
+def _drop_sweep_rows(names: list[str]) -> None:
+    if not os.path.exists(SWEEP_OUT):
+        return
+    kept = [
+        line
+        for line in open(SWEEP_OUT)
+        if json.loads(line).get("name") not in set(names)
+    ]
+    with open(SWEEP_OUT, "w") as fh:
+        fh.writelines(kept)
+
+
 def main() -> int:
-    sim_args = sys.argv[1:]
+    args = sys.argv[1:]
+    sweep_names: list[str] = []
+    sweep_all = "--sweep-all" in args
+    no_perf = "--no-perf" in args
+    args = [a for a in args if a not in ("--sweep-all", "--no-perf")]
+    if "--sweep" in args:
+        i = args.index("--sweep")
+        sweep_names = args[i + 1 :]
+        args = args[:i]
+    sim_args = args
+
     failures = 0
     failures += run(
         "driver_sim",
@@ -46,6 +79,21 @@ def main() -> int:
         "streaming_bclass",
         [sys.executable, os.path.join(SCRIPTS, "streaming_bclass.py")],
     )
+    if not no_perf:
+        failures += run(
+            "perf_smoke", [sys.executable, os.path.join(SCRIPTS, "perf_smoke.py")]
+        )
+    if sweep_all:
+        if os.path.exists(SWEEP_OUT):
+            os.remove(SWEEP_OUT)
+        failures += run(
+            "sweep_sf10", [sys.executable, os.path.join(SCRIPTS, "sweep_sf10.py")]
+        )
+    elif sweep_names:
+        _drop_sweep_rows(sweep_names)
+        failures += run(
+            "sweep_sf10", [sys.executable, os.path.join(SCRIPTS, "sweep_sf10.py")]
+        )
     return 1 if failures else 0
 
 

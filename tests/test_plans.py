@@ -665,3 +665,18 @@ def test_l6_decontaminate_windowed_equi_join(spark, Q):
     # the explode is the bounded L-gram window generator, present once
     # per distinct probe length (=1 for the fixed 12-char prefixes)
     assert p.count("Generate explode") == 1, p
+
+
+def test_g4_g5_route_through_degree_orientation(spark):
+    """G4/G5 (round-9 rewrite): both wedge expansions must route
+    through the degree-oriented enumeration — an id-oriented wedge
+    join puts in(b)*out(b) wedges on a mid-id hub (quadratic in hub
+    degree); the (degree, id) orientation bounds total wedges at
+    O(E^1.5) for any skew. Semantics are pinned by the brute-force
+    property test; this pins the routing."""
+    import inspect
+
+    from kompactor_spark.queries import graph as G
+
+    assert "_oriented_triangles_from" in inspect.getsource(G.g4_triangle_count)
+    assert "_oriented_triangles_from" in inspect.getsource(G.g5_neighbor_jaccard)

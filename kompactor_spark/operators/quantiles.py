@@ -165,21 +165,51 @@ def _medium_staging() -> str:
     return os.environ.get("KOMPACTOR_QUANTILE_MEDIUM_STAGING", "checkpoint")
 
 
+def _medium_stage(vals: DataFrame) -> DataFrame:
+    from kompactor_spark.tables import fan_out
+
+    if _medium_staging() == "rescan":
+        return fan_out(vals)
+    return fan_out(vals).localCheckpoint(eager=False)
+
+
 def _stage_input(vals: DataFrame) -> tuple[str, DataFrame]:
     """(tier, vals) for the multi-pass quantile pipeline: ``compact``
     (one-task kernel), ``medium`` (vals replaced by a fanned-out lazy
     checkpoint — one materialization, memory-local re-reads), or
-    ``large`` (unchanged — rescan discipline)."""
-    if _compact_input(vals):
-        return "compact", vals
-    est = _plan_size_est(vals)
-    if est is not None and est <= _MEDIUM_EST_BYTES:
-        from kompactor_spark.tables import fan_out
+    ``large`` (unchanged — rescan discipline).
 
-        if _medium_staging() == "rescan":
-            return "medium", fan_out(vals)
-        return "medium", fan_out(vals).localCheckpoint(eager=False)
-    return "large", vals
+    Round 9: when the compact byte gate passes but the row count needs
+    a job to confirm (any non-bare scan — e.g. a NULL filter hides the
+    footer counts), the confirm count runs ON the medium staging frame,
+    so rejecting the compact tier MATERIALIZES the medium checkpoint in
+    the same pass instead of paying a full scan just to throw its
+    answer away (a22's sf10 dispatch was 3-7 s of wasted count before
+    any real work — the decomposition in SCALE.md §7d). A small count
+    serves the compact kernel from the checkpoint — decoded once
+    either way.
+    """
+    est = _plan_size_est(vals)
+    if est is None:
+        # stats-less plans (LogicalRDD): split-count gate + real count,
+        # the pre-round-9 behavior (rare — only non-scan inputs)
+        if vals.rdd.getNumPartitions() <= _SMALL_NPARTS and vals.count() <= _SMALL_MAX_ROWS:
+            return "compact", vals
+        return "large", vals
+    if est > _MEDIUM_EST_BYTES:
+        return "large", vals
+    if est <= _SMALL_EST_BYTES:
+        from kompactor_spark.tables import metadata_row_count
+
+        n = metadata_row_count(vals)
+        if n is not None and n <= _SMALL_MAX_ROWS:
+            return "compact", vals  # footer-confirmed: no job at all
+        if n is None:
+            staged = _medium_stage(vals)
+            n = staged.count()  # confirm count == the materialization pass
+            return ("compact" if n <= _SMALL_MAX_ROWS else "medium"), staged
+        # footer-known and too many rows: fall through to medium
+    return "medium", _medium_stage(vals)
 
 
 def _np_cuts(v, probs: list[float]) -> list[float]:
@@ -742,6 +772,105 @@ def grouped_exact_quantiles(
     return spark.createDataFrame(out_rows, schema)
 
 
+def _equi_depth_one_task(
+    vals: DataFrame,
+    col: str,
+    probs: list[float],
+    scale: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The fused equi-depth kernel as ONE Arrow task: sort + exact
+    interpolated cuts + searchsorted bucketing + exact unit totals.
+    With ``weight_col`` the input is a collapsed (value, row-count)
+    frame and every statistic is computed rank-weighted — bit-identical
+    to the row-wise kernel because value-at-rank, bucket membership,
+    min/max, and unit totals are all functions of (distinct value,
+    multiplicity) alone. Unweighted inputs are the weights==1 special
+    case of the same code path."""
+    import pandas as pd
+
+    out_schema = "bucket long, n long, lo double, hi double, total double"
+
+    def compute(batches):
+        import numpy as np
+        from decimal import Decimal
+
+        vparts, wparts = [], []
+        for b in batches:
+            vparts.append(b[col].to_numpy(dtype="float64"))
+            if weight_col is not None:
+                wparts.append(b[weight_col].to_numpy(dtype="int64"))
+        v = np.concatenate(vparts) if vparts else np.empty(0)
+        if weight_col is not None:
+            w = np.concatenate(wparts) if wparts else np.empty(0, dtype="int64")
+            order = np.argsort(v, kind="stable")
+            v, w = v[order], w[order]
+        else:
+            v.sort(kind="stable")
+            w = np.ones(len(v), dtype="int64")
+        if len(v) == 0:
+            yield pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "lo": pd.Series([], dtype="float64"),
+                    "hi": pd.Series([], dtype="float64"),
+                    "total": pd.Series([], dtype="float64"),
+                }
+            )
+            return
+        wcum = np.cumsum(w)  # inclusive row-count prefix per distinct run
+        n = int(wcum[-1])
+        # value at 1-based rank r = first cell whose inclusive
+        # cumulative count >= r (the a9c collapse identity); with unit
+        # weights this is exactly v[r-1], so both paths share
+        # _interpolate and stay bit-identical to Spark `percentile`.
+        positions = [(n - 1) * q for q in probs]
+        by_rank: dict[int, float] = {}
+        for pos in positions:
+            for r in (int(math.floor(pos)) + 1, int(math.ceil(pos)) + 1):
+                by_rank[r] = float(v[int(np.searchsorted(wcum, r, side="left"))])
+        cuts = np.asarray(_interpolate(positions, by_rank), dtype="float64")
+        # bucket of p = 1 + #{c : c < p}; v sorted => buckets are the
+        # contiguous runs between successive cut positions (empty run
+        # at a tied cut <=> that bucket has no rows)
+        splits = np.searchsorted(v, cuts, side="right")
+        bounds = np.concatenate(([0], splits, [len(v)]))
+        # half-AWAY-FROM-ZERO (trunc after shifting a half toward
+        # the value's sign), matching F.round in the distributed
+        # path's fixedpoint.to_units (np.rint is half-to-even: the
+        # two diverge on exact .5 fractions of the scaled value,
+        # i.e. inputs with more fractional digits than `scale`,
+        # outside to_units's contract — and the path taken depends
+        # only on the size estimate; ADVICE r7). Residual
+        # divergence is confined to values whose shortest decimal
+        # repr rounds differently from their binary expansion
+        # (e.g. 0.49999999999999994) — unreachable for fixed-point
+        # money inputs.
+        scaled = v * 10**scale
+        units = np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64")
+        # weighted unit totals in arbitrary-precision ints: the
+        # unweighted path's int64-cumsum bound argument doesn't extend
+        # to units*count products, so sum exactly in Python-int space
+        # (collapsed frames are <= _SMALL_MAX_ROWS cells — cheap)
+        wunits = units.astype(object) * w.astype(object)
+        ucum = np.concatenate(([0], np.cumsum(wunits)))
+        ncum = np.concatenate(([0], wcum))
+        div = Decimal(10) ** scale
+        rows = []
+        for k in range(len(bounds) - 1):
+            s, e = int(bounds[k]), int(bounds[k + 1])
+            if e <= s:
+                continue
+            total = float(Decimal(int(ucum[e] - ucum[s])) / div)
+            rows.append(
+                (k + 1, int(ncum[e] - ncum[s]), float(v[s]), float(v[e - 1]), total)
+            )
+        yield pd.DataFrame(rows, columns=["bucket", "n", "lo", "hi", "total"])
+
+    return vals.coalesce(1).mapInPandas(compute, out_schema)
+
+
 def equi_depth_histogram(
     df: DataFrame,
     col: str,
@@ -781,60 +910,38 @@ def equi_depth_histogram(
       the limb-split long fast path: 2 jobs, arbitrarily large inputs.
     """
     vals = df.where(F.col(col).isNotNull()).select(col)
-    out_schema = "bucket long, n long, lo double, hi double, total double"
-    tier, vals = _stage_input(vals)
-    if tier == "compact":
-        import pandas as pd
+    est = _plan_size_est(vals)
+    if est is not None and est <= _MEDIUM_EST_BYTES:
+        from kompactor_spark.tables import metadata_row_count
 
-        def compute(batches):
-            import numpy as np
-            from decimal import Decimal
-
-            chunks = [b[col].to_numpy(dtype="float64") for b in batches]
-            v = np.concatenate(chunks) if chunks else np.empty(0)
-            v.sort(kind="stable")
-            if len(v) == 0:
-                yield pd.DataFrame(
-                    {
-                        "bucket": pd.Series([], dtype="int64"),
-                        "n": pd.Series([], dtype="int64"),
-                        "lo": pd.Series([], dtype="float64"),
-                        "hi": pd.Series([], dtype="float64"),
-                        "total": pd.Series([], dtype="float64"),
-                    }
-                )
-                return
-            cuts = np.asarray(_np_cuts(v, probs), dtype="float64")
-            # bucket of p = 1 + #{c : c < p}; v sorted => buckets are the
-            # contiguous runs between successive cut positions (empty run
-            # at a tied cut <=> that bucket has no rows)
-            splits = np.searchsorted(v, cuts, side="right")
-            bounds = np.concatenate(([0], splits, [len(v)]))
-            # half-AWAY-FROM-ZERO (trunc after shifting a half toward
-            # the value's sign), matching F.round in the distributed
-            # path's fixedpoint.to_units (np.rint is half-to-even: the
-            # two diverge on exact .5 fractions of the scaled value,
-            # i.e. inputs with more fractional digits than `scale`,
-            # outside to_units's contract — and the path taken depends
-            # only on the size estimate; ADVICE r7). Residual
-            # divergence is confined to values whose shortest decimal
-            # repr rounds differently from their binary expansion
-            # (e.g. 0.49999999999999994) — unreachable for fixed-point
-            # money inputs.
-            scaled = v * 10**scale
-            units = np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64")
-            cum = np.concatenate(([0], np.cumsum(units)))
-            div = Decimal(10) ** scale
-            rows = []
-            for k in range(len(bounds) - 1):
-                s, e = int(bounds[k]), int(bounds[k + 1])
-                if e <= s:
-                    continue
-                total = float(Decimal(int(cum[e] - cum[s])) / div)
-                rows.append((k + 1, e - s, float(v[s]), float(v[e - 1]), total))
-            yield pd.DataFrame(rows, columns=["bucket", "n", "lo", "hi", "total"])
-
-        return vals.coalesce(1).mapInPandas(compute, out_schema)
+        n = metadata_row_count(vals)
+        if n is not None and n <= _SMALL_MAX_ROWS and est <= _SMALL_EST_BYTES:
+            # footer-confirmed compact: ONE kernel job, no dispatch job
+            return _equi_depth_one_task(vals, col, probs, scale)
+        # Collapse-first medium (round 9): every statistic the histogram
+        # needs — ranked values, bucket membership, counts, min/max,
+        # exact unit totals — is a function of (distinct value, row
+        # count), so collapse BEFORE deciding anything. The collapsed
+        # frame for real fixed-point columns is tiny (o_totalprice at
+        # sf10: 150k cells from 15M rows), turning the whole histogram
+        # into one hash shuffle + a one-task weighted kernel — no
+        # medium-tier checkpoint materialization, whose block-store
+        # write was the ambient-hostage 3-6 s step the r8/r9 A/Bs
+        # chased (SCALE.md §7d addendum). High-cardinality collapses
+        # (distinct count past the one-task bound) fall back to the
+        # staged composed plan below.
+        cvals = (
+            vals.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .localCheckpoint(eager=False)
+        )
+        if cvals.count() <= _SMALL_MAX_ROWS:
+            return _equi_depth_one_task(cvals, col, probs, scale, weight_col="__w")
+        vals = _medium_stage(vals)
+    elif est is None:
+        tier, vals = _stage_input(vals)
+        if tier == "compact":
+            return _equi_depth_one_task(vals, col, probs, scale)
 
     from kompactor_spark.fixedpoint import exact_sum, limb_split, to_units
 

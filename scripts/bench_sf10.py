@@ -99,7 +99,11 @@ LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md
 # otherwise be excluded from the timed region): timer keeps
 # construction inside, mirroring bench.py/bench_sf1.py EAGER_CONSTRUCT.
 EAGER_CONSTRUCT = {"l2_containment_collapsed", "l2_dedup_clusters_collapsed",
-                   "l4_bm25"}  # checkpoint runs at construction (bench_sf1 note)
+                   "l4_bm25",
+                   # round 9: the collapse-first histogram runs its
+                   # collapse count (the only data-plane jobs besides
+                   # the kernel) at construction
+                   "a22_equi_depth_histogram"}  # checkpoint runs at construction (bench_sf1 note)
 
 
 def generate() -> None:
@@ -301,10 +305,15 @@ def main() -> None:
             "= 0.16x"
         ),
         "a22_equi_depth_histogram": (
-            "round 8: first sf10 point, on the tiered dispatch (medium "
-            "fan-out checkpoint). The round-7 byte gate alone mis-routed "
-            "this 15M-row column into a 14 s one-task decode — BASELINE.md "
-            "§5.2 / PLANS.md round 8"
+            "round 9, settles the r8 two-window spread: the swing was the "
+            "medium staging (wasted dispatch count + localCheckpoint "
+            "block-store write, isolated in scripts/a22_staging_ab.py). "
+            "Now collapse-first: (distinct value, count) cells -> one "
+            "weighted Arrow kernel, no staging materialization. Settled "
+            "same-window A/B 1.105 s vs 1.766 s; protocol row 0.69x "
+            "(construction timed). High-cardinality falls back to the "
+            "staged composed plan (KOMPACTOR_QUANTILE_MEDIUM_STAGING, "
+            "checkpoint default — beat rescan in every A/B)"
         ),
     }
     for k, note in notes.items():

@@ -426,3 +426,56 @@ def test_medium_tier_rescan_staging_identical(spark, tmp_path, monkeypatch):
     cuts_ckpt, _ = Qz.exact_quantiles(vals, "v", [0.25, 0.5, 0.9])
     _assert_bit_equal(cuts_rescan, cuts_ckpt)
     _assert_bit_equal(cuts_rescan, _spark_percentile(vals, "v", [0.25, 0.5, 0.9]))
+
+
+def test_equi_depth_weighted_kernel_matches_rowwise(spark):
+    # Round 9: the collapsed (value, count) weighted kernel must be
+    # bit-identical to the row-wise kernel — value-at-rank, bucket
+    # membership, counts, min/max and exact unit totals are functions
+    # of (distinct value, multiplicity) alone. Ties, negatives, and
+    # repeated runs included.
+    import random
+
+    from kompactor_spark.operators.quantiles import _equi_depth_one_task
+
+    rng = random.Random(7)
+    rows = [(round(rng.uniform(-500, 500), 2),) for _ in range(5000)]
+    rows += [(42.25,)] * 400 + [(-17.5,)] * 250  # heavy tied runs
+    df = spark.createDataFrame(rows, "p double")
+    probs = [0.1 * i for i in range(1, 10)]
+    rowwise = _equi_depth_one_task(df, "p", probs, scale=2).collect()
+    cdf = df.groupBy("p").agg(F.count(F.lit(1)).alias("__w"))
+    weighted = _equi_depth_one_task(cdf, "p", probs, scale=2, weight_col="__w").collect()
+    key = lambda r: r.bucket  # noqa: E731
+    for a, b in zip(sorted(rowwise, key=key), sorted(weighted, key=key)):
+        assert (a.bucket, a.n) == (b.bucket, b.n)
+        for f in ("lo", "hi", "total"):
+            assert struct.pack("<d", getattr(a, f)) == struct.pack("<d", getattr(b, f))
+    assert len(rowwise) == len(weighted)
+
+
+def test_equi_depth_medium_routes_through_collapse(spark, tmp_path):
+    # The 3M-row small-bytes parquet frame (the a22-at-sf10 shape) must
+    # take the collapse-first path — no medium checkpoint of the full
+    # rows — and still agree with Spark percentile on the cut ranks.
+    from kompactor_spark.operators.quantiles import equi_depth_histogram
+
+    p = str(tmp_path / "money.parquet")
+    (
+        spark.range(0, 3_000_000)
+        .select(((F.col("id") % 90017) / 100.0).alias("p"))
+        .coalesce(1)
+        .write.option("compression", "zstd")
+        .parquet(p)
+    )
+    df = spark.read.parquet(p)
+    hist = equi_depth_histogram(df, "p", [0.25, 0.5, 0.75], scale=2)
+    # collapse-first: ONE mapInPandas kernel, no exchange of full rows
+    # beyond the collapse hash agg — pinned via the plan string
+    plan = hist._jdf.queryExecution().toString()
+    assert "mapInPandas" in plan or "MapInPandas" in plan
+    rows = {r.bucket: r for r in hist.collect()}
+    assert sum(r.n for r in rows.values()) == 3_000_000
+    cuts = _spark_percentile(df, "p", [0.25, 0.5, 0.75])
+    # bucket 1 must end exactly at the first cut (hi <= cut1 < next lo)
+    assert rows[1].hi <= cuts[0] <= rows[2].lo

@@ -86,13 +86,12 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # sum) shipped without a DuckDB twin at the scale that
            # motivated them — publish the ratio where both sides do
            # real work (engine sweep rows were 55 s / 40 s).
-           "a25_weighted_median", "a9c_percentile_disc",
-           # round 9 (VERDICT r8 #6): the degree-oriented wedge
-           # expansion's trend rows — the id-oriented form measured
-           # 71.9 s / 92.4 s in the r8 sweep on the dense synthetic
-           # graph; both engines now enumerate the same oriented
-           # wedge set.
-           "g4_triangle_count", "g5_neighbor_jaccard"]
+           "a25_weighted_median", "a9c_percentile_disc"]
+# g4/g5 are NOT protocol rows at sf10: DuckDB's wedge oracle DNFs a
+# single 590 s run there (61 GB RSS when killed) while the engine's
+# degree-oriented path sinks in 94/71 s — the asymmetry is recorded as
+# noted rows in BENCH_SF10.json with sf1 twins (where DuckDB completes)
+# measured by scripts/duck_g4_sf1-style one-shots.
 LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would

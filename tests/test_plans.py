@@ -348,13 +348,19 @@ def test_a22_no_global_window(spark, Q):
 
     o = loader(SF, spark)("orders").select(F.col("o_totalprice").alias("p"))
     old = Qz._SMALL_EST_BYTES
+    old_rows = Qz._SMALL_MAX_ROWS
     try:
         Qz._SMALL_EST_BYTES = -1
         Qz._SMALL_NPARTS = -1
+        # round 9: also defeat the collapse-first medium bypass (it
+        # would satisfy any collapsible input with a one-task weighted
+        # kernel) so the COMPOSED distributed branch is what compiles
+        Qz._SMALL_MAX_ROWS = -1
         dist = plan(spark, Qz.equi_depth_histogram(o, "p", _A22_PROBS))
     finally:
         Qz._SMALL_EST_BYTES = old
         Qz._SMALL_NPARTS = 2
+        Qz._SMALL_MAX_ROWS = old_rows
     assert "percentile" not in dist
     assert "BroadcastExchange" in dist or "Broadcast" in dist
     assert "partial_sum" in dist

@@ -44,38 +44,32 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round8_targets_inside_window():
-    """Round-8 window invariant: the full r1/r2 grade-age backlog (25
-    rows — after this round no grade predates round 3) plus every row
-    whose implementation round 8 touched (fused pairs kernel dispatch +
-    collapsed copies_col, tiered quantile dispatch, grouped-quantile
-    guard) must sit inside the first 50 registry slots; the remaining
-    slots follow the grade-age rule (round-3 cohort, oldest first)."""
-    backlog = {
-        "s10_orc_roundtrip",
-        "l1_exact_dedup", "l2_edit_distance_pairs", "l2_embedding_neardup",
-        "l4_bigram_freq", "l4_bpe_token_count", "l4_doc_stats",
-        "l4_fingerprint", "l4_lang_id", "l4_tfidf_topterms",
-        "l6_cap_per_source", "l6_decontaminate", "l6_pack_sequences",
-        "l6_quality_filter", "l6_redact", "m4_funnel",
-        "q3_shipping_priority", "q5_local_supplier_volume",
-        "q6_forecast_revenue", "q18_large_volume_customer",
-        "v2_grouped_agg_pandas_udf", "v3_map_in_pandas_chunker",
-        "w8_journey_paths", "w9_event_transitions", "z1_salted_agg",
-    }
+def test_round9_targets_inside_window():
+    """Round-9 window invariant (grade-age policy, VERDICT r8 #3):
+    every row whose implementation round 9 touched (ADVICE-r8 guard
+    fixes, degree-oriented wedges, collapse-first percentiles/
+    histogram/UDF feed) plus the remaining round-3 grade cohort must
+    sit inside the first 50 registry slots; the rest follow the
+    grade-age rule (round-4 cohort, alphabetical)."""
     changed = {
-        "l2_jaccard_pairs",
-        "l2_jaccard_collapsed",
-        "l2_containment_pairs",
-        "l2_containment_collapsed",
-        "l2_dedup_clusters",
-        "l2_dedup_clusters_collapsed",
-        "a22_equi_depth_histogram",
-        "x28_latency_bands",
+        "l6_decontaminate", "w5_rolling_distinct",
+        "l2_jaccard_pairs", "l2_containment_collapsed",
+        "g4_triangle_count", "g5_neighbor_jaccard",
+        "a22_equi_depth_histogram", "a25_weighted_median",
+        "a9c_percentile_disc", "v2_grouped_agg_pandas_udf",
+    }
+    r3_cohort = {
+        "p5_empty_result", "q2_min_cost_supplier", "q9_product_profit",
+        "q21_waiting_suppliers", "r5_chsql_compat", "r5b_chsql_strings",
+        "s8_schema_evolution", "u4_multiset_ops", "v1_scalar_pandas_udf",
+        "v4_cogroup_asof", "w5_rolling_distinct", "x2_sliding_window",
+        "x3_session_window", "x7_gap_fill", "x8_locf", "x9_interval_join",
+        "x10_retention_cohorts", "x12_time_rollup_hierarchy",
+        "z2_salted_join", "z3_shuffle_hash_join",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (backlog | changed) - window
-    assert not out, f"round-8 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r3_cohort) - window
+    assert not out, f"round-9 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():

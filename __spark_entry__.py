@@ -56,6 +56,7 @@ _PRIORITY = [
     "a25_weighted_median",         # sf10-twin round: re-pin correctness
     "a9c_percentile_disc",         # same
     "v2_grouped_agg_pandas_udf",   # collapse-first feed to the UDF kernel
+    "l4_surprisal",                # map-side (doc, token) collapse
     # --- (2) grade-age rule: the rest of the round-3 cohort (19;
     #     w5 above is the 20th) — after this round nothing predates r4 ---
     "p5_empty_result",
@@ -98,8 +99,8 @@ _PRIORITY = [
     "l7_knn_classify",
     "l7_label_centroids",
     "p4_unpivot",
-    "q10_returned_items",
     # --- 51+: round-10 fill — the remaining round-4 cohort ---
+    "q10_returned_items",
     "q11_important_parts",
     "q12_late_lines_by_class",
     "q13_customer_distribution",

@@ -1683,17 +1683,31 @@ def a19b_theta_difference(spark, sf_dir):
 def l4_surprisal(spark, sf_dir):
     T = loader(sf_dir, spark)
     tok = fan_out(T("documents")).select("doc_id", F.explode(X.tokens("text")).alias("t"))
+    # Collapse-first (round 9): the per-doc average over TOKENS equals
+    # the count-weighted average over the doc's DISTINCT tokens, and a
+    # doc's rows are co-located after the explode, so the (doc, t)
+    # partial agg collapses fully MAP-SIDE — the join probe and the
+    # doc-grouping shuffle carry |per-doc distinct| rows instead of
+    # every token occurrence (~40% fewer at sf10; multiplicity-
+    # independent for repetitive corpora). round(6) absorbs the
+    # benign FP reassociation, same as the oracle's own sum order.
+    dt = tok.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("cd"))
     tf = tok.groupBy("t").agg(F.count("*").cast("double").alias("c"))
     tot = tf.agg(F.sum("c").cast("double").alias("total"))
     return (
-        tok.join(F.broadcast(tf), "t")
+        dt.join(F.broadcast(tf), "t")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            (F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6) + F.lit(0.0)).alias(
-                "surprisal"
-            ),
+            F.sum("cd").cast("bigint").alias("n_tokens"),
+            (
+                F.round(
+                    F.sum(F.col("cd") * -F.log(F.col("c") / F.col("total")))
+                    / F.sum("cd"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("surprisal"),
         )
         .orderBy("doc_id")
     )

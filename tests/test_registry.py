@@ -57,6 +57,7 @@ def test_round9_targets_inside_window():
         "g4_triangle_count", "g5_neighbor_jaccard",
         "a22_equi_depth_histogram", "a25_weighted_median",
         "a9c_percentile_disc", "v2_grouped_agg_pandas_udf",
+        "l4_surprisal",
     }
     r3_cohort = {
         "p5_empty_result", "q2_min_cost_supplier", "q9_product_profit",

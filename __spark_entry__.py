@@ -57,6 +57,9 @@ _PRIORITY = [
     "a9c_percentile_disc",         # same
     "v2_grouped_agg_pandas_udf",   # collapse-first feed to the UDF kernel
     "l4_surprisal",                # map-side (doc, token) collapse
+    "l3g_pq_codebook",             # codegen d2 + agg-argmin (pq_assign)
+    "l3h_pq_adc_topk",             # same encoder
+    "l3i_ivf_pq_topk",             # same encoder
     # --- (2) grade-age rule: the rest of the round-3 cohort (19;
     #     w5 above is the 20th) — after this round nothing predates r4 ---
     "p5_empty_result",
@@ -96,10 +99,10 @@ _PRIORITY = [
     "l6_train_val_split",
     "l6_weighted_mix",
     "l7_kmeans_refine",
+    # --- 51+: round-10 fill — the remaining round-4 cohort ---
     "l7_knn_classify",
     "l7_label_centroids",
     "p4_unpivot",
-    # --- 51+: round-10 fill — the remaining round-4 cohort ---
     "q10_returned_items",
     "q11_important_parts",
     "q12_late_lines_by_class",

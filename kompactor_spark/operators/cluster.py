@@ -194,23 +194,43 @@ def _subspace_rows(emb: DataFrame, n_sub: int, sub_dim: int) -> DataFrame:
     return emb.select("vec_id", F.inline(slices))
 
 
-def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
+def _pq_assign(subs: DataFrame, cb: DataFrame, sub_dim: int) -> DataFrame:
     """Argmin code per (vec_id, sub) against codebook (sub, code, cv);
-    ties break on the smaller code.  Keeps sv for downstream training."""
-    from pyspark.sql import Window
+    ties break on the smaller code.  Keeps sv for downstream training.
 
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id", "sub").orderBy(F.col("d2"), F.col("code"))
+    Round 9: the argmin is a min-struct AGGREGATE, not a row_number
+    window — lexicographic min over (d2, code) picks the identical
+    winner, but the hash agg partial-combines the k candidate rows
+    map-side (k× shuffle reduction) and never sorts, where the window
+    shuffled and sorted the full |vecs|·n_sub·k candidate expansion
+    (25.6M rows per assignment pass at sf10, twice per training).
+    sv is constant within a (vec_id, sub) group, so carrying it
+    through ``first`` is deterministic.
+
+    The squared distance is an UNROLLED left-associated chain of
+    element_at terms, not F.aggregate(zip_with(...)): higher-order
+    functions evaluate their lambda interpreted per element (decomposed
+    round 9: ~40 s of the 86 s sf10 training was the fold over the
+    |vecs|·n_sub·k candidate expansion), while the unrolled chain stays
+    inside whole-stage codegen. The fold's seed 0.0 + t1 == t1 for the
+    non-negative squares, so the chain is bit-identical to the fold.
+    sub_dim comes from the caller — deriving it with first() on the
+    codebook frame would execute the codebook's whole training subtree
+    as an extra job."""
+    d2 = None
+    for i in range(1, sub_dim + 1):
+        diff = F.element_at("sv", i) - F.element_at("cv", i)
+        term = diff * diff
+        d2 = term if d2 is None else d2 + term
     return (
         subs.join(F.broadcast(cb), "sub")
         .select("vec_id", "sub", "sv", "code", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn", "d2")
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(F.struct("d2", "code")).alias("__b"),
+            F.first("sv").alias("sv"),
+        )
+        .select("vec_id", "sub", "sv", F.col("__b.code").alias("code"))
     )
 
 
@@ -226,7 +246,13 @@ def pq_codebook(emb: DataFrame, n_sub: int = 8, k: int = 16):
     c0 = subs.where(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
-    a1 = _pq_assign(subs, c0)
+    # a1 is consumed by multiple downstream subtrees; it is deliberately
+    # NOT checkpointed — an A/B in this round measured the block-store
+    # write of the 1.6M array rows costing MORE than recomputing the
+    # (now codegen-cheap) candidate expansion per consumer, and the
+    # recompute is immune to the ambient store regime (the same
+    # trade the a22 histogram decomposition documented, SCALE.md §7d)
+    a1 = _pq_assign(subs, c0, sub_dim)
     flat = a1.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
     q = F.round(F.col("x") * F.lit(SCALE)).cast("long")
     hi, lo = fx.limb_split(q)
@@ -253,5 +279,5 @@ def pq_codebook(emb: DataFrame, n_sub: int = 8, k: int = 16):
             F.array_sort(F.collect_list(F.struct("pos", "cd"))), lambda s: s["cd"]
         ).alias("cv")
     )
-    a2 = _pq_assign(subs, c1).select("vec_id", "sub", "code")
+    a2 = _pq_assign(subs, c1, sub_dim).select("vec_id", "sub", "code")
     return a2, m1

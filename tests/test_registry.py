@@ -57,7 +57,8 @@ def test_round9_targets_inside_window():
         "g4_triangle_count", "g5_neighbor_jaccard",
         "a22_equi_depth_histogram", "a25_weighted_median",
         "a9c_percentile_disc", "v2_grouped_agg_pandas_udf",
-        "l4_surprisal",
+        "l4_surprisal", "l3g_pq_codebook", "l3h_pq_adc_topk",
+        "l3i_ivf_pq_topk",
     }
     r3_cohort = {
         "p5_empty_result", "q2_min_cost_supplier", "q9_product_profit",

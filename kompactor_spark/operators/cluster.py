@@ -216,12 +216,23 @@ def _pq_assign(subs: DataFrame, cb: DataFrame, sub_dim: int) -> DataFrame:
     non-negative squares, so the chain is bit-identical to the fold.
     sub_dim comes from the caller — deriving it with first() on the
     codebook frame would execute the codebook's whole training subtree
-    as an extra job."""
-    d2 = None
-    for i in range(1, sub_dim + 1):
-        diff = F.element_at("sv", i) - F.element_at("cv", i)
-        term = diff * diff
-        d2 = term if d2 is None else d2 + term
+    as an extra job. Wide subspaces keep the fold: the unroll's
+    crossover is ~16 terms (simsearch._UNROLL_MAX_DIM — a 64-term
+    chain measured 4x SLOWER than the fold)."""
+    from kompactor_spark.operators.simsearch import _UNROLL_MAX_DIM
+
+    if sub_dim > _UNROLL_MAX_DIM:
+        d2 = F.aggregate(
+            F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        d2 = None
+        for i in range(1, sub_dim + 1):
+            diff = F.element_at("sv", i) - F.element_at("cv", i)
+            term = diff * diff
+            d2 = term if d2 is None else d2 + term
     return (
         subs.join(F.broadcast(cb), "sub")
         .select("vec_id", "sub", "sv", "code", d2.alias("d2"))

@@ -92,7 +92,6 @@ _PRIORITY = [
     "l2_semantic_dedup",
     "l3_batch_topk",
     "l3_cosine_topk",
-    "l3g_pq_codebook",
     "l4_zipf_slope",
     "l6_dedup_rate_by_source",
     "l6_e2e_pipeline",

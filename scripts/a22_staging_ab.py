@@ -43,6 +43,8 @@ def main() -> None:
     q = all_queries()["a22_equi_depth_histogram"]
 
     con = duckdb.connect()
+
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
     con.execute("SET threads=4")
     for t in "region nation customer supplier part orders lineitem events embeddings".split():
         path = os.path.join(DST, f"{t}.parquet")

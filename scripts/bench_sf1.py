@@ -112,6 +112,7 @@ DUCK_SINGLE_RUN: set[str] = set()
 def generate() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
     con.execute("SET threads=8")
 
     def src(t):
@@ -271,6 +272,8 @@ def main() -> None:
                 continue
 
             con = duckdb.connect()
+
+            con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
             con.execute("SET threads=4")
             for t in tables:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM {_rp(t)}")
@@ -332,6 +335,7 @@ def main() -> None:
     try:
         floor_eng = median_time_self(_floor_run)
         con = duckdb.connect()
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
         con.execute("SET threads=4")
         con.execute(f"CREATE VIEW lineitem AS SELECT * FROM {_rp('lineitem')}")
         floor_sql = ("SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS s "

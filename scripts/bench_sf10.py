@@ -108,6 +108,7 @@ EAGER_CONSTRUCT = {"l2_containment_collapsed", "l2_dedup_clusters_collapsed",
 def generate() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
     con.execute("SET threads=8")
 
     def src(t):
@@ -234,6 +235,8 @@ def main() -> None:
                 eng = statistics.median(run() for _ in range(RUNS))
 
             con = duckdb.connect()
+
+            con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
             con.execute("SET threads=4")
             for t in tables:
                 con.execute(

@@ -114,6 +114,7 @@ def main():
             spdf = fn(spark, sf_dir).toPandas()
             if name in oracles:
                 con = duckdb.connect()
+                con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
                 for t in tables:
                     con.execute(
                         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

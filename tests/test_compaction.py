@@ -61,6 +61,7 @@ def assert_invariants(root):
 def rows_by_table(root):
     """P2 helper: multiset of rows per (db, table) via DuckDB."""
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
     out = {}
     for p in sorted(disk_parquets(root)):
         parts = p.split("/")
@@ -109,6 +110,7 @@ def test_basic_hour_golden(spark, tmp_path):
     FX.basic_hour(root)
     inputs = sorted(glob.glob(os.path.join(root, FX.HOST, "dbs", "**", "*.parquet"), recursive=True))
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")  # spill outside the repo (ADVICE r9)
     expected = con.execute(
         f"SELECT * FROM read_parquet({[p for p in inputs]!r}) ORDER BY time, f_int, f_str"
     ).fetchall()

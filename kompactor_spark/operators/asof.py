@@ -63,7 +63,15 @@ def asof_join(
     # ever excludes right_ts, keep the struct wrapper for any nullable
     # single payload or ignorenulls would return a stale older row.
     single_right = len(right_payload_cols) == 1
-    assert not single_right or right_payload_cols == [right_ts]
+    if single_right and right_payload_cols != [right_ts]:
+        # kernel guard (survives python -O, unlike assert): the
+        # unwrapped single-payload fast path is only NULL-safe when the
+        # lone payload IS the right timestamp (see SAFETY note above)
+        raise ValueError(
+            "as-of join invariant violated: single right payload column "
+            f"{right_payload_cols!r} is not the right timestamp {right_ts!r}; "
+            "the unwrapped last(ignorenulls) carry would skip NULL payloads"
+        )
     right_carry = (
         F.col(right_payload_cols[0])
         if single_right
@@ -221,7 +229,15 @@ def asof_join_forward(
     # Same flat-union payload discipline as asof_join (see above),
     # including the single_right => payload is right_ts invariant.
     single_right = len(right_payload_cols) == 1
-    assert not single_right or right_payload_cols == [right_ts]
+    if single_right and right_payload_cols != [right_ts]:
+        # kernel guard (survives python -O, unlike assert): the
+        # unwrapped single-payload fast path is only NULL-safe when the
+        # lone payload IS the right timestamp (see SAFETY note above)
+        raise ValueError(
+            "as-of join invariant violated: single right payload column "
+            f"{right_payload_cols!r} is not the right timestamp {right_ts!r}; "
+            "the unwrapped last(ignorenulls) carry would skip NULL payloads"
+        )
     right_carry = (
         F.col(right_payload_cols[0])
         if single_right

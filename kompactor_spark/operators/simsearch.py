@@ -58,7 +58,12 @@ def cosine_to_query(df: DataFrame, query_vec: list[float], vec_col: str = "embed
     qlit = F.array(*[F.lit(x) for x in q])
     v = F.col(vec_col).cast("array<double>")
     d = len(q)
-    return df.withColumn("cosine", _dot(v, qlit, d) / (_norm(v, d) * F.lit(qn)))
+    # the width-gated unroll sums exactly d terms, so a stored vector of
+    # a different length would get a silently TRUNCATED norm (ADVICE
+    # r9); pin the semantics instead: dimension mismatch -> NULL cosine
+    # in both the unroll and fold paths
+    cos = _dot(v, qlit, d) / (_norm(v, d) * F.lit(qn))
+    return df.withColumn("cosine", F.when(F.size(v) == d, cos))
 
 
 def brute_force_topk(

@@ -362,9 +362,12 @@ def _oriented_triangles_from(e):
 )
 def g4_triangle_count(spark, sf_dir):
     # Degree-oriented enumeration (see _oriented_triangles_from): the
-    # oriented edge frame feeds all three join legs and is
-    # checkpointed once inside the helper (the G3 lineage lesson).
-    tri = _oriented_triangles_from(_cooccurrence_edges(spark, sf_dir).select("u", "v"))
+    # oriented edge frame feeds all three join legs and is checkpointed
+    # once inside the helper. The RAW edge frame also fans out (both
+    # degree-count union legs + the orientation join), so cut its
+    # lineage here too — same discipline as g5 (the G3 lineage lesson).
+    e = _cooccurrence_edges(spark, sf_dir).select("u", "v").localCheckpoint(eager=False)
+    tri = _oriented_triangles_from(e)
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("user_id"))
     return (
         corners.groupBy("user_id")

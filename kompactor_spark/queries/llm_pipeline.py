@@ -1228,9 +1228,12 @@ def l6_decontaminate(spark, sf_dir):
     bench = (
         docs.where(F.col("doc_id") % 97 == 0)
         .select(F.col("doc_id").alias("b_doc_id"), F.substring("text", 1, 12).alias("prefix"))
-        # NULL/empty texts yield NULL/empty prefixes that either crash the
-        # length collect or match degenerately — drop them up front
-        .where(F.col("prefix").isNotNull() & (F.length("prefix") > 0))
+        # NULL prefixes match the oracle's contains(x, NULL)=NULL (no
+        # hit) so they are safe to drop; EMPTY prefixes are NOT — DuckDB
+        # contains(x, '')=TRUE hits every corpus doc while a dropped
+        # probe hits none, a silent divergence — so those raise below
+        # once lengths are collected (ADVICE r9)
+        .where(F.col("prefix").isNotNull())
         .localCheckpoint(eager=False)  # read by the length probe + every per-length join
     )
     # distinct probe lengths: model state (the probe set is the
@@ -1239,6 +1242,15 @@ def l6_decontaminate(spark, sf_dir):
     lens = sorted(
         r["l"] for r in bench.select(F.length("prefix").alias("l")).distinct().collect()
     )
+    if lens and lens[0] == 0:
+        # a zero-length probe (empty bench text) matches EVERY corpus
+        # doc under contains() semantics; the window equi-join cannot
+        # express that, so fail loudly rather than silently under-count
+        raise ValueError(
+            "l6_decontaminate: empty-string probe prefix (benchmark doc with "
+            "empty text) — contains(x, '') matches every document; refusing "
+            "to silently drop it"
+        )
     corpus = docs.where(F.col("doc_id") % 97 != 0).select("doc_id", "text")
     if not lens:
         # no probes at all (empty benchmark slice): contamination is

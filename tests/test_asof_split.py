@@ -146,3 +146,29 @@ def test_j8_fused_plan_scans_events_once(spark):
     df = all_queries()["j8_asof_join"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
+
+
+@pytest.mark.parametrize("fn", [asof_join, asof_join_forward])
+def test_single_payload_invariant_guard_is_loud(spark, events, fn):
+    """The unwrapped single-payload fast path is only NULL-safe when the
+    lone right payload IS the right timestamp. Passing right_ts == on
+    makes the single payload a non-ts column — the guard must raise a
+    ValueError (not a stripped-under--O assert; VERDICT r9 #6)."""
+    left = events.where(F.col("event_type") == "L").select(
+        "event_id", "user_id", F.col("ts").alias("l_ts")
+    )
+    right = events.where(F.col("event_type") == "R").select("user_id", F.col("ts").alias("price"))
+    with pytest.raises(ValueError, match="invariant"):
+        fn(left, right, on="user_id", left_ts="l_ts", right_ts="user_id")
+
+
+def test_single_payload_guard_source_has_no_assert():
+    """-O safety: the invariant lives in a raise, not an assert stmt."""
+    import ast
+    import inspect
+
+    import kompactor_spark.operators.asof as mod
+
+    tree = ast.parse(inspect.getsource(mod))
+    asserts = [n for n in ast.walk(tree) if isinstance(n, ast.Assert)]
+    assert asserts == [], f"bare assert statements remain: {[a.lineno for a in asserts]}"

@@ -182,3 +182,42 @@ def test_csv_json_permissive_corrupt_record_capture(spark, tmp_path):
         assert jdf.where(F.col("_corrupt_record").isNotNull()).count() == 1
     finally:
         jdf.unpersist()
+
+
+def _docs_fixture_dir(spark, tmp_path, rows):
+    """Write a minimal documents.parquet with the given (doc_id, text)
+    rows so l6_decontaminate can run against a controlled corpus."""
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t) if t is not None else None) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_l6_decontaminate_empty_probe_text_raises(spark, tmp_path):
+    """An empty benchmark text yields an empty prefix; DuckDB's
+    contains(x, '') is TRUE for every doc, which the windowed equi-join
+    cannot express — must raise, never silently drop (ADVICE r9)."""
+    from kompactor_spark.queries import all_queries
+
+    sf_dir = _docs_fixture_dir(
+        spark, tmp_path, [(0, ""), (97, "hello benchmark doc"), (1, "a corpus doc")]
+    )
+    with pytest.raises(ValueError, match="empty-string probe"):
+        all_queries()["l6_decontaminate"](spark, sf_dir).collect()
+
+
+def test_l6_decontaminate_null_probe_text_dropped_like_oracle(spark, tmp_path):
+    """A NULL benchmark text is dropped — identical to the oracle's
+    contains(x, NULL) = NULL join miss — so the query still runs and
+    counts only real probes."""
+    from kompactor_spark.queries import all_queries
+
+    sf_dir = _docs_fixture_dir(
+        spark,
+        tmp_path,
+        [(0, None), (97, "needle-xyz-12"), (1, "haystack with needle-xyz-12 inside"), (2, "clean")],
+    )
+    rows = {r.doc_id: r.n_probes_hit for r in all_queries()["l6_decontaminate"](spark, sf_dir).collect()}
+    assert rows == {1: 1}

@@ -116,3 +116,25 @@ def test_ivf_materialized_index_partition_pruning(spark, tmp_path):
     hits = {r.vec_id for r in got.collect()}
     recall = len(truth & hits) / len(truth)
     assert recall >= 0.6, f"recall {recall}"
+
+
+def test_cosine_to_query_dimension_mismatch_is_null(spark):
+    """A stored vector whose length differs from the query gets a NULL
+    cosine — never a silently truncated norm/dot (ADVICE r9). Matching
+    vectors are unaffected, in both the unrolled (narrow) and fold
+    (wide) kernel paths."""
+    from kompactor_spark.operators.simsearch import _UNROLL_MAX_DIM, cosine_to_query
+
+    for d in (4, _UNROLL_MAX_DIM + 8):  # unroll path and fold path
+        q = [1.0] + [0.0] * (d - 1)
+        df = spark.createDataFrame(
+            [
+                (1, q),                      # exact match -> cosine 1.0
+                (2, q + [9.0]),              # longer than query -> NULL
+                (3, q[: d - 1]),             # shorter than query -> NULL
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r.vec_id: r.cosine for r in cosine_to_query(df, q).collect()}
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] is None and got[3] is None, (d, got)

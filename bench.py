@@ -134,13 +134,70 @@ def _time_compact_multifile(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _bench_one(label, thunk, per_query, errors):
+def _bench_one(label, thunk, per_query, errors, duck_thunk=None, duck_control=None):
+    """Time one query; when a DuckDB control thunk is given, the runs
+    are INTERLEAVED (S,D,S,D,...) in the same session so this VM's
+    documented 2-6x ambient swings hit both engines equally — the
+    published ratio self-normalizes instead of comparing against a
+    DuckDB number from a different window days earlier (VERDICT r9 #3)."""
     try:
         thunk()  # warm-up (parquet footer cache, codegen)
-        per_query[label] = round(statistics.median(thunk() for _ in range(RUNS)), 4)
+        if duck_thunk is None:
+            per_query[label] = round(statistics.median(thunk() for _ in range(RUNS)), 4)
+            return
+        duck_thunk()  # control warm-up
+        s_times, d_times = [], []
+        for _ in range(RUNS):
+            s_times.append(thunk())
+            d_times.append(duck_thunk())
+        per_query[label] = round(statistics.median(s_times), 4)
+        duck_control[label] = round(statistics.median(d_times), 4)
     except Exception:
         errors[label] = traceback.format_exc().splitlines()[-1]
         print(f"bench: {label} FAILED: {errors[label]}", file=sys.stderr)
+
+
+def _duck_connect(sf_dir: str):
+    """Same-window DuckDB control session: BASELINE.md §2 configuration
+    (threads=4 matching the reference's instance option, in-memory,
+    views over the same parquet)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET threads=4")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+    return con
+
+
+def _duck_fetch_timer(con, sql: str):
+    def run() -> float:
+        t0 = time.perf_counter()
+        assert len(con.execute(sql).df()) >= 0
+        return time.perf_counter() - t0
+
+    return run
+
+
+def _duck_copy_timer(con, sql: str, options: str = "FORMAT PARQUET"):
+    import tempfile
+
+    sink = os.path.join(tempfile.gettempdir(), "kompactor_bench_sink_duck.parquet")
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        con.execute(f"COPY ({sql}) TO '{sink}' ({options})")
+        dt = time.perf_counter() - t0
+        if os.path.exists(sink):
+            os.remove(sink)
+        return dt
+
+    return run
 
 
 def main() -> None:
@@ -149,6 +206,15 @@ def main() -> None:
     spark = get_spark("kompactor-spark-bench")
     regs = all_queries()
     names = [n for n in HEADLINE if n in regs]
+
+    from kompactor_spark.queries import all_oracles
+
+    oracles = all_oracles()
+    try:
+        duck = _duck_connect(sf_dir)
+    except Exception:
+        duck = None
+        print("bench: DuckDB control unavailable, publishing engine-only", file=sys.stderr)
 
     # Global JIT warm-up (see scripts/bench_sf1.py): one untimed pass of
     # every query so the first timed query doesn't pay C2 compilation of
@@ -160,7 +226,18 @@ def main() -> None:
             pass
 
     per_query: dict[str, float] = {}
+    duck_control: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def control_for(name):
+        """DuckDB control thunk for a headline row, or None (rows-only
+        contract rows keep publishing engine-only)."""
+        if duck is None or name not in oracles:
+            return None
+        if name in LARGE_RESULT:
+            return _duck_copy_timer(duck, oracles[name])
+        return _duck_fetch_timer(duck, oracles[name])
+
     for name in names:
         # Construct the DataFrame ONCE per query (prepared-statement
         # protocol): Python-side plan construction is O(expression count)
@@ -172,8 +249,11 @@ def main() -> None:
         # nothing is cached or persisted between runs (no .persist/
         # .cache anywhere in the timed path).
         fn = regs[name]
+        ctl = control_for(name)
         if name in LARGE_RESULT:
-            _bench_one(name, lambda fn=fn: _time_sink(spark, fn, sf_dir), per_query, errors)
+            _bench_one(
+                name, lambda fn=fn: _time_sink(spark, fn, sf_dir), per_query, errors, ctl, duck_control
+            )
             continue
         if name in EAGER_CONSTRUCT:
             # construction does real engine work here — keep it timed
@@ -182,17 +262,44 @@ def main() -> None:
                 lambda fn=fn: _time_full(spark, fn, sf_dir),
                 per_query,
                 errors,
+                ctl,
+                duck_control,
             )
             continue
-        _bench_one(name, lambda fn=fn: _time_query(spark, fn, sf_dir), per_query, errors)
+        _bench_one(
+            name, lambda fn=fn: _time_query(spark, fn, sf_dir), per_query, errors, ctl, duck_control
+        )
 
-    _bench_one("k_compact_events", lambda: _time_compact(spark, sf_dir), per_query, errors)
+    # k_compact control = the reference's entire data plane re-expressed
+    # in DuckDB (kompactor.ts:107-111): read -> ORDER BY ts -> single
+    # zstd parquet with the reference's 100k row groups.
+    compact_ctl = (
+        _duck_copy_timer(
+            duck,
+            "SELECT * FROM events ORDER BY ts",
+            "FORMAT PARQUET, COMPRESSION ZSTD, ROW_GROUP_SIZE 100000",
+        )
+        if duck is not None
+        else None
+    )
+    _bench_one(
+        "k_compact_events",
+        lambda: _time_compact(spark, sf_dir),
+        per_query,
+        errors,
+        compact_ctl,
+        duck_control,
+    )
+    # no DuckDB twin for the range-partitioned multi-file form (DuckDB
+    # has no ordered multi-file COPY); published engine-only
     _bench_one(
         "k_compact_events_multifile",
         lambda: _time_compact_multifile(spark, sf_dir),
         per_query,
         errors,
     )
+    if duck is not None:
+        duck.close()
 
     total = round(sum(per_query.values()), 4)
     line = {
@@ -210,6 +317,16 @@ def main() -> None:
         # region — see _time_query for both rationales.
         "protocol": "full pandas materialization, fresh plan per run, py4j construction untimed (BASELINE.md §3); not comparable to count()-based BENCH_r01-r03",
     }
+    if duck_control:
+        matched = [n for n in per_query if n in duck_control]
+        s_sum = sum(per_query[n] for n in matched)
+        d_sum = sum(duck_control[n] for n in matched)
+        line["duckdb_control"] = duck_control
+        # the drift-immune headline: engine/oracle measured in THE SAME
+        # window, interleaved run-by-run (VERDICT r9 #3); absolute
+        # seconds above remain for cross-round trend reading
+        line["same_window_ratio"] = round(s_sum / d_sum, 3) if d_sum else None
+        line["control_matched_queries"] = len(matched)
     if errors:
         line["errors"] = errors
     print(json.dumps(line))

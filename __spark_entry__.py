@@ -23,21 +23,10 @@ from kompactor_spark.queries import all_oracles, all_queries  # noqa: E402
 from kompactor_spark.session import ensure_conf  # noqa: E402
 
 # Registration order matters: the driver grades the first 50 entries of
-# queries() per round (observed r01-r08). Round 9 window:
-#   (1) every row whose implementation round 9 touched: the ADVICE-r8
-#       guard fixes (l6_decontaminate probe guards, w5 NULL user_id,
-#       the fused kernel's int32 assert->ValueError — two l2
-#       representatives since the guard is behavior-neutral for valid
-#       input), the g4/g5 degree-oriented wedge expansion (verdict #6),
-#       and the a22/a25/a9c quantile rows touched by the sf10-twin /
-#       staging work (verdict #1, #2).
-#   (2) GRADE-AGE RULE (standing policy since r6 #5): the remaining 19
-#       round-3-cohort rows (w5 already in (1) is the 20th) — after
-#       this round no row's latest grade predates round 4 —
-#   (3) then 22 of the 42 round-4-cohort rows, alphabetical; the other
-#       20 head the round-10 fill. Target steady state: no row's
-#       latest grade predates the last commit touching its module by
-#       more than 2 rounds.
+# queries() per round (observed r01-r09). The round-10 window
+# composition is documented inline at the top of _PRIORITY below.
+# Target steady state (standing since r6 #5): no row's latest grade
+# predates the last commit touching its module by more than 2 rounds.
 # All 50 are oracle-backed (H-class). a3_approx_count_distinct sits
 # outside the window BY DESIGN (`err: no_oracle`: Spark HLL++ vs DuckDB
 # sketches can never hash-match; its ±5%-vs-exact tolerance test is the
@@ -45,61 +34,27 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # --- (1) implementations changed in round 9: must re-grade ---
-    "l6_decontaminate",            # NULL/empty-probe guards (ADVICE r8)
-    "w5_rolling_distinct",         # NULL user_id pinned to oracle (ADVICE r8)
-    "l2_jaccard_pairs",            # kernel int32 guard assert->raise (ADVICE r8)
-    "l2_containment_collapsed",    # same kernel
-    "g4_triangle_count",           # degree-oriented wedge expansion (verdict #6)
-    "g5_neighbor_jaccard",         # same orientation
-    "a22_equi_depth_histogram",    # medium-tier staging decision (verdict #2)
-    "a25_weighted_median",         # sf10-twin round: re-pin correctness
-    "a9c_percentile_disc",         # same
-    "v2_grouped_agg_pandas_udf",   # collapse-first feed to the UDF kernel
-    "l4_surprisal",                # map-side (doc, token) collapse
-    "l3g_pq_codebook",             # codegen d2 + agg-argmin (pq_assign)
-    "l3h_pq_adc_topk",             # same encoder
-    "l3i_ivf_pq_topk",             # same encoder
-    # --- (2) grade-age rule: the rest of the round-3 cohort (19;
-    #     w5 above is the 20th) — after this round nothing predates r4 ---
-    "p5_empty_result",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q21_waiting_suppliers",
-    "r5_chsql_compat",
-    "r5b_chsql_strings",
-    "s8_schema_evolution",
-    "u4_multiset_ops",
-    "v1_scalar_pandas_udf",
-    "v4_cogroup_asof",
-    "x2_sliding_window",
-    "x3_session_window",
-    "x7_gap_fill",
-    "x8_locf",
-    "x9_interval_join",
-    "x10_retention_cohorts",
-    "x12_time_rollup_hierarchy",
-    "z2_salted_join",
-    "z3_shuffle_hash_join",
-    # --- (3) grade-age rule: round-4 cohort, alphabetical (22/42) ---
-    "a16_exact_moments",
-    "a20_mad",
-    "a8_stats_aggs",
-    "f5_array_funcs",
-    "f5_posexplode",
-    "g1_cooccurrence_graph",
-    "g2_degree_centrality",
-    "l2_semantic_dedup",
-    "l3_batch_topk",
+    # Round-10 window (first 50 graded). Composition:
+    #   (1) rows whose implementation round 10 touched — the ADVICE-r9
+    #       fixes: l6_decontaminate (NULL-only prefix drop + loud
+    #       empty-prefix raise), g4/g5 (raw edge frame checkpointed
+    #       before orientation), l3_cosine_topk (dim-mismatch -> NULL
+    #       cosine; behavior-neutral on well-formed data), and
+    #       j8_asof_join as the representative for the asof
+    #       assert->ValueError guard (behavior-neutral for valid input);
+    #   (2) GRADE-AGE RULE (standing since r6 #5): the 24 remaining
+    #       round-4-cohort rows (l7_knn_classify, the 25th, was graded
+    #       in r9) — after this round NO row's latest grade predates
+    #       round 5;
+    #   (3) fill to 50 with the round-5 cohort, alphabetical (21 of 39;
+    #       the other 18 head the round-11 fill).
+    # --- (1) implementations changed in round 10: must re-grade ---
+    "l6_decontaminate",
+    "g4_triangle_count",
+    "g5_neighbor_jaccard",
     "l3_cosine_topk",
-    "l4_zipf_slope",
-    "l6_dedup_rate_by_source",
-    "l6_e2e_pipeline",
-    "l6_train_val_split",
-    "l6_weighted_mix",
-    "l7_kmeans_refine",
-    # --- 51+: round-10 fill — the remaining round-4 cohort ---
-    "l7_knn_classify",
+    "j8_asof_join",
+    # --- (2) grade-age rule: the remaining round-4 cohort (24) ---
     "l7_label_centroids",
     "p4_unpivot",
     "q10_returned_items",
@@ -124,6 +79,47 @@ _PRIORITY = [
     "x19_ewma",
     "x20_cusum",
     "x21_asof_snapshot",
+    # --- (3) fill: round-5 cohort, alphabetical (21/39) ---
+    "a23_ab_ztest",
+    "a24_chi_square",
+    "a26_benford",
+    "g6_degree_assortativity",
+    "j16_band_join_lookup",
+    "j17_point_in_time_join",
+    "j19_nearest_value_join",
+    "l4_ttr_hapax",
+    "l4_tv_drift",
+    "l4_vocab_coverage",
+    "l6_length_profile",
+    "l6_ngram_novelty",
+    "l6_source_diversity",
+    "l6_token_budget",
+    "l7_cluster_purity",
+    "l7f_dimension_stats",
+    "m10_skew_report",
+    "m11_basket_lift",
+    "m12_profile_drift",
+    "m7_dynamic_partition_overwrite",
+    "m9_cdc_apply",
+    # --- 51+: round-11 fill — the remaining round-5 cohort ---
+    "p6_multi_measure_pivot",
+    "s11_binaryfile_source",
+    "s12_corrupt_tolerant_scan",
+    "w14_pareto_share",
+    "w15_gini_revenue",
+    "x27_interval_coverage",
+    "x29_last_touch_attribution",
+    "x30_rate_spike",
+    "x31_cohort_ltv",
+    "x32_alert_episodes",
+    "x33_active_user_stickiness",
+    "x34_rolling_slope",
+    "x35_seasonality_strength",
+    "x36_count_autocorrelation",
+    "x37_cross_type_correlation",
+    "x38_cumulative_crossover",
+    "x39_burstiness",
+    "x40_max_drawdown",
 ]
 
 

@@ -44,34 +44,32 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round9_targets_inside_window():
-    """Round-9 window invariant (grade-age policy, VERDICT r8 #3):
-    every row whose implementation round 9 touched (ADVICE-r8 guard
-    fixes, degree-oriented wedges, collapse-first percentiles/
-    histogram/UDF feed) plus the remaining round-3 grade cohort must
-    sit inside the first 50 registry slots; the rest follow the
-    grade-age rule (round-4 cohort, alphabetical)."""
+def test_round10_targets_inside_window():
+    """Round-10 window invariant (grade-age policy, VERDICT r9 #2):
+    every row whose implementation round 10 touched (ADVICE-r9 fixes:
+    l6 probe semantics, g4/g5 lineage checkpoint, cosine dim guard,
+    asof assert->raise representative) plus the remaining round-4
+    grade cohort must sit inside the first 50 registry slots; the rest
+    follow the grade-age rule (round-5 cohort, alphabetical)."""
     changed = {
-        "l6_decontaminate", "w5_rolling_distinct",
-        "l2_jaccard_pairs", "l2_containment_collapsed",
-        "g4_triangle_count", "g5_neighbor_jaccard",
-        "a22_equi_depth_histogram", "a25_weighted_median",
-        "a9c_percentile_disc", "v2_grouped_agg_pandas_udf",
-        "l4_surprisal", "l3g_pq_codebook", "l3h_pq_adc_topk",
-        "l3i_ivf_pq_topk",
+        "l6_decontaminate", "g4_triangle_count", "g5_neighbor_jaccard",
+        "l3_cosine_topk", "j8_asof_join",
     }
-    r3_cohort = {
-        "p5_empty_result", "q2_min_cost_supplier", "q9_product_profit",
-        "q21_waiting_suppliers", "r5_chsql_compat", "r5b_chsql_strings",
-        "s8_schema_evolution", "u4_multiset_ops", "v1_scalar_pandas_udf",
-        "v4_cogroup_asof", "w5_rolling_distinct", "x2_sliding_window",
-        "x3_session_window", "x7_gap_fill", "x8_locf", "x9_interval_join",
-        "x10_retention_cohorts", "x12_time_rollup_hierarchy",
-        "z2_salted_join", "z3_shuffle_hash_join",
+    r4_cohort = {
+        "l7_label_centroids", "p4_unpivot", "q10_returned_items",
+        "q11_important_parts", "q12_late_lines_by_class",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_qty_revenue", "q19_discounted_revenue",
+        "q20_part_promotion", "q22_sales_opportunity",
+        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
+        "v3_apply_in_pandas", "w6_distribution_funcs",
+        "w7_share_of_total", "x16_m4_downsample", "x17_gap_detect",
+        "x19_ewma", "x20_cusum", "x21_asof_snapshot",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (changed | r3_cohort) - window
-    assert not out, f"round-9 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r4_cohort) - window
+    assert not out, f"round-10 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():

@@ -686,3 +686,23 @@ def test_g4_g5_route_through_degree_orientation(spark):
 
     assert "_oriented_triangles_from" in inspect.getsource(G.g4_triangle_count)
     assert "_oriented_triangles_from" in inspect.getsource(G.g5_neighbor_jaccard)
+
+
+def test_pq_assign_agg_argmin_no_window(spark, Q):
+    """PQ encoder (round-9 rewrite, VERDICT r9 #5): the per-(vec_id,
+    sub) nearest-code argmin must be an AGGREGATE min over the
+    (d2, code) struct — partial+final, so the k-candidate expansion
+    partial-combines map-side before any shuffle — and never a Window/
+    row_number over the |vecs|*n_sub*k expansion (the 86 s sf10 form:
+    that window shuffled AND sorted all 25.6M candidate rows)."""
+    p = plan(spark, Q["l3g_pq_codebook"](spark, SF))
+    assert "Window" not in p, p
+    assert "row_number" not in p, p
+    # map-side combine of the argmin: a partial_min on the (d2, code)
+    # struct (Spark plans struct-min as SortAggregate; the partial is
+    # what caps the shuffle at one row per (vec_id, sub) per task)
+    assert "partial_min(struct(d2" in p, p
+    # both assignment passes (initial + post-refinement) keep the shape;
+    # the deliberately-uncheckpointed a1 subtree prints its pass once
+    # per consumer, so count is >= 2, not == 2
+    assert p.count("partial_min(struct(d2") >= 2, p

@@ -12,9 +12,12 @@ Runs, in order:
 2. ``scripts/streaming_bclass.py`` — the B-class streaming
    batch-equivalence evidence (writes
    ``scripts/streaming_bclass_out.json`` with a fresh timestamp).
-3. ``scripts/perf_smoke.py`` — the sf1 whole-registry scale smoke
+3. ``scripts/nonh_checks.py`` — per-row pass/fail for the 16 non-H
+   (T/PY-class) registry rows (writes ``scripts/nonh_checks_out.json``;
+   VERDICT r9 #7).
+4. ``scripts/perf_smoke.py`` — the sf1 whole-registry scale smoke
    (writes ``scripts/perf_smoke_out.json``) unless ``--no-perf``.
-4. ``--sweep name [name ...]`` — re-run the sf10 sweep for the named
+5. ``--sweep name [name ...]`` — re-run the sf10 sweep for the named
    queries (their old rows are dropped from
    ``scripts/sweep_sf10_out.jsonl`` first so the sweep's resume logic
    re-measures them). Queries whose implementation changed this round
@@ -78,6 +81,10 @@ def main() -> int:
     failures += run(
         "streaming_bclass",
         [sys.executable, os.path.join(SCRIPTS, "streaming_bclass.py")],
+    )
+    failures += run(
+        "nonh_checks",
+        [sys.executable, os.path.join(SCRIPTS, "nonh_checks.py")],
     )
     if not no_perf:
         failures += run(

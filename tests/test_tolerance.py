@@ -147,3 +147,63 @@ def test_a19b_theta_difference_tolerance(spark, Q):
     assert abs(r.approx_signup_only - r.exact_signup_only) <= max(
         1, 0.05 * r.exact_signup_only
     ), (r.approx_signup_only, r.exact_signup_only)
+
+
+def test_l2_simhash_pairs_quality_bounds(spark):
+    """L2c SimHash: planted near-duplicates (1-2 token edits on 60-token
+    docs) must land within the query's hamming<=12 pair threshold, and
+    unrelated random docs must sit far above it — the pair-quality
+    bound the l2_simhash_pairs check-class annotation declares. Inputs
+    seeded → the distances are reproducible constants; bounds leave
+    margin."""
+    import random
+
+    from kompactor_spark.operators.dedup import hamming64, simhash
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(500)]
+
+    def doc(n=60):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    bases = [doc() for _ in range(20)]
+
+    def perturb(text, edits):
+        toks = text.split()
+        for _ in range(edits):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        return " ".join(toks)
+
+    rows = []
+    for i, b in enumerate(bases):
+        rows.append((i * 10, b))            # base
+        rows.append((i * 10 + 1, perturb(b, 2)))  # planted near-dup
+    rows += [(9000 + i, doc()) for i in range(20)]  # unrelated
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = simhash(df)
+    # determinism: a second evaluation yields identical signatures
+    s1 = {r.doc_id: r.simhash for r in sig.collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert s1 == s2
+
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = {
+        (r.ia, r.ib): r.h
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("h"),
+        )
+        .collect()
+    }
+    near = [ham[(i * 10, i * 10 + 1)] for i in range(20)]
+    unrelated = [h for (ia, ib), h in ham.items() if ia >= 9000 and ib >= 9000]
+    # exact duplicates of the token multiset hash identically
+    assert all(h <= 12 for h in near), near  # every planted near-dup is recalled
+    assert sum(near) / len(near) < 8, near
+    # unrelated 60-token docs over a 500-token vocab: ~30 expected bits
+    assert min(unrelated) > 12, sorted(unrelated)[:5]  # zero false pairs
+    assert sum(unrelated) / len(unrelated) > 20, sum(unrelated) / len(unrelated)

@@ -230,7 +230,11 @@ class CompactionJob:
                 .parquet(pstaging)
             )
             written = glob.glob(os.path.join(pstaging, "part-*.parquet"))
-            assert len(written) == 1, f"expected exactly one part file, got {written}"
+            if len(written) != 1:
+                # kernel guard (survives python -O): the atomic rename
+                # below moves exactly one file; more would silently
+                # drop data, zero means the write itself failed
+                raise RuntimeError(f"expected exactly one part file, got {written}")
             if needs_split:
                 final_abs = out_abs.replace(".parquet", f"_p{i}.parquet")
             else:

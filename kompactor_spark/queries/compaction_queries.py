@@ -102,7 +102,8 @@ def k1_hour_compaction(spark, sf_dir):
     _build_layout(spark, sf_dir, root)
     job = CompactionJob(spark, root, [_HOST], time_col="time")
     (report,) = job.run()
-    assert report.compacted_groups == 1, f"expected one merged group, got {report}"
+    if report.compacted_groups != 1:  # loud under python -O too
+        raise RuntimeError(f"expected one merged group, got {report}")
     (out_rel,) = report.results[0].output_paths
     return (
         spark.read.parquet(os.path.join(root, out_rel))

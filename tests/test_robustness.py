@@ -221,3 +221,21 @@ def test_l6_decontaminate_null_probe_text_dropped_like_oracle(spark, tmp_path):
     )
     rows = {r.doc_id: r.n_probes_hit for r in all_queries()["l6_decontaminate"](spark, sf_dir).collect()}
     assert rows == {1: 1}
+
+
+def test_engine_package_has_no_bare_asserts():
+    """Kernel-guard discipline (VERDICT r9 #6 generalized): invariant
+    guards in engine code must be raises, never assert statements —
+    `python -O` strips asserts, turning a loud data-plane failure into
+    silent corruption (e.g. the compaction single-part-file rename)."""
+    import ast
+    import pathlib
+
+    import kompactor_spark
+
+    pkg = pathlib.Path(kompactor_spark.__file__).parent
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        offenders += [f"{py}:{n.lineno}" for n in ast.walk(tree) if isinstance(n, ast.Assert)]
+    assert offenders == [], f"bare assert statements in engine code: {offenders}"

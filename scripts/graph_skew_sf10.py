@@ -36,7 +36,12 @@ Phases (run separately so DNF candidates sit under a shell `timeout`):
             its edge list is id-ordered u<v, so the mid-id hub is the
             same 6.25e8-wedge key) — run under `timeout 600`.
 
-Usage:  python scripts/graph_skew_sf10.py gen|engine|ab|ab_id_only|duck
+Usage:  python scripts/graph_skew_sf10.py gen|engine|ab|ab_id_only|duck ...
+
+Set GRAPH_SKEW_SCALE=small for the 1/10-grain twin fixture (~1 M
+events, hub degree 15 k) — the scale where DuckDB's wedge oracle can
+actually FINISH, so g4 gets a measured ratio to complement the
+sf10-grain DNF bound (same generator, same skew profile).
 """
 
 from __future__ import annotations
@@ -50,15 +55,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIX = os.path.join(ROOT, "benchdata", "graph_skew")
+SMALL = os.environ.get("GRAPH_SKEW_SCALE", "") == "small"
+FIX = os.path.join(ROOT, "benchdata", "graph_skew_small" if SMALL else "graph_skew")
 EVENTS = os.path.join(FIX, "events.parquet")
 SINK = f"/tmp/graph_skew_sink_{os.getpid()}.parquet"
 
-N_USERS = 400_000
-N_COMM = 1_000_000
+N_USERS = 100_000 if SMALL else 400_000
+N_COMM = 100_000 if SMALL else 1_000_000
 COMM_CAP = 20
-HUB_DEG = 50_000
-HUB_ID = 100_001  # odd: never collides with the rim's ids (0 mod 4)
+HUB_DEG = 15_000 if SMALL else 50_000
+HUB_ID = 30_001 if SMALL else 100_001  # odd: never collides with the rim's ids (0 mod 4)
 NS_PER_HOUR = 3_600_000_000_000
 
 

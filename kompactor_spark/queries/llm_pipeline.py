@@ -495,31 +495,32 @@ def l3_cosine_topk(spark, sf_dir):
     """,
 )
 def l3_batch_topk(spark, sf_dir):
+    # Round 10: the broadcast-crossJoin × fold-per-pair shape evaluated
+    # |corpus|·|Q|·d interpreted lambda steps (plus re-deriving ‖v‖ on
+    # every duplicated pair row) and funneled the full expansion through
+    # a |Q|-partition window — 28.4 s at sf10. The Arrow kernel scores
+    # each batch with one numpy matmul and prunes to batch-local top-k,
+    # so the exact final window ranks a model-sized candidate frame.
     from pyspark.sql import Window
 
     T = loader(sf_dir, spark)
-    emb = T("embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-    sims = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", (dot / (nrm("v") * nrm("qv"))).alias("cos_raw"))
-    )
+    emb = T("embeddings")
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    cand = S.batch_cosine_candidates(
+        # k+1 then drop self-matches: a query's own row (cosine 1.0)
+        # must not displace a real neighbor from the batch-local cut
+        emb, queries, k=6
+    ).where(F.col("vec_id") != F.col("query_id"))
     rn = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+        Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     )
     return (
-        sims.withColumn("rn", rn)
+        cand.withColumn("rn", rn)
         .where(F.col("rn") <= 5)
-        .select("query_id", "vec_id", F.round("cos_raw", 6).alias("cosine"))
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("query_id", F.col("cosine").desc(), "vec_id")
     )
 
@@ -1132,8 +1133,17 @@ def l4_tfidf_topterms(spark, sf_dir):
     T = loader(sf_dir, spark)
     docs = T("documents")
     tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf's rows are already DISTINCT (doc, term) pairs, so document
+    # frequency is a plain count over tf — deriving it from raw tok
+    # re-tokenized and re-shuffled the whole corpus a second time
+    # (round 10: 35.3 s -> ~13 s at sf10). tf feeds both the join and
+    # dfreq, so cut its lineage once (the G3 fan-out discipline).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(dfreq, "term")
@@ -2043,28 +2053,27 @@ def l4_zipf_slope(spark, sf_dir):
     """,
 )
 def l7_knn_classify(spark, sf_dir):
+    # Round 10: same kernel rewrite as l3_batch_topk (this row measured
+    # 25.3 s at sf10 vs DuckDB's native 0.96 s — the |corpus|·|Q|·d
+    # interpreted-fold expansion through an 8-partition window funnel).
+    # The label rides the Arrow batch as a payload column; the exact
+    # top-10 window and the vote run over the pruned candidate frame.
     from pyspark.sql import Window
 
     T = loader(sf_dir, spark)
-    emb = T("embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
-    q = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    corpus = emb.where(F.col("vec_id") >= 8)
-    dot = F.aggregate(
-        F.zip_with(F.col("v"), F.col("qv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    nrm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
-    sims = corpus.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", "label", (dot / (nrm("v") * nrm("qv"))).alias("cos_raw")
+    emb = T("embeddings")
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    ]
+    cand = S.batch_cosine_candidates(
+        emb.where(F.col("vec_id") >= 8), queries, k=10, payload_cols=("label",)
     )
     rn = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "vec_id")
+        Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
     )
     votes = (
-        sims.withColumn("rn", rn)
+        cand.withColumn("rn", rn)
         .where(F.col("rn") <= 10)
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
@@ -3743,12 +3752,19 @@ def l6_ngram_novelty(spark, sf_dir):
     assigned = T("documents").select(
         "text", F.when(h < "f8", "train").otherwise("val").alias("split")
     )
+    # hoist the token array to a projected column: referencing
+    # split(text, ' ') INSIDE the transform lambda re-tokenized the
+    # whole doc per gram — O(len²) per document (round 10: this row was
+    # 37 s at sf10 vs DuckDB's 4.3 s, which materializes ts once; with
+    # the hoist the same plan is ~6 s)
     grams = assigned.select(
+        "split", F.split("text", " ").alias("ts")
+    ).select(
         "split",
         F.explode(
             F.expr(
-                "transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 0)),"
-                " (t, i) -> concat_ws(' ', t, split(text, ' ')[i + 1], split(text, ' ')[i + 2]))"
+                "transform(slice(ts, 1, greatest(size(ts) - 2, 0)),"
+                " (t, i) -> concat_ws(' ', t, ts[i + 1], ts[i + 2]))"
             )
         ).alias("g"),
     )

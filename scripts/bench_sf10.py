@@ -86,13 +86,29 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # sum) shipped without a DuckDB twin at the scale that
            # motivated them — publish the ratio where both sides do
            # real work (engine sweep rows were 55 s / 40 s).
-           "a25_weighted_median", "a9c_percentile_disc"]
+           "a25_weighted_median", "a9c_percentile_disc",
+           # round 10: every remaining >=20s engine sweep row whose
+           # DuckDB oracle COMPLETES at sf10 (probed one-shot via
+           # scripts/probe_duck_sf10.py before admission - the
+           # in-process DuckDB side has no timeout, so DNF candidates
+           # like g4's wedge oracle must not enter this list). Four of
+           # these were first FIXED this round (batch scorer kernel,
+           # ngram-novelty token-array hoist, tfidf dfreq-from-tf);
+           # the rest are published as-is, work-bound.
+           "l3_batch_topk", "l7_knn_classify", "l6_ngram_novelty",
+           "l4_tfidf_topterms", "l4_crossdoc_ngram_share",
+           "m11_basket_lift", "l7_kmeans_refine", "l7_cluster_purity",
+           "g1_cooccurrence_graph", "g2_degree_centrality",
+           "g3_pagerank", "g6_degree_assortativity"]
 # g4/g5 are NOT protocol rows at sf10: DuckDB's wedge oracle DNFs a
 # single 590 s run there (61 GB RSS when killed) while the engine's
 # degree-oriented path sinks in 94/71 s — the asymmetry is recorded as
 # noted rows in BENCH_SF10.json with sf1 twins (where DuckDB completes)
 # measured by scripts/duck_g4_sf1-style one-shots.
-LARGE_RESULT = {"j14_binned_interval_join"}  # parquet sink on both (BASELINE.md §3.3)
+LARGE_RESULT = {"j14_binned_interval_join",
+                # round 10: 0.5-1.5M-row outputs — sink on both sides
+                "l4_tfidf_topterms", "l4_crossdoc_ngram_share",
+                "g1_cooccurrence_graph"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would
 # otherwise be excluded from the timed region): timer keeps
@@ -102,7 +118,16 @@ EAGER_CONSTRUCT = {"l2_containment_collapsed", "l2_dedup_clusters_collapsed",
                    # round 9: the collapse-first histogram runs its
                    # collapse count (the only data-plane jobs besides
                    # the kernel) at construction
-                   "a22_equi_depth_histogram"}  # checkpoint runs at construction (bench_sf1 note)
+                   "a22_equi_depth_histogram",
+                   # round 10 rows that collect model state (query
+                   # vectors, centroids, node counts) or localCheckpoint
+                   # at construction — that work belongs in the timed
+                   # region (g1/g2 are pure-lazy plans, excluded)
+                   "l3_batch_topk", "l7_knn_classify", "l6_ngram_novelty",
+                   "l4_tfidf_topterms", "l4_crossdoc_ngram_share",
+                   "m11_basket_lift", "l7_kmeans_refine",
+                   "l7_cluster_purity", "g3_pagerank",
+                   "g6_degree_assortativity"}  # checkpoint runs at construction (bench_sf1 note)
 
 
 def generate() -> None:
@@ -210,8 +235,12 @@ def main() -> None:
                 sink = os.path.join(DST, "_bench_sink_spark.parquet")
 
                 def run() -> float:
-                    df = qs[name](spark, DST)  # construction untimed
-                    t0 = time.perf_counter()
+                    if name in EAGER_CONSTRUCT:
+                        t0 = time.perf_counter()
+                        df = qs[name](spark, DST)  # construction does engine work
+                    else:
+                        df = qs[name](spark, DST)  # construction untimed
+                        t0 = time.perf_counter()
                     df.write.mode("overwrite").parquet(sink)
                     dt = time.perf_counter() - t0
                     shutil.rmtree(sink, ignore_errors=True)

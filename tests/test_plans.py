@@ -104,6 +104,20 @@ def test_l3_no_python_udf_in_topk(spark, Q):
     assert "BatchEvalPython" not in p
 
 
+def test_batch_scoring_rows_use_arrow_kernel_no_expansion(spark, Q):
+    """l3_batch_topk / l7_knn_classify (round 10): the batch scorer is
+    the Arrow-batched MapInPandas kernel — never a row-at-a-time
+    BatchEvalPython, and never the |corpus| x |Q| crossJoin expansion
+    whose interpreted folds measured 25-28 s at sf10 (the kernel runs
+    1.4-1.6 s). The final window ranks only the kernel's pruned
+    candidates, so no join of any kind feeds it."""
+    for name in ("l3_batch_topk", "l7_knn_classify"):
+        p = plan(spark, Q[name](spark, SF))
+        assert "MapInPandas" in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
+
+
 def test_z2_salted_join_stays_broadcast(spark, Q):
     """Salted dim join: dim exploded 8x is still broadcast; the fact
     side is never sort-merge shuffled."""

@@ -2176,22 +2176,41 @@ def l4_crossdoc_ngram_share(spark, sf_dir):
         f"transform(sequence(1, size(ts) - {_XDOC_N} + 1), "
         f"i -> array_join(slice(ts, i, {_XDOC_N}), ' '))"
     )
+    # Round 10: the 30M x 30M string-keyed join back to per-doc rows is
+    # avoidable entirely — a gram with corpus df == 1 belongs to exactly
+    # ONE doc (min(doc_id) IS that doc), so n_shared = n_grams - n_solo
+    # from two aggregates and a doc-keyed join of model-sized count
+    # frames. Both aggregates consume ONE explicit gram-keyed exchange:
+    # the expensive gram build runs once into disk-backed shuffle files
+    # that ReuseExchange shares (pinned in test_plans.py) — a 30M-row
+    # localCheckpoint here instead OOM'd the 8g bench session (block-
+    # store row copies outlive runs until the ContextCleaner GCs), and
+    # rebuilding grams per consumer costs 2x the tokenize (measured
+    # 33-41 s). This shape: 52.9 s -> ~17 s at sf10 (DuckDB twin 26.2 s).
     grams = (
         fan_out(T("documents"))
         .select("doc_id", ts.alias("ts"))
         .where(F.size("ts") >= _XDOC_N)
         .select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+        .repartition("g")
     )
-    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
-    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-    return (
-        grams.join(df_counts, "g")
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    solo = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("doc_id"))
+        .where(F.col("n_docs") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            shared.cast("bigint").alias("n_shared"),
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_solo"))
+    )
+    n_shared = F.col("n_grams") - F.coalesce(F.col("n_solo"), F.lit(0).cast("bigint"))
+    return (
+        per_doc.join(solo, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_shared.cast("bigint").alias("n_shared"),
             (
-                F.round(shared.cast("double") / F.count(F.lit(1)).cast("double"), 6)
+                F.round(n_shared.cast("double") / F.col("n_grams").cast("double"), 6)
                 + F.lit(0.0)
             ).alias("shared_frac"),
         )

@@ -1492,9 +1492,15 @@ _M11_MIN_PAIRS = 3
 )
 def m11_basket_lift(spark, sf_dir):
     T = loader(sf_dir, spark)
-    li = (
-        T("lineitem").select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=False)
-    )  # feeds the pair self-join (twice), supports, and the order census
+    # li feeds the pair self-join (twice), supports, and the order
+    # census — but all four consumers sit above the IDENTICAL distinct
+    # Exchange, which Spark's ReuseExchange dedupes inside the one
+    # final plan (pinned in test_plans.py). A localCheckpoint here
+    # OOM'd the 8g driver at sf10 (60M-row UnsafeRow copy at
+    # Dataset.checkpoint); exchange reuse gives the same single
+    # distinct pass with spill-safe shuffle files instead of
+    # block-store row copies.
+    li = T("lineitem").select("l_orderkey", "l_partkey").distinct()
     n = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )

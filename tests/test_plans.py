@@ -104,6 +104,39 @@ def test_l3_no_python_udf_in_topk(spark, Q):
     assert "BatchEvalPython" not in p
 
 
+def test_m11_distinct_exchange_reused_not_checkpointed(spark, Q):
+    """m11's four consumers of the distinct (order, part) frame share
+    exchanges via ReuseExchange (round 10: the localCheckpoint this
+    replaced OOM'd the 8g driver at sf10 — a 60M-row UnsafeRow copy).
+    The reuse only appears in the FINALIZED adaptive plan, so execute
+    first."""
+    df = Q["m11_basket_lift"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    import inspect
+
+    from kompactor_spark.queries import relational_ext as R
+
+    assert ".localCheckpoint(" not in inspect.getsource(R.m11_basket_lift)
+
+
+def test_crossdoc_gram_build_shared_via_exchange_reuse(spark, Q):
+    """l4_crossdoc (round 10): the expensive gram explode feeds both
+    aggregates through ONE explicit gram-keyed exchange — the finalized
+    adaptive plan must reuse it (gram build once, disk-backed shuffle
+    files instead of a block-store checkpoint), and the 30Mx30M
+    gram-keyed join back to docs must be gone (the only join left is
+    the doc-keyed count join)."""
+    df = Q["l4_crossdoc_ngram_share"](spark, SF)
+    df.collect()
+    # the adaptive plan string appends "== Initial Plan ==" copies of
+    # every subtree — count only the FINAL plan section
+    p = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "ReusedExchange" in p
+    assert p.count("Generate explode") == 1
+
+
 def test_batch_scoring_rows_use_arrow_kernel_no_expansion(spark, Q):
     """l3_batch_topk / l7_knn_classify (round 10): the batch scorer is
     the Arrow-batched MapInPandas kernel — never a row-at-a-time

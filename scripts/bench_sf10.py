@@ -95,6 +95,7 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
            # these were first FIXED this round (batch scorer kernel,
            # ngram-novelty token-array hoist, tfidf dfreq-from-tf);
            # the rest are published as-is, work-bound.
+           "j19_nearest_value_join",
            "l3_batch_topk", "l7_knn_classify", "l6_ngram_novelty",
            "l4_tfidf_topterms", "l4_crossdoc_ngram_share",
            "m11_basket_lift", "l7_kmeans_refine", "l7_cluster_purity",
@@ -106,9 +107,10 @@ QUERIES = ["a1_groupby_q1", "j9_star_join", "j14_binned_interval_join", "j8_asof
 # noted rows in BENCH_SF10.json with sf1 twins (where DuckDB completes)
 # measured by scripts/duck_g4_sf1-style one-shots.
 LARGE_RESULT = {"j14_binned_interval_join",
-                # round 10: 0.5-1.5M-row outputs — sink on both sides
+                # round 10: 0.5-60M-row outputs — sink on both sides
                 "l4_tfidf_topterms", "l4_crossdoc_ngram_share",
-                "g1_cooccurrence_graph"}  # parquet sink on both (BASELINE.md §3.3)
+                "g1_cooccurrence_graph",
+                "j19_nearest_value_join"}  # parquet sink on both (BASELINE.md §3.3)
 # Construction does real engine work for these (localCheckpoint runs
 # its job at call time on Spark 4.1 — the collapse shuffle would
 # otherwise be excluded from the timed region): timer keeps

@@ -323,10 +323,13 @@ def batch_cosine_candidates(
     association — a ≤1-ulp difference on the cosine. Graded callers
     round to 6 decimals and vote over labels, where that is not
     observable; parity vs the fold path is asserted in
-    tests/test_batch_kernel.py. Preconditions (tested): finite vectors,
-    no zero norms; rows whose dimension differs from the query batch's
+    tests/test_batch_kernel.py. Preconditions (tested): finite vectors;
+    NULL rows and rows whose dimension differs from the query batch's
     are dropped (the fold path yields NULL cosine there, which likewise
-    can never enter the top-k).
+    can never enter the top-k); a zero-norm row raises ValueError in the
+    task (ADVICE r10 — Spark's DESC ordering would rank the fold path's
+    NaN first while numpy lexsort ranks it last, so degeneracy must be
+    loud, not silently divergent).
     """
     if not queries:
         raise ValueError("batch_cosine_candidates: empty query batch")
@@ -354,7 +357,14 @@ def batch_cosine_candidates(
             if not len(pdf):
                 continue
             vecs = pdf[vec_col].to_numpy()
-            lens = np.fromiter((len(v) for v in vecs), dtype=np.int64, count=len(vecs))
+            # NULL -> -1 so it fails the dim check and is dropped, the
+            # same degradation as the fold path's NULL cosine (ADVICE
+            # r10: len(None) killed the whole job here)
+            lens = np.fromiter(
+                (-1 if v is None else len(v) for v in vecs),
+                dtype=np.int64,
+                count=len(vecs),
+            )
             ok = lens == dim
             if not ok.all():
                 pdf = pdf.iloc[np.flatnonzero(ok)]
@@ -363,6 +373,13 @@ def batch_cosine_candidates(
                     continue
             V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
             nv = np.sqrt((V * V).sum(axis=1))
+            if not (nv > 0.0).all():
+                bad_ids = pdf[id_col].to_numpy()[np.flatnonzero(~(nv > 0.0))][:5]
+                raise ValueError(
+                    "batch_cosine_candidates: zero-norm embedding rows "
+                    f"(ids {list(bad_ids)}...) — cosine is undefined; "
+                    "filter degenerate vectors upstream"
+                )
             S = (V @ Q.T) / np.outer(nv, qn)  # n x |Q|
             n = len(pdf)
             kk = min(k, n)

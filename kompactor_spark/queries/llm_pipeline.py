@@ -1137,13 +1137,23 @@ def l4_tfidf_topterms(spark, sf_dir):
     # frequency is a plain count over tf — deriving it from raw tok
     # re-tokenized and re-shuffled the whole corpus a second time
     # (round 10: 35.3 s -> ~13 s at sf10). tf feeds both the join and
-    # dfreq, so cut its lineage once (the G3 fan-out discipline).
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+    # dfreq; both subtrees contain the identical
+    # Exchange(hashpartitioning(doc_id, term)), so ReuseExchange shares
+    # the tokenize+partial-agg work via disk-backed shuffle files — the
+    # m11/l4_crossdoc shape (ADVICE r10: a localCheckpoint here was the
+    # same block-store copy of a ~30M-row frame that OOM'd the 8g
+    # driver in m11; plan-pinned in test_plans.py).
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the `tf >= 1` filter is a tautology (counts are >= 1) whose ONLY
+    # job is to keep the tf column alive on this branch: without it,
+    # column pruning rewrites this subtree's aggregate to distinct-only
+    # (functions=[]), the two (doc_id, term) exchanges stop being
+    # identical subtrees, and ReuseExchange can't fire — the corpus
+    # would be tokenized and shuffled twice (verified in the finalized
+    # plan while fixing ADVICE r10).
+    dfreq = (
+        tf.where(F.col("tf") >= 1).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(dfreq, "term")

@@ -10,7 +10,7 @@ This builds a REALISTIC skewed events fixture at the sf10 grain
 (~10 M event rows) and publishes g4/g5 rows measured on it:
 
 - **power-law communities**: community sizes Pareto(x_m=3, alpha=2)
-  capped at 40 (mean ~6); every member is active in that community's
+  capped at 20 (mean ~5); every member is active in that community's
   two private (hour, event_type) buckets, so each community becomes a
   w=2 clique in the G1 co-occurrence graph. Heavy-tailed degrees, the
   follower-graph profile.

@@ -107,6 +107,108 @@ def test_kernel_drops_dimension_mismatch(spark):
     assert sorted(r.vec_id for r in out) == [0, 1]
 
 
+def test_kernel_drops_null_embedding(spark):
+    # ADVICE r10: len(None) used to raise TypeError inside np.fromiter
+    # and kill the whole job; the contract is the fold path's
+    # degradation — a NULL row yields NULL cosine and never enters the
+    # top-k, i.e. the kernel silently drops it.
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = _kernel_topk(df, [(9, [1.0, 0.0])], 3).collect()
+    assert sorted(r.vec_id for r in out) == [0, 2]
+
+
+def test_kernel_zero_norm_raises(spark):
+    # ADVICE r10: a zero-norm vector gives NaN cosine, which numpy
+    # lexsort ranks LAST while Spark's DESC ranks NaN FIRST — silent
+    # divergence. The documented precondition is now a loud task-side
+    # guard.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(Exception, match="zero-norm"):
+        S.batch_cosine_candidates(df, [(9, [1.0, 0.0])], k=2).collect()
+
+
+def test_kernel_exact_tie_cluster_split_by_cut_across_batches(spark):
+    # VERDICT r10 #5 (tie half): 30 bit-identical vectors — an EXACT tie
+    # cluster — spread over 10 partitions so it crosses Arrow-batch/task
+    # boundaries, with the k cut falling INSIDE the cluster. Both paths
+    # must keep the same lowest-id members: the kernel's full lexsort
+    # (cosine desc, id asc) applies the same total order as the fold
+    # path's window, so a batch-local cut can never drop a tie member
+    # that the global order keeps.
+    tie = [3.0, 1.0, 2.0, 5.0]
+    rows = [(i, tie) for i in range(30)]
+    rows += [(1000 + i, [1.0, -2.0, 0.5, float(i % 7) - 3.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(10)
+    q = [(0, tie)]
+    a = sorted(
+        _fold_topk(df, q, 12).collect(), key=lambda r: (-r.cosine, r.vec_id)
+    )
+    b = sorted(
+        _kernel_topk(df, q, 12).collect(), key=lambda r: (-r.cosine, r.vec_id)
+    )
+    assert [(r.vec_id, r.cosine) for r in a] == [(r.vec_id, r.cosine) for r in b]
+    # the cut (k=12) splits the 30-member tie cluster by id
+    assert [r.vec_id for r in b] == list(range(12))
+
+
+def _boundary_rows(target: float):
+    """Rows whose computed cosine brackets ``target`` (a 6-dp half
+    boundary) within a few ulps. dim 2 with q=[1,0]: cosine =
+    x / sqrt(x*x + y*y) — two-term sums, where numpy's pairwise
+    reduction IS the fold's left association, so the kernel and the JVM
+    fold compute bit-identical doubles and the test is deterministic."""
+    y = 0.75
+
+    def cos(x: float) -> float:
+        return x / np.sqrt(x * x + y * y)
+
+    # invert, then scan ulp-neighbors of x until the computed cosine
+    # straddles the boundary
+    x0 = float(target * y / np.sqrt(1.0 - target * target))
+    below, above = None, None
+    x = x0
+    for _ in range(64):
+        x = np.nextafter(x, -np.inf)
+        if cos(float(x)) < target:
+            below = float(x)
+            break
+    x = x0
+    for _ in range(64):
+        x = np.nextafter(x, np.inf)
+        if cos(float(x)) >= target:
+            above = float(x)
+            break
+    assert below is not None and above is not None
+    return [(1, [below, y]), (2, [above, y])], cos(below), cos(above)
+
+
+@pytest.mark.parametrize("target", [0.1234565, 0.0000005, 0.9876545])
+def test_kernel_6dp_rounding_boundary_parity(spark, target):
+    # VERDICT r10 #5 (rounding half): plant cosines that bracket a 6-dp
+    # half boundary by ~1 ulp — the exact case where a ≤1-ulp
+    # association difference COULD flip an H-graded rounded value — and
+    # assert the kernel and fold paths grade identically (values AND
+    # ids). At dim 2 both paths compute the same double bit-for-bit
+    # (see _boundary_rows), so rounding divergence is pinned to zero.
+    rows, c_below, c_above = _boundary_rows(target)
+    # demonstrate the fixture actually exercises the boundary: raw
+    # cosines differ by a few ulps yet round to DIFFERENT 6-dp values
+    assert 0 < c_above - c_below < 1e-12
+    assert round(c_below, 6) != round(c_above, 6) or target < 1e-6
+    rows += [(100, [0.1, 0.9]), (101, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(3)
+    q = [(0, [1.0, 0.0])]
+    a = sorted(
+        _fold_topk(df, q, 4).collect(), key=lambda r: (-r.cosine, r.vec_id)
+    )
+    b = sorted(
+        _kernel_topk(df, q, 4).collect(), key=lambda r: (-r.cosine, r.vec_id)
+    )
+    assert [(r.vec_id, r.cosine) for r in a] == [(r.vec_id, r.cosine) for r in b]
+
+
 def test_kernel_payload_column_rides_through(spark):
     df = _frame(spark, n=200, dim=8, with_label=True)
     rng = np.random.default_rng(5)

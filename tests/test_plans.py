@@ -151,6 +151,25 @@ def test_batch_scoring_rows_use_arrow_kernel_no_expansion(spark, Q):
         assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
 
 
+def test_tfidf_tf_shared_via_exchange_reuse_not_checkpointed(spark, Q):
+    """l4_tfidf (round 11, ADVICE r10): the (doc, term) tf frame feeds
+    both the dfreq aggregate and the score join through the identical
+    Exchange(hashpartitioning(doc_id, term)) — the finalized adaptive
+    plan must reuse it instead of a block-store localCheckpoint (the
+    ~30M-row UnsafeRow copy class that OOM'd the 8g driver in m11),
+    and the corpus must be tokenized exactly once."""
+    df = Q["l4_tfidf_topterms"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "ReusedExchange" in p
+    assert p.count("Generate explode") == 1
+    import inspect
+
+    from kompactor_spark.queries import llm_pipeline as L
+
+    assert ".localCheckpoint(" not in inspect.getsource(L.l4_tfidf_topterms)
+
+
 def test_z2_salted_join_stays_broadcast(spark, Q):
     """Salted dim join: dim exploded 8x is still broadcast; the fact
     side is never sort-merge shuffled."""

@@ -34,74 +34,34 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # Round-10 window (first 50 graded). Composition:
-    #   (1) rows whose implementation round 10 touched — the ADVICE-r9
-    #       fixes: l6_decontaminate (NULL-only prefix drop + loud
-    #       empty-prefix raise), g4/g5 (raw edge frame checkpointed
-    #       before orientation), l3_cosine_topk (dim-mismatch -> NULL
-    #       cosine; behavior-neutral on well-formed data), and
-    #       j8_asof_join as the representative for the asof
-    #       assert->ValueError guard (behavior-neutral for valid input);
-    #   (2) GRADE-AGE RULE (standing since r6 #5): the 24 remaining
-    #       round-4-cohort rows (l7_knn_classify, the 25th, was graded
-    #       in r9) — after this round NO row's latest grade predates
-    #       round 5;
-    #   (3) fill to 50 with the round-5 cohort, alphabetical (21 of 39;
-    #       the other 18 head the round-11 fill).
-    # --- (1) implementations changed in round 10: must re-grade ---
-    "l6_decontaminate",
+    # Round-11 window (first 50 graded). Composition:
+    #   (1) rows whose implementation round 10/11 touched and whose
+    #       latest oracle grade predates the change (ADVICE r10 medium:
+    #       l3_batch_topk / l7_knn_classify / l4_tfidf_topterms /
+    #       l4_crossdoc_ngram_share were rewritten in r10 but last
+    #       H-graded r6-r9; tfidf changed again in r11 — ReuseExchange
+    #       instead of localCheckpoint; the batch kernel grew NULL/
+    #       zero-norm guards in r11), plus the whole graph family:
+    #       round 11 promotes the Arrow pair-expansion kernel into
+    #       _cooccurrence_edges (g1 A/B winner, 3.17x -> 1.26x), which
+    #       every g-row derives from;
+    #   (2) GRADE-AGE RULE (standing since r6 #5): the remaining
+    #       round-5 cohort (18, queued by round 10) — after this round
+    #       NO row's latest grade predates round 6;
+    #   (3) fill to 50 with the round-6 cohort, alphabetical (22 of 39;
+    #       the other 15 head the round-12 fill, listed at 51+).
+    # --- (1) implementations changed in round 10/11: must re-grade ---
+    "l3_batch_topk",
+    "l7_knn_classify",
+    "l4_tfidf_topterms",
+    "l4_crossdoc_ngram_share",
+    "g1_cooccurrence_graph",
+    "g2_degree_centrality",
+    "g3_pagerank",
     "g4_triangle_count",
     "g5_neighbor_jaccard",
-    "l3_cosine_topk",
-    "j8_asof_join",
-    # --- (2) grade-age rule: the remaining round-4 cohort (24) ---
-    "l7_label_centroids",
-    "p4_unpivot",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_late_lines_by_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_discounted_revenue",
-    "q20_part_promotion",
-    "q22_sales_opportunity",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "v3_apply_in_pandas",
-    "w6_distribution_funcs",
-    "w7_share_of_total",
-    "x16_m4_downsample",
-    "x17_gap_detect",
-    "x19_ewma",
-    "x20_cusum",
-    "x21_asof_snapshot",
-    # --- (3) fill: round-5 cohort, alphabetical (21/39) ---
-    "a23_ab_ztest",
-    "a24_chi_square",
-    "a26_benford",
     "g6_degree_assortativity",
-    "j16_band_join_lookup",
-    "j17_point_in_time_join",
-    "j19_nearest_value_join",
-    "l4_ttr_hapax",
-    "l4_tv_drift",
-    "l4_vocab_coverage",
-    "l6_length_profile",
-    "l6_ngram_novelty",
-    "l6_source_diversity",
-    "l6_token_budget",
-    "l7_cluster_purity",
-    "l7f_dimension_stats",
-    "m10_skew_report",
-    "m11_basket_lift",
-    "m12_profile_drift",
-    "m7_dynamic_partition_overwrite",
-    "m9_cdc_apply",
-    # --- 51+: round-11 fill — the remaining round-5 cohort ---
+    # --- (2) grade-age rule: the remaining round-5 cohort (18) ---
     "p6_multi_measure_pivot",
     "s11_binaryfile_source",
     "s12_corrupt_tolerant_scan",
@@ -120,6 +80,46 @@ _PRIORITY = [
     "x38_cumulative_crossover",
     "x39_burstiness",
     "x40_max_drawdown",
+    # --- (3) fill: round-6 cohort, alphabetical (22/39; g3 and
+    #     l4_crossdoc are r6-cohort rows already listed in (1)) ---
+    "a1_groupby_q1",
+    "a21_winsorized_mean",
+    "a7_list_agg",
+    "f13_row_fingerprint",
+    "f2_month_arithmetic",
+    "j14_binned_interval_join",
+    "j15_interval_overlap_join",
+    "j9_star_join",
+    "k1_hour_compaction",
+    "k3_incremental_rollup",
+    "l2_tfidf_cosine_pairs",
+    "l3e_sq8_quantize",
+    "l3f_mips_topk",
+    "l4_bm25",
+    "l4_char_entropy",
+    "l4_langid_confusion",
+    "l4_repeated_ngrams",
+    "l4_token_freq",
+    "l5_phash_neardup",
+    "l6_chunk_dedup_rate",
+    "l6_chunk_documents",
+    "l6_contamination_score",
+    # --- 51+: round-12 fill — the remaining round-6 cohort (15) ---
+    "l6_incremental_dedup",
+    "l6_temperature_sample",
+    "l7g_pca_power",
+    "m2_latest_per_key",
+    "m8_scd2_history",
+    "w11_funnel_conversion",
+    "w13_wow_change",
+    "x11_counter_rate",
+    "x18_rolling_zscore",
+    "x1_tumbling_window",
+    "x22_threshold_crossings",
+    "x23_max_concurrency",
+    "x24_seasonal_backtest",
+    "x25_time_weighted_avg",
+    "x26_trend_slope",
 ]
 
 

@@ -67,6 +67,33 @@ EAGER_CONSTRUCT = {"l3_cosine_topk", "l4_bm25", "g3_pagerank"}
 # matching DuckDB COPY-to-Parquet number is in BASELINE.md §3).
 LARGE_RESULT = {"j14_binned_interval_join"}
 
+# --- sf1 matched section (round 11, VERDICT r10 #3) -------------------
+# The sf0.1 rows are all sub-second engine-side, so with the
+# same-window control in place they measure Spark's fixed ~0.1-0.3 s
+# job floor, not any plan (BASELINE.md §3/§6: "only multi-second rows
+# support round-over-round comparison"). The HEADLINE metric is
+# therefore this sf1 matched set — rows picked so at least one side
+# does multi-second work at sf1 — measured interleaved with the DuckDB
+# control in the same window; the sf0.1 suite stays below as the
+# floor-calibration appendix. Data = benchdata/sf1 (deterministic 10x
+# replication of the driver's sf0.1 testdata; regenerated on the fly if
+# the gitignored benchdata/ was purged).
+SF1_MATCHED = [
+    "j14_binned_interval_join",   # 14M-pair range join, sink both sides
+    "g3_pagerank",                # iterative: DuckDB recursive-CTE side ~12 s
+    "x23_max_concurrency",        # sweep-line over 1M events
+    "l2_dedup_clusters_collapsed",  # near-dup clusters, collapse-first
+    "w8_journey_paths",           # per-user ordered journey windows
+    "l4_surprisal",               # full-corpus token surprisal
+]
+SF1_EAGER_CONSTRUCT = {"g3_pagerank", "l2_dedup_clusters_collapsed"}
+SF1_LARGE_RESULT = {"j14_binned_interval_join"}
+# Soft wall-clock budget for the whole sf1 section: the driver runs
+# bench.py under a timeout, and a cold benchdata regeneration must not
+# push the run over it. Rows skipped on budget are listed in the output
+# (no silent caps).
+SF1_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
+
 
 def _time_full(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -200,6 +227,47 @@ def _duck_copy_timer(con, sql: str, options: str = "FORMAT PARQUET"):
     return run
 
 
+def _sf1_section(spark, regs, oracles):
+    """Run the sf1 matched set interleaved with its DuckDB control.
+    Returns (per_query, control, skipped, errors) — or None if the sf1
+    data can't be made available (bench then publishes sf0.1-only, as
+    before round 11)."""
+    import importlib.util
+
+    t_section = time.perf_counter()
+    spec = importlib.util.spec_from_file_location(
+        "bench_sf1",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_sf1.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.generate()  # no-op when benchdata/sf1 already exists
+    sf1_dir = mod.DST
+
+    duck = _duck_connect(sf1_dir)
+    per_query: dict[str, float] = {}
+    control: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    skipped: list[str] = []
+    for name in SF1_MATCHED:
+        if time.perf_counter() - t_section > SF1_BUDGET_SEC:
+            skipped.append(name)
+            continue
+        fn = regs[name]
+        if name in SF1_LARGE_RESULT:
+            thunk = lambda fn=fn: _time_sink(spark, fn, sf1_dir)  # noqa: E731
+            ctl = _duck_copy_timer(duck, oracles[name])
+        elif name in SF1_EAGER_CONSTRUCT:
+            thunk = lambda fn=fn: _time_full(spark, fn, sf1_dir)  # noqa: E731
+            ctl = _duck_fetch_timer(duck, oracles[name])
+        else:
+            thunk = lambda fn=fn: _time_query(spark, fn, sf1_dir)  # noqa: E731
+            ctl = _duck_fetch_timer(duck, oracles[name])
+        _bench_one(name, thunk, per_query, errors, ctl, control)
+    duck.close()
+    return per_query, control, skipped, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -301,13 +369,13 @@ def main() -> None:
     if duck is not None:
         duck.close()
 
-    total = round(sum(per_query.values()), 4)
-    line = {
-        "metric": "headline_suite_total_median_sec",
-        "value": total,
-        "unit": "sec",
+    # sf0.1 suite — the floor-calibration appendix since round 11
+    # (VERDICT r10 #3: every matched sf0.1 row is sub-second engine-side
+    # where the ~0.1-0.3 s per-job floor dominates; it stays measured for
+    # round-over-round trend reading, but no longer leads the artifact).
+    sf01 = {
+        "total_median_sec": round(sum(per_query.values()), 4),
         "queries": per_query,
-        "sf": sf,
         # r4 protocol change (ADVICE r3): full toPandas materialization is
         # timed, not count() — count() let Catalyst skip aggregate values
         # and final sorts, understating engine times ~2x vs the oracle's
@@ -321,12 +389,67 @@ def main() -> None:
         matched = [n for n in per_query if n in duck_control]
         s_sum = sum(per_query[n] for n in matched)
         d_sum = sum(duck_control[n] for n in matched)
-        line["duckdb_control"] = duck_control
-        # the drift-immune headline: engine/oracle measured in THE SAME
-        # window, interleaved run-by-run (VERDICT r9 #3); absolute
-        # seconds above remain for cross-round trend reading
-        line["same_window_ratio"] = round(s_sum / d_sum, 3) if d_sum else None
-        line["control_matched_queries"] = len(matched)
+        sf01["duckdb_control"] = duck_control
+        sf01["same_window_ratio"] = round(s_sum / d_sum, 3) if d_sum else None
+        sf01["control_matched_queries"] = len(matched)
+
+    # sf1 matched section — the headline since round 11. Only attempted
+    # on the default grading dir (a custom SPARK_GRAFT_SF_DIR keeps the
+    # classic single-scale behavior).
+    sf1_res = None
+    if abs(sf - 0.1) < 1e-9:
+        try:
+            sf1_res = _sf1_section(spark, regs, oracles)
+        except Exception:
+            print(
+                "bench: sf1 section unavailable: "
+                + traceback.format_exc().splitlines()[-1],
+                file=sys.stderr,
+            )
+
+    if sf1_res is not None:
+        q1, c1, skipped, errs1 = sf1_res
+        errors.update(errs1)
+        m1 = [n for n in q1 if n in c1]
+        s1 = sum(q1[n] for n in m1)
+        d1 = sum(c1[n] for n in m1)
+        line = {
+            "metric": "sf1_matched_total_median_sec",
+            "value": round(s1, 4),
+            "unit": "sec",
+            "queries": q1,
+            "sf": 1.0,
+            "duckdb_control": c1,
+            # engine/oracle interleaved run-by-run in THE SAME window
+            # (VERDICT r9 #3), at a scale where every row does
+            # multi-second work on at least one side — the number that
+            # can regress for a real reason (VERDICT r10 #3).
+            "same_window_ratio": round(s1 / d1, 3) if d1 else None,
+            "control_matched_queries": len(m1),
+            "protocol": (
+                "PRIMARY = sf1 matched set (benchdata/sf1, 10x replication), "
+                "interleaved same-window DuckDB control, sink for table-sized "
+                "results; sf0.1 suite retained under sf01_appendix for "
+                "floor calibration + cross-round trends. Not comparable to "
+                "the sf0.1-led BENCH_r01-r10 'value' field."
+            ),
+            "sf01_appendix": sf01,
+        }
+        if skipped:
+            line["sf1_skipped_on_budget"] = skipped
+    else:
+        line = {
+            "metric": "headline_suite_total_median_sec",
+            "value": sf01["total_median_sec"],
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf,
+            "protocol": sf01["protocol"],
+        }
+        if duck_control:
+            line["duckdb_control"] = sf01["duckdb_control"]
+            line["same_window_ratio"] = sf01["same_window_ratio"]
+            line["control_matched_queries"] = sf01["control_matched_queries"]
     if errors:
         line["errors"] = errors
     print(json.dumps(line))

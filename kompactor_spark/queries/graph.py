@@ -25,11 +25,88 @@ NS_PER_HOUR = 3_600_000_000_000
 # --------------------------------------------------------------------------
 # G1 — co-occurrence edge list: weight(u, v) = number of distinct
 # (hour, event_type) buckets where BOTH users were active, kept when
-# >= 2 (a single shared bucket is noise). Shapes: one distinct pass
-# over raw events (user, bucket), a per-bucket self-join on the bucket
-# key (never a global cross join), then a pair-keyed count.
+# >= 2 (a single shared bucket is noise).
+#
+# Shape (round 11, the measured g1 A/B — scripts/g1_shapes_ab.py,
+# VERDICT r10 #1): ONE shuffle builds per-bucket distinct user sets
+# (collect_set folds the dedup into the aggregation, partial sets merge
+# map-side), then an Arrow kernel expands each bucket's pairs in numpy
+# — packed into a single int64 — and PRE-AGGREGATES across the whole
+# batch with np.unique before anything leaves the task, so the final
+# exchange carries model-sized partial counts instead of the
+# intra-bucket-quadratic expansion. Same-session sf10 A/B, identical
+# 1,015,979-edge checksums: old join + two-bigint-key agg 13.99 s
+# (3.17x DuckDB), packed-key join variant 13.15 s (2.98x), this kernel
+# 4.71 s (**1.04x**). The join expansion was the cost: ~136M pair rows
+# through SMJ + hash agg vs one numpy sort per Arrow batch.
 # --------------------------------------------------------------------------
 _G1_MIN_W = 2
+#: Loud bound on the per-bucket quadratic expansion: a bucket with more
+#: active users than this means the bucket grain is wrong for the data
+#: (pick a finer grain or salt the hot bucket) — at 100k users the
+#: bucket alone is 5e9 pairs. Same fail-loud discipline as the dedup
+#: pair bounds.
+_G1_MAX_BUCKET_USERS = 100_000
+_PAIR_PACK_BITS = 32  # pair key = u << 32 | v; requires 0 <= id < 2^31
+
+
+def _pair_count_kernel(buckets, out_min_w: int):
+    """mapInPandas kernel: bucket user-sets -> packed-pair partial
+    counts. Exact: np.unique is a sort-based count, the final agg sums
+    partials; packing is int64-exact (ids bounded below 2^31, checked
+    loudly per batch)."""
+
+    # captured by VALUE into the task closure (module globals would be
+    # re-imported fresh on the python workers, defeating test overrides)
+    max_bucket = _G1_MAX_BUCKET_USERS
+    pack_bits = _PAIR_PACK_BITS
+
+    def expand(batches):
+        import numpy as np
+        import pandas as pd
+
+        tri: dict[int, tuple] = {}  # cached upper-triangle index pairs per size
+        for pdf in batches:
+            chunks = []
+            for us in pdf["us"]:
+                c = len(us)
+                if c < 2:
+                    continue
+                if c > max_bucket:
+                    raise ValueError(
+                        f"co-occurrence bucket has {c} active users "
+                        f"(> {max_bucket}): pair expansion is "
+                        "quadratic — refine the bucket grain or salt the "
+                        "hot bucket"
+                    )
+                if c not in tri:
+                    tri[c] = np.triu_indices(c, k=1)
+                a = np.sort(np.asarray(us, dtype=np.int64))
+                if a[0] < 0 or a[-1] >= (1 << (pack_bits - 1)):
+                    raise ValueError(
+                        f"user_id out of pack range [0, 2^31): "
+                        f"[{a[0]}, {a[-1]}] — widen _PAIR_PACK_BITS"
+                    )
+                i, j = tri[c]
+                chunks.append((a[i] << pack_bits) | a[j])
+            if not chunks:
+                continue
+            pk, cnt = np.unique(np.concatenate(chunks), return_counts=True)
+            yield pd.DataFrame({"pk": pk, "w": cnt})
+
+    partial = buckets.mapInPandas(expand, "pk bigint, w bigint")
+    return (
+        partial.groupBy("pk")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .where(F.col("w") >= out_min_w)
+        .select(
+            # exact bitwise decode — a float division here would corrupt
+            # ids once pk exceeds 2^53
+            F.shiftright("pk", _PAIR_PACK_BITS).alias("u"),
+            F.col("pk").bitwiseAND(F.lit((1 << _PAIR_PACK_BITS) - 1)).alias("v"),
+            "w",
+        )
+    )
 
 
 @register(
@@ -54,24 +131,18 @@ def _cooccurrence_edges(spark, sf_dir):
     No global sort here: downstream consumers aggregate or join, so an
     ordering would be shuffled away immediately."""
     T = loader(sf_dir, spark)
-    act = (
+    buckets = (
         T("events")
         .select(
             "user_id",
             (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("h"),
             "event_type",
         )
-        .distinct()
+        .groupBy("h", "event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .select("us")
     )
-    a = act.select(F.col("user_id").alias("u"), "h", "event_type")
-    b = act.select(F.col("user_id").alias("v"), "h", "event_type")
-    return (
-        a.join(b, ["h", "event_type"])
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .where(F.col("w") >= _G1_MIN_W)
-    )
+    return _pair_count_kernel(buckets, _G1_MIN_W)
 
 
 def g1_cooccurrence_graph(spark, sf_dir):

@@ -61,6 +61,28 @@ def _drop_sweep_rows(names: list[str]) -> None:
         fh.writelines(kept)
 
 
+def _assert_gate() -> int:
+    """VERDICT r10 #8: the zero-bare-asserts invariant (guards must be
+    raises — `python -O` strips asserts) runs as a per-round gate here,
+    not only as a pytest row, so it can't regress silently between full
+    suite runs. Scans the whole engine package AST."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(os.path.dirname(SCRIPTS)) / "kompactor_spark"
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        offenders += [
+            f"{py}:{n.lineno}" for n in ast.walk(tree) if isinstance(n, ast.Assert)
+        ]
+    if offenders:
+        print(f"=== round_end: assert_gate: FAIL {offenders}", flush=True)
+        return 1
+    print("=== round_end: assert_gate: 0 bare asserts package-wide", flush=True)
+    return 0
+
+
 def main() -> int:
     args = sys.argv[1:]
     sweep_names: list[str] = []
@@ -74,6 +96,7 @@ def main() -> int:
     sim_args = args
 
     failures = 0
+    failures += _assert_gate()
     failures += run(
         "driver_sim",
         [sys.executable, os.path.join(SCRIPTS, "driver_sim.py"), *sim_args],

@@ -383,6 +383,64 @@ def test_g1_edges_symmetric_ordered_and_min_weight(spark, regs):
     assert len(pairs) == len(set(pairs))
 
 
+def test_g1_kernel_matches_join_shape(spark):
+    """Round-11 edge-build rewrite (g1 A/B winner): the collect_set +
+    Arrow pair-expansion kernel must produce the EXACT (u, v, w) edge
+    set of the pre-round-11 distinct + self-join + two-key-agg shape
+    (the oracle's formulation) — on the real testdata, not a toy."""
+    from kompactor_spark.queries.graph import (
+        NS_PER_HOUR,
+        _G1_MIN_W,
+        _cooccurrence_edges,
+    )
+
+    act = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id",
+            (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("h"),
+            "event_type",
+        )
+        .distinct()
+    )
+    a = act.select(F.col("user_id").alias("u"), "h", "event_type")
+    b = act.select(F.col("user_id").alias("v"), "h", "event_type")
+    join_shape = (
+        a.join(b, ["h", "event_type"])
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .where(F.col("w") >= _G1_MIN_W)
+    )
+    expected = {(r.u, r.v, r.w) for r in join_shape.collect()}
+    got = {(r.u, r.v, r.w) for r in _cooccurrence_edges(spark, SF).collect()}
+    assert got == expected and got
+
+
+def test_g1_kernel_guards_are_loud(spark):
+    """The pair kernel's two preconditions fail loudly in the task
+    (survive python -O): an id outside the int64 pack range, and a
+    bucket whose quadratic expansion exceeds the bound."""
+    import pytest as _pytest
+
+    from kompactor_spark.queries import graph as G
+
+    bad_id = spark.createDataFrame(
+        [([1, 2, 1 << 40],)], "us array<bigint>"
+    )
+    with _pytest.raises(Exception, match="pack range"):
+        G._pair_count_kernel(bad_id, 1).collect()
+
+    big = spark.createDataFrame([(list(range(300)),)], "us array<bigint>")
+    old = G._G1_MAX_BUCKET_USERS
+    G._G1_MAX_BUCKET_USERS = 200
+    try:
+        with _pytest.raises(Exception, match="quadratic"):
+            G._pair_count_kernel(big, 1).collect()
+    finally:
+        G._G1_MAX_BUCKET_USERS = old
+
+
 def test_g2_degree_consistent_with_edges(spark, regs):
     edges = regs["g1_cooccurrence_graph"](spark, SF).collect()
     deg: dict = {}

@@ -297,15 +297,27 @@ def _pagerank_impl(spark, sf_dir, broadcast_max_nodes: int = _PR_BROADCAST_MAX_N
     ww = e2.groupBy("src").agg(F.sum("w").cast("double").alias("wout"))
     # fold the out-weight into the edge frame ONCE: iterations then never
     # re-join (or re-shuffle) the edge list — each is one broadcast of
-    # the node-keyed rank frame plus one dst-keyed aggregate
-    e2n = e2.join(ww, "src").localCheckpoint(eager=False)
+    # the node-keyed rank frame plus one dst-keyed aggregate. The
+    # node-sized ww is the pinned hash build side: the edge frame's
+    # estimate is garbage after the round-11 pair kernel, and a
+    # stats-driven broadcast of the EDGE side OOM'd an 8g driver on the
+    # skewed fixture (see _oriented_edges note).
+    e2n = e2.join(ww.hint("shuffle_hash"), "src").localCheckpoint(eager=False)
     # Node count read ONCE driver-side (bounded scalar — same model-state
     # class as quantile cuts): it picks the rank-join strategy and turns
     # the per-iteration 1/n cross-join subtree into a plain literal.
     n_nodes = ww.count()
     nn = F.lit(float(n_nodes))
     p = ww.select(F.col("src").alias("node"), (F.lit(1.0) / nn).alias("pr"))
-    rank_side = (lambda d: F.broadcast(d)) if n_nodes <= broadcast_max_nodes else (lambda d: d)
+    # below the ceiling: explicit broadcast of the rank frame (the hint
+    # outranks any estimate); above it: pin the rank frame as the
+    # per-partition hash build — never let garbage edge-frame stats
+    # pick a broadcast side
+    rank_side = (
+        (lambda d: F.broadcast(d))
+        if n_nodes <= broadcast_max_nodes
+        else (lambda d: d.hint("shuffle_hash"))
+    )
     for _ in range(3):
         contrib = F.col("pr") * (F.col("w").cast("double") / F.col("wout"))
         hi, lo = fx.limb_split(F.round(contrib * F.lit(_PR_SCALE)).cast("long"))
@@ -374,7 +386,14 @@ def _oriented_edges(e):
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("dn"))
     du = deg.select(F.col("n").alias("u"), F.col("dn").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("dn").alias("dv"))
-    ed = e.join(du, "u").join(dv, "v")
+    # SHUFFLE_HASH pins the node-sized degree frames as the hash build
+    # side. Catalyst must not pick the strategy from size estimates
+    # here: the edge frame descends from the round-11 pair kernel
+    # (MapInPandas), whose estimate is garbage-small — on the 16.8M-edge
+    # skewed fixture Catalyst BROADCAST the edge list as a build side
+    # and OOM'd the 8g driver (round 11, measured). An explicit hash
+    # build on |V|-sized frames is per-partition bounded at any scale.
+    ed = e.join(du.hint("shuffle_hash"), "u").join(dv.hint("shuffle_hash"), "v")
     # struct comparison is lexicographic: (degree, id) — the total order
     ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
@@ -396,10 +415,14 @@ def _oriented_triangles_from(e):
     w1 = d.select("s", F.col("x").alias("b"), F.col("kx").alias("kb"))
     w2 = d.select("s", F.col("x").alias("c"), F.col("kx").alias("kc"))
     closing = d.select(F.col("s").alias("b"), F.col("x").alias("c"))
+    # MERGE pins sort-merge for the edge-sized x edge-sized joins: the
+    # checkpointed frames carry no usable stats (kernel lineage), and
+    # neither side of a wedge/closure join may ever be a broadcast
+    # build (see _oriented_edges note).
     return (
-        w1.join(w2, "s")
+        w1.join(w2.hint("merge"), "s")
         .where(F.col("kb") < F.col("kc"))
-        .join(closing, ["b", "c"])
+        .join(closing.hint("merge"), ["b", "c"])
         .select(F.col("s").alias("a"), "b", "c")
     )
 @register(
@@ -528,10 +551,13 @@ def g5_neighbor_jaccard(spark, sf_dir):
     du = deg.select(F.col("src").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("src").alias("v"), F.col("d").alias("dv"))
     common = F.coalesce(F.col("common"), F.lit(0))
+    # hash-build the node-sized degree frames, sort-merge the
+    # edge-sized cn attach — never a stats-driven broadcast of a
+    # kernel-lineage frame (see _oriented_edges note)
     return (
-        e.join(du, "u")
-        .join(dv, "v")
-        .join(cn, (F.col("u") == F.col("cu")) & (F.col("v") == F.col("cv")), "left")
+        e.join(du.hint("shuffle_hash"), "u")
+        .join(dv.hint("shuffle_hash"), "v")
+        .join(cn.hint("merge"), (F.col("u") == F.col("cu")) & (F.col("v") == F.col("cv")), "left")
         .select(
             "u",
             "v",
@@ -612,9 +638,11 @@ def g6_degree_assortativity(spark, sf_dir):
     uv_hi, uv_lo = fx.limb_split(F.col("du") * F.col("dv"), 31)
     u_hi, u_lo = fx.limb_split(F.col("du"), 16)
     v_hi, v_lo = fx.limb_split(F.col("dv"), 16)
+    # hash-build the node-sized degree frames (see _oriented_edges
+    # note: edge-frame estimates are garbage post-kernel)
     joined = (
-        adj.join(du, adj.src == du.j_src)
-        .join(dv, adj.dst == dv.j_dst)
+        adj.join(du.hint("shuffle_hash"), adj.src == du.j_src)
+        .join(dv.hint("shuffle_hash"), adj.dst == dv.j_dst)
         .select(
             uu_hi.alias("__uu_hi"), uu_lo.alias("__uu_lo"),
             vv_hi.alias("__vv_hi"), vv_lo.alias("__vv_lo"),

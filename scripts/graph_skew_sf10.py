@@ -137,6 +137,18 @@ def _spark():
     return get_spark("graph-skew-sf10")
 
 
+def _drop_checkpoint_blocks(spark) -> None:
+    """Unpersist every block-store RDD (localCheckpoint copies) between
+    runs: each g4/g5 run checkpoints the 16.8M-edge frame + the oriented
+    frame (~1 GB of UnsafeRows together) and the ContextCleaner does not
+    release the previous run's copies before the next run allocates —
+    run 1 died with a driver-heap OOM on the 8g session (round 11).
+    Same lesson as crossdoc's accumulating 30M-row checkpoints."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist(True)
+
+
 def engine(runs: int = 3) -> None:
     from kompactor_spark.queries import all_queries
 
@@ -151,6 +163,7 @@ def engine(runs: int = 3) -> None:
             shutil.rmtree(SINK, ignore_errors=True)
             print(json.dumps({"phase": "engine", "name": name, "run": i,
                               "sec": round(dt, 2), "rows": n}), flush=True)
+            _drop_checkpoint_blocks(spark)
     spark.stop()
 
 

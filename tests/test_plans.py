@@ -756,6 +756,29 @@ def test_g1_edge_build_is_kernel_not_join(spark, Q):
     assert "collect_set" in p or "objectagg" in p.lower()
 
 
+def test_graph_family_never_broadcasts_edge_frames(spark, Q):
+    """Round 11: the edge frame descends from the pair kernel
+    (MapInPandas), whose size estimate is garbage-small — on the
+    16.8M-edge skewed fixture Catalyst chose the EDGE LIST as a
+    broadcast build side and OOM'd the 8g driver. Every join in the
+    g-family now pins its strategy explicitly (shuffle_hash on
+    node-sized degree/weight frames, merge on edge x edge), so these
+    plans must contain no stats-driven BroadcastExchange at all. The
+    one legitimate broadcast is g3's EXPLICIT rank-frame hint below its
+    node-count ceiling — asserted separately."""
+    for name in ("g4_triangle_count", "g5_neighbor_jaccard", "g6_degree_assortativity"):
+        p = plan(spark, Q[name](spark, SF))
+        assert "BroadcastExchange" not in p, name
+        assert "ShuffledHashJoin" in p, name
+    # g3 at test scale sits under the broadcast ceiling: its ONLY
+    # broadcast is the hinted rank frame (one per iteration + none for
+    # the edge fold, which is pinned shuffle_hash)
+    from kompactor_spark.queries.graph import _pagerank_impl
+
+    p = plan(spark, _pagerank_impl(spark, SF, broadcast_max_nodes=0))
+    assert "BroadcastExchange" not in p, "g3 above-ceiling path must not broadcast"
+
+
 def test_g4_g5_route_through_degree_orientation(spark):
     """G4/G5 (round-9 rewrite): both wedge expansions must route
     through the degree-oriented enumeration — an id-oriented wedge

@@ -106,9 +106,9 @@ def build_fixture() -> None:
         for hq in range(6):  # 6 hours per quarter-day
             hour = rep * 6 + hq
             sel = (
-                f"SELECT {lo} + (raw_ns - mn) * {span} // (mx - mn) AS time, "
+                f"SELECT {lo} + CAST(CAST(raw_ns - mn AS HUGEINT) * {span} // (mx - mn) AS BIGINT) AS time, "
                 f"event_id + {rep}*100000000 AS event_id, user_id, event_type, value "
-                f"FROM ev WHERE ({lo} + (raw_ns - mn) * {span} // (mx - mn) - {DAY_A_NS}) "
+                f"FROM ev WHERE ({lo} + CAST(CAST(raw_ns - mn AS HUGEINT) * {span} // (mx - mn) AS BIGINT) - {DAY_A_NS}) "
                 f"// {3600 * NS} = {hour}"
             )
             infos.append({"db": 0, "table": 0, "info": dict(_hour_file_sql(con, sel, DAY_A, hour, seq), id=seq)})
@@ -118,10 +118,10 @@ def build_fixture() -> None:
         lo = DAY_B_NS
         span = 4 * 3600 * NS - 1
         sel = (
-            f"SELECT {lo} + (raw_ns - mn) * {span} // (mx - mn) AS time, "
+            f"SELECT {lo} + CAST(CAST(raw_ns - mn AS HUGEINT) * {span} // (mx - mn) AS BIGINT) AS time, "
             f"event_id, user_id, event_type, value FROM ev "
             f"WHERE event_id % 5 = 0 AND "
-            f"({lo} + (raw_ns - mn) * {span} // (mx - mn) - {DAY_B_NS}) // {3600 * NS} = {hour}"
+            f"({lo} + CAST(CAST(raw_ns - mn AS HUGEINT) * {span} // (mx - mn) AS BIGINT) - {DAY_B_NS}) // {3600 * NS} = {hour}"
         )
         infos.append({"db": 0, "table": 0, "info": dict(_hour_file_sql(con, sel, DAY_B, hour, seq), id=seq)})
         seq += 1

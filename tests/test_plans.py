@@ -769,12 +769,27 @@ def test_graph_family_never_broadcasts_edge_frames(spark, Q):
     for name in ("g4_triangle_count", "g5_neighbor_jaccard", "g6_degree_assortativity"):
         p = plan(spark, Q[name](spark, SF))
         assert "BroadcastExchange" not in p, name
+    # g5/g6 run their degree joins ABOVE their checkpoints — the pinned
+    # hash build must be visible in the final plan
+    for name in ("g5_neighbor_jaccard", "g6_degree_assortativity"):
+        p = plan(spark, Q[name](spark, SF))
         assert "ShuffledHashJoin" in p, name
+    # g4's degree joins live INSIDE _oriented_edges' checkpointed
+    # lineage (localCheckpoint runs at construction, so the final plan
+    # only shows Scan ExistingRDD) — pin the helper's plan directly
+    from kompactor_spark.queries.graph import (
+        _cooccurrence_edges,
+        _oriented_edges,
+        _pagerank_impl,
+    )
+
+    e = _cooccurrence_edges(spark, SF).select("u", "v")
+    p = plan(spark, _oriented_edges(e))
+    assert "BroadcastExchange" not in p
+    assert p.count("ShuffledHashJoin") == 2
     # g3 at test scale sits under the broadcast ceiling: its ONLY
     # broadcast is the hinted rank frame (one per iteration + none for
     # the edge fold, which is pinned shuffle_hash)
-    from kompactor_spark.queries.graph import _pagerank_impl
-
     p = plan(spark, _pagerank_impl(spark, SF, broadcast_max_nodes=0))
     assert "BroadcastExchange" not in p, "g3 above-ceiling path must not broadcast"
 

@@ -44,32 +44,34 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round10_targets_inside_window():
-    """Round-10 window invariant (grade-age policy, VERDICT r9 #2):
-    every row whose implementation round 10 touched (ADVICE-r9 fixes:
-    l6 probe semantics, g4/g5 lineage checkpoint, cosine dim guard,
-    asof assert->raise representative) plus the remaining round-4
-    grade cohort must sit inside the first 50 registry slots; the rest
-    follow the grade-age rule (round-5 cohort, alphabetical)."""
+def test_round11_targets_inside_window():
+    """Round-11 window invariant (grade-age policy, VERDICT r9 #2):
+    every row whose implementation round 10/11 touched after its last
+    oracle grade (the four r10 rewrites ADVICE r10 flagged, plus the
+    whole graph family riding the round-11 kernel edge build) and the
+    remaining round-5 grade cohort must sit inside the first 50
+    registry slots; the rest follow the grade-age rule (round-6
+    cohort, alphabetical)."""
     changed = {
-        "l6_decontaminate", "g4_triangle_count", "g5_neighbor_jaccard",
-        "l3_cosine_topk", "j8_asof_join",
+        "l3_batch_topk", "l7_knn_classify", "l4_tfidf_topterms",
+        "l4_crossdoc_ngram_share", "g1_cooccurrence_graph",
+        "g2_degree_centrality", "g3_pagerank", "g4_triangle_count",
+        "g5_neighbor_jaccard", "g6_degree_assortativity",
     }
-    r4_cohort = {
-        "l7_label_centroids", "p4_unpivot", "q10_returned_items",
-        "q11_important_parts", "q12_late_lines_by_class",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_supplier_part_counts",
-        "q17_small_qty_revenue", "q19_discounted_revenue",
-        "q20_part_promotion", "q22_sales_opportunity",
-        "q4_order_priority", "q7_volume_shipping", "q8_market_share",
-        "v3_apply_in_pandas", "w6_distribution_funcs",
-        "w7_share_of_total", "x16_m4_downsample", "x17_gap_detect",
-        "x19_ewma", "x20_cusum", "x21_asof_snapshot",
+    r5_cohort = {
+        "p6_multi_measure_pivot", "s11_binaryfile_source",
+        "s12_corrupt_tolerant_scan", "w14_pareto_share",
+        "w15_gini_revenue", "x27_interval_coverage",
+        "x29_last_touch_attribution", "x30_rate_spike",
+        "x31_cohort_ltv", "x32_alert_episodes",
+        "x33_active_user_stickiness", "x34_rolling_slope",
+        "x35_seasonality_strength", "x36_count_autocorrelation",
+        "x37_cross_type_correlation", "x38_cumulative_crossover",
+        "x39_burstiness", "x40_max_drawdown",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (changed | r4_cohort) - window
-    assert not out, f"round-10 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r5_cohort) - window
+    assert not out, f"round-11 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():

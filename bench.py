@@ -82,17 +82,20 @@ SF1_MATCHED = [
     "j14_binned_interval_join",   # 14M-pair range join, sink both sides
     "g3_pagerank",                # iterative: DuckDB recursive-CTE side ~12 s
     "x23_max_concurrency",        # sweep-line over 1M events
-    "l2_dedup_clusters_collapsed",  # near-dup clusters, collapse-first
     "w8_journey_paths",           # per-user ordered journey windows
     "l4_surprisal",               # full-corpus token surprisal
 ]
-SF1_EAGER_CONSTRUCT = {"g3_pagerank", "l2_dedup_clusters_collapsed"}
+SF1_EAGER_CONSTRUCT = {"g3_pagerank"}
 SF1_LARGE_RESULT = {"j14_binned_interval_join"}
 # Soft wall-clock budget for the whole sf1 section: the driver runs
-# bench.py under a timeout, and a cold benchdata regeneration must not
-# push the run over it. Rows skipped on budget are listed in the output
-# (no silent caps).
-SF1_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "240"))
+# bench.py under a timeout, and a killed process publishes NO JSON line
+# at all — so the section is sized to ~115 s measured (5 rows, 3
+# interleaved rounds) and hard-capped here; a cold benchdata
+# regeneration eats into the cap and any rows skipped on budget are
+# listed in the output (no silent caps). The wider sf1 set (dedup
+# clusters, PCA, containment, minhash) stays in scripts/bench_sf1.py /
+# BENCH_SF1.json.
+SF1_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "150"))
 
 
 def _time_full(spark, fn, sf_dir: str) -> float:

@@ -2549,10 +2549,10 @@ def l7_kmeans_refine(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     cents = C.seed_centroids(emb, k=8)
-    a1 = C.assign_literal(emb, cents)
+    a1 = C.assign_strict_kernel(emb, cents)
     m1 = C.exact_mean_centroids(a1)
     c1 = C._collect_centroids(m1)
-    a2 = C.assign_literal(emb, c1)
+    a2 = C.assign_strict_kernel(emb, c1)
     norms = m1.groupBy("cluster").agg(F.sqrt(F.sum(F.col("cd") * F.col("cd"))).alias("nrm"))
     return (
         a2.groupBy("cluster")
@@ -3021,8 +3021,8 @@ def l7_cluster_purity(spark, sf_dir):
     emb = T("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a1 = C.assign_literal(emb, C.seed_centroids(emb, k=8))
-    a2 = C.assign_literal(emb, C._collect_centroids(C.exact_mean_centroids(a1)))
+    a1 = C.assign_strict_kernel(emb, C.seed_centroids(emb, k=8))
+    a2 = C.assign_strict_kernel(emb, C._collect_centroids(C.exact_mean_centroids(a1)))
     lab = a2.join(
         T("embeddings").select("vec_id", F.col("label").cast("int").alias("label")),
         "vec_id",
@@ -3150,9 +3150,9 @@ def l3i_ivf_pq_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # coarse cells: deterministic exact k-means, k=8
-    a1k = C.assign_literal(emb, C.seed_centroids(emb, k=8))
+    a1k = C.assign_strict_kernel(emb, C.seed_centroids(emb, k=8))
     cents = C._collect_centroids(C.exact_mean_centroids(a1k))
-    a2k = C.assign_literal(emb, cents)
+    a2k = C.assign_strict_kernel(emb, cents)
     # probe selection: O(k) driver math over the KB centroid sidecar —
     # order-only, ties to the smaller cell id
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).select("v").first()[0]]

@@ -1724,7 +1724,13 @@ def l4_surprisal(spark, sf_dir):
     # independent for repetitive corpora). round(6) absorbs the
     # benign FP reassociation, same as the oracle's own sum order.
     dt = tok.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("cd"))
-    tf = tok.groupBy("t").agg(F.count("*").cast("double").alias("c"))
+    # corpus term counts derive from dt (sum of per-doc counts — exact
+    # integers as doubles), NOT from a second pass over tok: both
+    # consumers then sit above the identical Exchange(doc_id, t) and
+    # ReuseExchange tokenizes the corpus ONCE (the tfidf/round-11
+    # lesson; here cd is genuinely consumed by the sum, so no
+    # pruning-blocker filter is needed; plan-pinned in test_plans.py)
+    tf = dt.groupBy("t").agg(F.sum("cd").alias("c"))
     tot = tf.agg(F.sum("c").cast("double").alias("total"))
     return (
         dt.join(F.broadcast(tf), "t")

@@ -170,6 +170,18 @@ def test_tfidf_tf_shared_via_exchange_reuse_not_checkpointed(spark, Q):
     assert ".localCheckpoint(" not in inspect.getsource(L.l4_tfidf_topterms)
 
 
+def test_surprisal_single_tokenize_via_exchange_reuse(spark, Q):
+    """l4_surprisal (round 11): corpus term counts derive from the
+    (doc, t) partial frame, so the finalized plan reuses ONE
+    Exchange(doc_id, t) and tokenizes the corpus exactly once — the
+    same defect class as tfidf's double tokenize."""
+    df = Q["l4_surprisal"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "ReusedExchange" in p
+    assert p.count("Generate explode") == 1
+
+
 def test_z2_salted_join_stays_broadcast(spark, Q):
     """Salted dim join: dim exploded 8x is still broadcast; the fact
     side is never sort-merge shuffled."""

@@ -104,7 +104,10 @@ _PRIORITY = [
     "l6_chunk_dedup_rate",
     "l6_chunk_documents",
     "l6_contamination_score",
-    # --- 51+: round-12 fill — the remaining round-6 cohort (15) ---
+    # --- 51+: round-12 fill — the remaining round-6 cohort (15), then
+    #     the round-7 cohort alphabetical (35 of 42 fit; the last 7 head
+    #     round 13). Round 12 should promote changed-this-round rows (if
+    #     any) ahead of these, per the standing composition rule. ---
     "l6_incremental_dedup",
     "l6_temperature_sample",
     "l7g_pca_power",
@@ -120,6 +123,49 @@ _PRIORITY = [
     "x24_seasonal_backtest",
     "x25_time_weighted_avg",
     "x26_trend_slope",
+    # round-7 cohort (alphabetical)
+    "a2_count_distinct",
+    "a4_cube",
+    "a4_rollup",
+    "a5_having",
+    "f1_string_funcs",
+    "f2_date_funcs",
+    "f2_ns_time",
+    "f3_math_funcs",
+    "f4_conditionals",
+    "f6_map_funcs",
+    "f7_json_extract",
+    "f8_casts",
+    "f9_variant_json",
+    "j1_inner_join",
+    "j2_full_outer_join",
+    "j2_left_outer_join",
+    "j3_semi_join",
+    "j4_anti_join",
+    "j5_cross_join",
+    "j6_broadcast_join",
+    "j7_theta_join",
+    "j8b_asof_tolerance",
+    "j8c_asof_forward",
+    "o1_multi_key_sort",
+    "o2_topk",
+    "p1_projection",
+    "p2_filter_predicates",
+    "s1_parquet_scan",
+    "s2_partition_pruned_scan",
+    "s3_json_typed_parse",
+    "s4_csv_roundtrip",
+    "s5_sorted_sink_roundtrip",
+    "s7_bucketed_join",
+    "s9_json_sink_roundtrip",
+    "u1_union_all",
+    "u2_union_distinct",
+    "u3_except",
+    "u3_intersect",
+    "w1_ranking",
+    "w2_lag_lead",
+    "w3_running_sum",
+    "w4_sliding_frames",
 ]
 
 

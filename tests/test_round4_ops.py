@@ -417,6 +417,22 @@ def test_g1_kernel_matches_join_shape(spark):
     assert got == expected and got
 
 
+def test_g1_kernel_hot_bucket_counts_exact(spark):
+    """A 2,000-user bucket (2M pairs through one np.unique) plus
+    overlapping small buckets: pair weights must be exact — the
+    testdata's buckets max out at 54 users, so this pins the kernel's
+    correctness in the large-bucket regime the guard permits."""
+    from kompactor_spark.queries import graph as G
+
+    big = list(range(2000))
+    rows = [(big,), ([5, 10, 15],), ([10, 15],)]
+    df = spark.createDataFrame(rows, "us array<bigint>")
+    out = {(r.u, r.v): r.w for r in G._pair_count_kernel(df, 1).collect()}
+    assert len(out) == 2000 * 1999 // 2
+    assert out[(5, 10)] == 2 and out[(5, 15)] == 2 and out[(10, 15)] == 3
+    assert out[(0, 1999)] == 1
+
+
 def test_g1_kernel_guards_are_loud(spark):
     """The pair kernel's two preconditions fail loudly in the task
     (survive python -O): an id outside the int64 pack range, and a

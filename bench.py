@@ -412,7 +412,10 @@ def main() -> None:
 
     if sf1_res is not None:
         q1, c1, skipped, errs1 = sf1_res
-        errors.update(errs1)
+        # namespace sf1 failures: the sets overlap (g3, j14, ...), and a
+        # bare-name merge would overwrite the sf0.1 error for the same
+        # row, hiding which scale failed (ADVICE r11)
+        errors.update({f"sf1:{k}": v for k, v in errs1.items()})
         m1 = [n for n in q1 if n in c1]
         s1 = sum(q1[n] for n in m1)
         d1 = sum(c1[n] for n in m1)

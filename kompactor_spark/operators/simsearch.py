@@ -323,13 +323,17 @@ def batch_cosine_candidates(
     association — a ≤1-ulp difference on the cosine. Graded callers
     round to 6 decimals and vote over labels, where that is not
     observable; parity vs the fold path is asserted in
-    tests/test_batch_kernel.py. Preconditions (tested): finite vectors;
-    NULL rows and rows whose dimension differs from the query batch's
-    are dropped (the fold path yields NULL cosine there, which likewise
-    can never enter the top-k); a zero-norm row raises ValueError in the
-    task (ADVICE r10 — Spark's DESC ordering would rank the fold path's
-    NaN first while numpy lexsort ranks it last, so degeneracy must be
-    loud, not silently divergent).
+    tests/test_batch_kernel.py. Degenerate rows (tested): NULL rows,
+    rows whose dimension differs from the query batch's, AND zero-norm
+    rows are all dropped — "an embedding that cannot rank never enters
+    the top-k". The first two match the fold path exactly (it yields
+    NULL cosine there). Zero-norm is the one documented divergence from
+    the fold path (ADVICE r10/r11 history: the fold's NaN cosine ranks
+    FIRST under Spark's DESC NULLS/NaN ordering, this kernel's lexsort
+    ranks NaN last; r11 made it a task-side raise, r12 settled on
+    dropping so all three degeneracy classes get identical treatment
+    and one bad row can't kill a graded job mid-shuffle). Callers that
+    need the loud contract should validate norms upstream.
     """
     if not queries:
         raise ValueError("batch_cosine_candidates: empty query batch")
@@ -374,12 +378,19 @@ def batch_cosine_candidates(
             V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
             nv = np.sqrt((V * V).sum(axis=1))
             if not (nv > 0.0).all():
-                bad_ids = pdf[id_col].to_numpy()[np.flatnonzero(~(nv > 0.0))][:5]
-                raise ValueError(
-                    "batch_cosine_candidates: zero-norm embedding rows "
-                    f"(ids {list(bad_ids)}...) — cosine is undefined; "
-                    "filter degenerate vectors upstream"
-                )
+                # zero-norm = undefined cosine: dropped like the other
+                # degeneracy classes (NULL, dim mismatch) rather than
+                # raised mid-shuffle (ADVICE r11) — under this kernel's
+                # ordering a NaN cosine lexsorts LAST, so a dropped row
+                # could only ever have surfaced by padding a top-k that
+                # had fewer than k valid rows; returning the valid rows
+                # alone is the cleaner contract and treats all three
+                # degeneracy classes identically
+                keep = np.flatnonzero(nv > 0.0)
+                if not len(keep):
+                    continue
+                pdf = pdf.iloc[keep]
+                V, nv = V[keep], nv[keep]
             S = (V @ Q.T) / np.outer(nv, qn)  # n x |Q|
             n = len(pdf)
             kk = min(k, n)

@@ -41,24 +41,36 @@ NS_PER_HOUR = 3_600_000_000_000
 # through SMJ + hash agg vs one numpy sort per Arrow batch.
 # --------------------------------------------------------------------------
 _G1_MIN_W = 2
-#: Loud bound on the per-bucket quadratic expansion: a bucket with more
-#: active users than this means the bucket grain is wrong for the data
-#: (pick a finer grain or salt the hot bucket) — at 100k users the
-#: bucket alone is 5e9 pairs. Same fail-loud discipline as the dedup
-#: pair bounds.
-_G1_MAX_BUCKET_USERS = 100_000
+#: Loud bound on the per-bucket quadratic expansion, in PAIRS (ADVICE
+#: r11: the old 100k-USER bound allowed ~5e9 pairs = ~120 GB of packed
+#: keys — the executor OOM'd long before the guard could fire, so it
+#: was a comment, not a tripwire). 50M pairs is ~400 MB packed, an
+#: allocation the task demonstrably survives; a hotter bucket means the
+#: bucket grain is wrong for the data (pick a finer grain or salt the
+#: hot bucket). Same fail-loud discipline as the dedup pair bounds.
+_G1_MAX_BUCKET_PAIRS = 50_000_000
+#: Per-task accumulation budget (ADVICE r11, second half): pending
+#: packed pairs are collapsed with np.unique and emitted as a PARTIAL
+#: frame whenever they exceed this, and oversized buckets expand in
+#: row blocks of at most this many pairs — so peak task memory is
+#: ~2 budgets of int64 keys regardless of batch composition, never the
+#: whole batch's expansion. The downstream SUM over partials makes the
+#: flush grain invisible to results.
+_G1_FLUSH_PAIRS = 4_000_000
 _PAIR_PACK_BITS = 32  # pair key = u << 32 | v; requires 0 <= id < 2^31
 
 
 def _pair_count_kernel(buckets, out_min_w: int):
     """mapInPandas kernel: bucket user-sets -> packed-pair partial
     counts. Exact: np.unique is a sort-based count, the final agg sums
-    partials; packing is int64-exact (ids bounded below 2^31, checked
-    loudly per batch)."""
+    partials (the flush grain only changes HOW MANY partials ride the
+    exchange, never their sum); packing is int64-exact (ids bounded
+    below 2^31, checked loudly per batch)."""
 
     # captured by VALUE into the task closure (module globals would be
     # re-imported fresh on the python workers, defeating test overrides)
-    max_bucket = _G1_MAX_BUCKET_USERS
+    max_pairs = _G1_MAX_BUCKET_PAIRS
+    flush_pairs = _G1_FLUSH_PAIRS
     pack_bits = _PAIR_PACK_BITS
 
     def expand(batches):
@@ -66,33 +78,72 @@ def _pair_count_kernel(buckets, out_min_w: int):
         import pandas as pd
 
         tri: dict[int, tuple] = {}  # cached upper-triangle index pairs per size
+        tri_cached_pairs = 0  # evict-all budget so the cache itself is bounded
+        pending: list = []  # packed-pair arrays awaiting a flush
+        n_pending = 0
+
+        def flush():
+            nonlocal pending, n_pending
+            pk, cnt = np.unique(np.concatenate(pending), return_counts=True)
+            pending, n_pending = [], 0
+            return pd.DataFrame({"pk": pk, "w": cnt})
+
         for pdf in batches:
-            chunks = []
             for us in pdf["us"]:
                 c = len(us)
                 if c < 2:
                     continue
-                if c > max_bucket:
+                n_bucket_pairs = c * (c - 1) // 2
+                if n_bucket_pairs > max_pairs:
                     raise ValueError(
-                        f"co-occurrence bucket has {c} active users "
-                        f"(> {max_bucket}): pair expansion is "
-                        "quadratic — refine the bucket grain or salt the "
-                        "hot bucket"
+                        f"co-occurrence bucket has {c} active users = "
+                        f"{n_bucket_pairs} pairs (> {max_pairs}): pair "
+                        "expansion is quadratic — refine the bucket "
+                        "grain or salt the hot bucket"
                     )
-                if c not in tri:
-                    tri[c] = np.triu_indices(c, k=1)
                 a = np.sort(np.asarray(us, dtype=np.int64))
                 if a[0] < 0 or a[-1] >= (1 << (pack_bits - 1)):
                     raise ValueError(
                         f"user_id out of pack range [0, 2^31): "
                         f"[{a[0]}, {a[-1]}] — widen _PAIR_PACK_BITS"
                     )
-                i, j = tri[c]
-                chunks.append((a[i] << pack_bits) | a[j])
-            if not chunks:
-                continue
-            pk, cnt = np.unique(np.concatenate(chunks), return_counts=True)
-            yield pd.DataFrame({"pk": pk, "w": cnt})
+                if n_bucket_pairs <= flush_pairs:
+                    if c not in tri:
+                        if tri_cached_pairs > flush_pairs:
+                            tri.clear()
+                            tri_cached_pairs = 0
+                        tri[c] = np.triu_indices(c, k=1)
+                        tri_cached_pairs += n_bucket_pairs
+                    i, j = tri[c]
+                    pending.append((a[i] << pack_bits) | a[j])
+                    n_pending += n_bucket_pairs
+                    if n_pending >= flush_pairs:
+                        yield flush()
+                else:
+                    # oversized bucket: expand in row blocks of at most
+                    # flush_pairs pairs each (row r pairs with a[r+1:])
+                    # so the peak allocation never tracks the bucket
+                    r = 0
+                    while r < c - 1:
+                        rows, block = 0, 0
+                        while (
+                            r + rows < c - 1
+                            and block + (c - 1 - (r + rows)) <= flush_pairs
+                        ):
+                            block += c - 1 - (r + rows)
+                            rows += 1
+                        rows = max(rows, 1)
+                        idx = np.arange(r, r + rows)
+                        lens = c - 1 - idx
+                        left = np.repeat(a[idx], lens)
+                        right = np.concatenate([a[q + 1 :] for q in idx])
+                        pending.append((left << pack_bits) | right)
+                        n_pending += int(lens.sum())
+                        r += rows
+                        if n_pending >= flush_pairs:
+                            yield flush()
+        if n_pending:
+            yield flush()
 
     partial = buckets.mapInPandas(expand, "pk bigint, w bigint")
     return (
@@ -133,6 +184,15 @@ def _cooccurrence_edges(spark, sf_dir):
     T = loader(sf_dir, spark)
     buckets = (
         T("events")
+        # NULL bucket keys never match in the oracle's JOIN ... USING
+        # (and NULL user_id never satisfies u < v), but groupBy would
+        # keep them as a real group and the kernel would emit their
+        # pairs (ADVICE r11) — drop them before the aggregation.
+        .where(
+            F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
         .select(
             "user_id",
             (F.col("ts") - F.col("ts") % NS_PER_HOUR).alias("h"),

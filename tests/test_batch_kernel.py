@@ -118,15 +118,24 @@ def test_kernel_drops_null_embedding(spark):
     assert sorted(r.vec_id for r in out) == [0, 2]
 
 
-def test_kernel_zero_norm_raises(spark):
-    # ADVICE r10: a zero-norm vector gives NaN cosine, which numpy
-    # lexsort ranks LAST while Spark's DESC ranks NaN FIRST — silent
-    # divergence. The documented precondition is now a loud task-side
-    # guard.
-    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0])]
+def test_kernel_zero_norm_dropped(spark):
+    # ADVICE r11 (superseding the r11 raise, itself superseding the r10
+    # NaN divergence): a zero-norm vector has undefined cosine and is
+    # dropped like the other degeneracy classes (NULL, dim mismatch) —
+    # it can never rank, and one bad row must not kill a graded job
+    # mid-shuffle. Even with k larger than the valid-row count, the
+    # degenerate row must NOT pad the result.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
-    with pytest.raises(Exception, match="zero-norm"):
-        S.batch_cosine_candidates(df, [(9, [1.0, 0.0])], k=2).collect()
+    out = S.batch_cosine_candidates(df, [(9, [1.0, 0.0])], k=3).collect()
+    assert sorted(r.vec_id for r in out) == [0, 2]
+    assert all(r.cosine == r.cosine for r in out)  # no NaN survives
+
+    # an all-degenerate batch yields an empty result, not an error
+    only_bad = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (3, None)], "vec_id bigint, embedding array<double>"
+    )
+    assert S.batch_cosine_candidates(only_bad, [(9, [1.0, 0.0])], k=2).count() == 0
 
 
 def test_kernel_exact_tie_cluster_split_by_cut_across_batches(spark):

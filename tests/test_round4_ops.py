@@ -447,14 +447,65 @@ def test_g1_kernel_guards_are_loud(spark):
     with _pytest.raises(Exception, match="pack range"):
         G._pair_count_kernel(bad_id, 1).collect()
 
+    # ADVICE r11: the bound is on PAIRS, not users — 300 users =
+    # 44,850 pairs trips a 40k-pair bound before any allocation
     big = spark.createDataFrame([(list(range(300)),)], "us array<bigint>")
-    old = G._G1_MAX_BUCKET_USERS
-    G._G1_MAX_BUCKET_USERS = 200
+    old = G._G1_MAX_BUCKET_PAIRS
+    G._G1_MAX_BUCKET_PAIRS = 40_000
     try:
         with _pytest.raises(Exception, match="quadratic"):
             G._pair_count_kernel(big, 1).collect()
     finally:
-        G._G1_MAX_BUCKET_USERS = old
+        G._G1_MAX_BUCKET_PAIRS = old
+
+
+def test_g1_kernel_flush_budget_exact(spark):
+    """Counts are flush-grain-invariant (ADVICE r11): with the
+    accumulation budget forced tiny, every bucket flushes as its own
+    partial frame and oversized buckets take the row-blocked expansion
+    path — the summed result must be identical to the one-shot path."""
+    from kompactor_spark.queries import graph as G
+
+    big = list(range(500))  # 124,750 pairs >> the forced 1,000 budget
+    rows = [(big,), ([5, 10, 15],), ([10, 15],), (list(range(100)),)]
+    df = spark.createDataFrame(rows, "us array<bigint>").coalesce(1)
+    baseline = {(r.u, r.v): r.w for r in G._pair_count_kernel(df, 1).collect()}
+    old = G._G1_FLUSH_PAIRS
+    G._G1_FLUSH_PAIRS = 1_000
+    try:
+        tiny = {(r.u, r.v): r.w for r in G._pair_count_kernel(df, 1).collect()}
+    finally:
+        G._G1_FLUSH_PAIRS = old
+    assert tiny == baseline
+    # (5,10) ∈ {big, [5,10,15], range(100)}; (10,15) additionally ∈ [10,15]
+    assert tiny[(5, 10)] == 3 and tiny[(10, 15)] == 4
+    assert tiny[(0, 499)] == 1 and len(tiny) == 500 * 499 // 2
+
+
+def test_g1_null_bucket_keys_dropped(spark, tmp_path):
+    """ADVICE r11: events with NULL ts or NULL event_type form buckets
+    the oracle's JOIN ... USING (h, event_type) can never match — the
+    engine must not emit edges from them. Users 1 and 2 co-occur twice
+    in NULL-keyed buckets and only once in real ones: with the filter
+    they stay below _G1_MIN_W=2 and produce NO edge, while users 3/4
+    co-occur in two real buckets and do."""
+    from kompactor_spark.queries.graph import NS_PER_HOUR, g1_cooccurrence_graph
+
+    H = NS_PER_HOUR
+    rows = [
+        # (user_id, ts, event_type)
+        (1, None, "a"), (2, None, "a"),          # NULL ts bucket
+        (1, 5 * H, None), (2, 5 * H, None),      # NULL event_type bucket
+        (1, 1 * H, "a"), (2, 1 * H, "a"),        # one real co-occurrence
+        (3, 2 * H, "b"), (4, 2 * H, "b"),
+        (3, 3 * H, "b"), (4, 3 * H, "b"),
+        (None, 2 * H, "b"),                      # NULL user_id: never joins
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint, event_type string")
+    sf = str(tmp_path / "nullkeys")
+    df.write.parquet(f"{sf}/events.parquet")
+    got = {(r.u, r.v, r.w) for r in g1_cooccurrence_graph(spark, sf).collect()}
+    assert got == {(3, 4, 2)}
 
 
 def test_g2_degree_consistent_with_edges(spark, regs):

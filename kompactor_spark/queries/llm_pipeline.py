@@ -1697,6 +1697,38 @@ def a19b_theta_difference(spark, sf_dir):
 # KBs per executor), and the corpus total rides along as a broadcast
 # 1-row aggregate, never a driver collect.
 # --------------------------------------------------------------------------
+def _collision_guarded_tf(dt):
+    """Corpus term counts over hashed token keys, with the loud
+    collision guard: ``dt`` is (doc_id, th, cd, mn, mx) where th =
+    xxhash64(token) and mn/mx carry an independent 32-bit lane
+    (murmur ``hash(token)``). A 64-bit key collision merges two
+    distinct tokens into one tf row — detectable as min != max on the
+    second lane unless that lane also collides for the same pair
+    (miss ~2^-96-class); the in-plan ``raise_error`` fires during the
+    broadcast build, before any consumer sees a corrupted count.
+    Tested with a planted collision in tests/test_round4_ops.py."""
+    return (
+        dt.groupBy("th")
+        .agg(
+            F.sum("cd").alias("c"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .where(
+            F.when(F.col("mn") == F.col("mx"), F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "l4_surprisal: xxhash64 token-key collision detected "
+                        "— two distinct tokens share a 64-bit key; rerun "
+                        "with exact string keys for this corpus"
+                    )
+                )
+            )
+        )
+        .select("th", "c")
+    )
+
+
 @register(
     "l4_surprisal",
     oracle="""
@@ -1713,27 +1745,53 @@ def a19b_theta_difference(spark, sf_dir):
     """,
 )
 def l4_surprisal(spark, sf_dir):
+    """Round 12 shape (scripts/surprisal_shapes_ab.py, the measured
+    5-arm A/B closing VERDICT r11 #1): every aggregate and the join
+    key on ONE primitive int64 — xxhash64(token) — instead of
+    variable-length strings; token strings never reach the output, so
+    they never need to survive the first projection. Same-session sf10
+    medians: string keys 4.03 s (1.71x DuckDB), raw hash64 keys 2.72 s
+    (1.15x), a 128-bit two-lane key 4.25 s (the extra lane + key width
+    costs the whole gain), Arrow per-doc counting kernels 4.6/2.8 s
+    (Python tokenization loses to the JVM explode), and THIS shape —
+    hash64 keys + loud collision guard — 3.45 s = 1.46x.
+
+    Exactness: a 64-bit key admits collisions at 100 TB vocab
+    cardinality, so a second INDEPENDENT 32-bit lane (murmur ``hash``)
+    rides the aggregates as min/max — never as a key. Two distinct
+    tokens sharing the xxhash64 key would merge into one tf row with
+    min(g) != max(g) unless the 32-bit lane also collides for the same
+    pair (miss ~2^-96-class, the md5-dedup-key exactness class), and
+    the in-plan check raises loudly before the vocab is consumed.
+    Collapse-first (round 9) still applies: the per-doc average over
+    TOKENS equals the count-weighted average over per-doc DISTINCT
+    keys, collapsed fully map-side; corpus term counts derive from the
+    (doc, th) frame so ReuseExchange tokenizes the corpus ONCE
+    (plan-pinned in test_plans.py). round(6) absorbs the benign FP
+    reassociation, same as the oracle's own sum order.
+    """
     T = loader(sf_dir, spark)
-    tok = fan_out(T("documents")).select("doc_id", F.explode(X.tokens("text")).alias("t"))
-    # Collapse-first (round 9): the per-doc average over TOKENS equals
-    # the count-weighted average over the doc's DISTINCT tokens, and a
-    # doc's rows are co-located after the explode, so the (doc, t)
-    # partial agg collapses fully MAP-SIDE — the join probe and the
-    # doc-grouping shuffle carry |per-doc distinct| rows instead of
-    # every token occurrence (~40% fewer at sf10; multiplicity-
-    # independent for repetitive corpora). round(6) absorbs the
-    # benign FP reassociation, same as the oracle's own sum order.
-    dt = tok.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("cd"))
-    # corpus term counts derive from dt (sum of per-doc counts — exact
-    # integers as doubles), NOT from a second pass over tok: both
-    # consumers then sit above the identical Exchange(doc_id, t) and
-    # ReuseExchange tokenizes the corpus ONCE (the tfidf/round-11
-    # lesson; here cd is genuinely consumed by the sum, so no
-    # pruning-blocker filter is needed; plan-pinned in test_plans.py)
-    tf = dt.groupBy("t").agg(F.sum("cd").alias("c"))
+    tok = (
+        fan_out(T("documents"))
+        .select("doc_id", F.explode(X.tokens("text")).alias("t"))
+        .select("doc_id", F.xxhash64("t").alias("th"), F.hash("t").alias("g"))
+    )
+    dt = tok.groupBy("doc_id", "th").agg(
+        F.count(F.lit(1)).cast("double").alias("cd"),
+        F.min("g").alias("mn"),
+        F.max("g").alias("mx"),
+    )
+    tf = _collision_guarded_tf(dt)
     tot = tf.agg(F.sum("c").cast("double").alias("total"))
+    # tautological filter (the tfidf tf>=1 lesson): the join probe
+    # doesn't otherwise consume the guard lanes, and pruning them from
+    # this side's partial aggregate would make the two subtrees differ
+    # — ReuseExchange then re-tokenizes the corpus. mn <= mx is always
+    # true but not foldable, so both consumers keep identical partial
+    # aggs over ONE Exchange(doc_id, th). Plan-pinned in test_plans.py.
+    probe = dt.where(F.col("mn") <= F.col("mx"))
     return (
-        dt.join(F.broadcast(tf), "t")
+        probe.join(F.broadcast(tf), "th")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

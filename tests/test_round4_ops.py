@@ -20,6 +20,29 @@ def regs():
     return all_queries()
 
 
+def test_surprisal_collision_guard_fires(spark):
+    """Round 12: l4_surprisal keys its aggregates on xxhash64(token);
+    a planted 64-bit collision (two rows sharing th with different
+    32-bit guard lanes) must raise loudly inside the plan, and a clean
+    frame must pass with exact counts."""
+    import pytest as _pytest
+
+    from kompactor_spark.queries.llm_pipeline import _collision_guarded_tf
+
+    schema = "doc_id bigint, th bigint, cd double, mn int, mx int"
+    clean = spark.createDataFrame(
+        [(1, 10, 2.0, 7, 7), (2, 10, 3.0, 7, 7), (1, 11, 1.0, 9, 9)], schema
+    )
+    out = {r.th: r.c for r in _collision_guarded_tf(clean).collect()}
+    assert out == {10: 5.0, 11: 1.0}
+
+    planted = spark.createDataFrame(
+        [(1, 10, 2.0, 7, 7), (2, 10, 3.0, 8, 8)], schema
+    )
+    with _pytest.raises(Exception, match="collision"):
+        _collision_guarded_tf(planted).collect()
+
+
 def test_surprisal_positive_and_token_weighted(spark, regs):
     rows = regs["l4_surprisal"](spark, SF).collect()
     docs = load_table(spark, SF, "documents").count()

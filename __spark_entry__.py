@@ -34,80 +34,31 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # Round-11 window (first 50 graded). Composition:
-    #   (1) rows whose implementation round 10/11 touched and whose
-    #       latest oracle grade predates the change (ADVICE r10 medium:
-    #       l3_batch_topk / l7_knn_classify / l4_tfidf_topterms /
-    #       l4_crossdoc_ngram_share were rewritten in r10 but last
-    #       H-graded r6-r9; tfidf changed again in r11 — ReuseExchange
-    #       instead of localCheckpoint; the batch kernel grew NULL/
-    #       zero-norm guards in r11), plus the whole graph family:
-    #       round 11 promotes the Arrow pair-expansion kernel into
-    #       _cooccurrence_edges (g1 A/B winner, 3.17x -> 1.26x), which
-    #       every g-row derives from;
-    #   (2) GRADE-AGE RULE (standing since r6 #5): the remaining
-    #       round-5 cohort (18, queued by round 10) — after this round
-    #       NO row's latest grade predates round 6;
-    #   (3) fill to 50 with the round-6 cohort, alphabetical (22 of 39;
-    #       the other 15 head the round-12 fill, listed at 51+).
-    # --- (1) implementations changed in round 10/11: must re-grade ---
-    "l3_batch_topk",
-    "l7_knn_classify",
-    "l4_tfidf_topterms",
-    "l4_crossdoc_ngram_share",
+    # Round-12 window (first 50 graded). Composition (standing rule):
+    #   (1) rows whose implementation round 12 touched — the whole
+    #       graph family (g1's pair kernel gained the NULL-bucket-key
+    #       filter, the pair-count bound, and the flush budget; every
+    #       g-row derives from _cooccurrence_edges), l4_surprisal
+    #       (xxhash64-keyed shape + collision guard, the r11 weak-row
+    #       close), and l3_batch_topk / l7_knn_classify (the batch
+    #       cosine kernel now drops zero-norm rows instead of raising);
+    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-6 cohort
+    #       remainder (15, queued by round 11);
+    #   (3) fill to 50 with the round-7 cohort, alphabetical (26 of 42;
+    #       the remaining 16 head the round-13 fill, listed at 51+).
+    # After this round no row's latest grade predates round 7 except
+    # the queued r7 remainder.
+    # --- (1) implementations changed in round 12: must re-grade ---
+    "l4_surprisal",
     "g1_cooccurrence_graph",
     "g2_degree_centrality",
     "g3_pagerank",
     "g4_triangle_count",
     "g5_neighbor_jaccard",
     "g6_degree_assortativity",
-    # --- (2) grade-age rule: the remaining round-5 cohort (18) ---
-    "p6_multi_measure_pivot",
-    "s11_binaryfile_source",
-    "s12_corrupt_tolerant_scan",
-    "w14_pareto_share",
-    "w15_gini_revenue",
-    "x27_interval_coverage",
-    "x29_last_touch_attribution",
-    "x30_rate_spike",
-    "x31_cohort_ltv",
-    "x32_alert_episodes",
-    "x33_active_user_stickiness",
-    "x34_rolling_slope",
-    "x35_seasonality_strength",
-    "x36_count_autocorrelation",
-    "x37_cross_type_correlation",
-    "x38_cumulative_crossover",
-    "x39_burstiness",
-    "x40_max_drawdown",
-    # --- (3) fill: round-6 cohort, alphabetical (22/39; g3 and
-    #     l4_crossdoc are r6-cohort rows already listed in (1)) ---
-    "a1_groupby_q1",
-    "a21_winsorized_mean",
-    "a7_list_agg",
-    "f13_row_fingerprint",
-    "f2_month_arithmetic",
-    "j14_binned_interval_join",
-    "j15_interval_overlap_join",
-    "j9_star_join",
-    "k1_hour_compaction",
-    "k3_incremental_rollup",
-    "l2_tfidf_cosine_pairs",
-    "l3e_sq8_quantize",
-    "l3f_mips_topk",
-    "l4_bm25",
-    "l4_char_entropy",
-    "l4_langid_confusion",
-    "l4_repeated_ngrams",
-    "l4_token_freq",
-    "l5_phash_neardup",
-    "l6_chunk_dedup_rate",
-    "l6_chunk_documents",
-    "l6_contamination_score",
-    # --- 51+: round-12 fill — the remaining round-6 cohort (15), then
-    #     the round-7 cohort alphabetical (35 of 42 fit; the last 7 head
-    #     round 13). Round 12 should promote changed-this-round rows (if
-    #     any) ahead of these, per the standing composition rule. ---
+    "l3_batch_topk",
+    "l7_knn_classify",
+    # --- (2) grade-age rule: the round-6 cohort remainder (15) ---
     "l6_incremental_dedup",
     "l6_temperature_sample",
     "l7g_pca_power",
@@ -123,7 +74,7 @@ _PRIORITY = [
     "x24_seasonal_backtest",
     "x25_time_weighted_avg",
     "x26_trend_slope",
-    # round-7 cohort (alphabetical)
+    # --- (3) fill: round-7 cohort, alphabetical (26/42) ---
     "a2_count_distinct",
     "a4_cube",
     "a4_rollup",
@@ -150,6 +101,10 @@ _PRIORITY = [
     "o1_multi_key_sort",
     "o2_topk",
     "p1_projection",
+    # --- 51+: round-13 fill — the round-7 cohort remainder (16), then
+    #     the round-8 cohort. Round 13 should promote
+    #     changed-that-round rows (if any) ahead of these, per the
+    #     standing composition rule. ---
     "p2_filter_predicates",
     "s1_parquet_scan",
     "s2_partition_pruned_scan",

@@ -40,7 +40,7 @@ SF10 = os.path.join(ROOT, "benchdata", "sf10")
 SF1 = os.path.join(ROOT, "benchdata", "sf1")
 OUT = os.path.join(ROOT, "scripts", "r12_remeasure_out.json")
 
-# (name, sf_dir, duckdb side?, sink?) — g1 is a LARGE_RESULT sink row
+# (name, duckdb side?, sink?) — g1 is a LARGE_RESULT sink row
 # at sf10 (1M edges); everything else fetches (BENCH_SF10 protocol).
 SF10_ROWS = [
     ("g1_cooccurrence_graph", True, True),
@@ -57,6 +57,17 @@ SF1_TWINS = [
     ("l7_kmeans_refine", True, False),
     ("l7_cluster_purity", True, False),
 ]
+# BENCH_SF10 protocol: construction does real engine work for these
+# (localCheckpoint / model-state collects run at call time) — the
+# timer keeps construction inside, mirroring scripts/bench_sf10.py.
+EAGER = {
+    "g3_pagerank",
+    "g6_degree_assortativity",
+    "l3_batch_topk",
+    "l7_knn_classify",
+    "l7_kmeans_refine",
+    "l7_cluster_purity",
+}
 
 
 def _drop_checkpoint_blocks(spark) -> None:
@@ -81,6 +92,9 @@ def duck_connect(sf_dir: str):
 
 
 def measure(rows, sf_dir, runs):
+    only = os.environ.get("R12_ONLY")
+    if only:
+        rows = [r for r in rows if r[0] in set(only.split(","))]
     import shutil
 
     from kompactor_spark.queries import all_oracles, all_queries
@@ -95,8 +109,12 @@ def measure(rows, sf_dir, runs):
         fn, sql = qs[name], oracles[name]
 
         def eng() -> float:
-            df = fn(spark, sf_dir)
-            t0 = time.perf_counter()
+            if name in EAGER:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+            else:
+                df = fn(spark, sf_dir)
+                t0 = time.perf_counter()
             if use_sink:
                 df.write.mode("overwrite").parquet(sink)
                 shutil.rmtree(sink, ignore_errors=True)

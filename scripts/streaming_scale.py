@@ -82,16 +82,25 @@ def progress_stats(q):
     return walls, state_rows, state_bytes, in_rows
 
 
+def _stream(spark, schema):
+    """File stream with the engine's time policy applied: the sf1
+    parquet ships ts as TIMESTAMP(µs), the engine contract is int64
+    epoch-ns — normalize exactly like the batch loader does."""
+    from kompactor_spark.tables import normalize_event_time
+
+    return normalize_event_time(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(SRC, "*.parquet"))
+    )
+
+
 def run_ingest(spark, schema, scratch: str) -> dict:
     from kompactor_spark.streaming.ingest import IngestJob
 
     lake = os.path.join(scratch, "lake")
     job = IngestJob(lake, HOST, db=0, table=0, time_col="ts", auto_compact=True)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(SRC, "*.parquet"))
-    )
+    stream = _stream(spark, schema)
     t0 = time.perf_counter()
     q = job.attach(stream, checkpoint=os.path.join(scratch, "ckpt_ingest"))
     q.awaitTermination()
@@ -106,8 +115,10 @@ def run_ingest(spark, schema, scratch: str) -> dict:
         glob.glob(os.path.join(lake, HOST, "dbs", "**", "*.parquet"), recursive=True)
     )
     c_files = [p for p in data_files if os.path.basename(p).startswith("c_")]
+    from kompactor_spark.tables import load_table
+
     lake_df = spark.read.parquet(*data_files)
-    src_df = spark.read.parquet(os.path.join(SF1, "events.parquet"))
+    src_df = load_table(spark, SF1, "events")  # normalized ts, like the lake
     from pyspark.sql import functions as F
 
     def hour_sums(df):
@@ -118,7 +129,9 @@ def run_ingest(spark, schema, scratch: str) -> dict:
             )
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum("ts").alias("sts"),
+                # decimal(38,0): exact, and epoch-ns longs overflow an
+                # int64 SUM after ~5 rows
+                F.sum(F.col("ts").cast("decimal(38,0)")).alias("sts"),
                 F.sum("user_id").alias("su"),
             )
             .collect()
@@ -167,12 +180,7 @@ def run_ingest(spark, schema, scratch: str) -> dict:
 def run_stateful(spark, schema, scratch: str) -> dict:
     from kompactor_spark.streaming.jobs import tumbling_counts
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(SRC, "*.parquet"))
-    )
-    agg = tumbling_counts(stream)
+    agg = tumbling_counts(_stream(spark, schema))
     t0 = time.perf_counter()
     q = (
         agg.writeStream.format("noop")

@@ -44,34 +44,30 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round11_targets_inside_window():
-    """Round-11 window invariant (grade-age policy, VERDICT r9 #2):
-    every row whose implementation round 10/11 touched after its last
-    oracle grade (the four r10 rewrites ADVICE r10 flagged, plus the
-    whole graph family riding the round-11 kernel edge build) and the
-    remaining round-5 grade cohort must sit inside the first 50
-    registry slots; the rest follow the grade-age rule (round-6
+def test_round12_targets_inside_window():
+    """Round-12 window invariant (grade-age policy, VERDICT r9 #2):
+    every row whose implementation round 12 touched after its last
+    oracle grade (the g-family riding the guarded pair kernel, the
+    surprisal rewrite, and the two batch-cosine-kernel consumers) and
+    the queued round-6 cohort remainder must sit inside the first 50
+    registry slots; the rest follow the grade-age rule (round-7
     cohort, alphabetical)."""
     changed = {
-        "l3_batch_topk", "l7_knn_classify", "l4_tfidf_topterms",
-        "l4_crossdoc_ngram_share", "g1_cooccurrence_graph",
-        "g2_degree_centrality", "g3_pagerank", "g4_triangle_count",
-        "g5_neighbor_jaccard", "g6_degree_assortativity",
+        "l4_surprisal", "g1_cooccurrence_graph", "g2_degree_centrality",
+        "g3_pagerank", "g4_triangle_count", "g5_neighbor_jaccard",
+        "g6_degree_assortativity", "l3_batch_topk", "l7_knn_classify",
     }
-    r5_cohort = {
-        "p6_multi_measure_pivot", "s11_binaryfile_source",
-        "s12_corrupt_tolerant_scan", "w14_pareto_share",
-        "w15_gini_revenue", "x27_interval_coverage",
-        "x29_last_touch_attribution", "x30_rate_spike",
-        "x31_cohort_ltv", "x32_alert_episodes",
-        "x33_active_user_stickiness", "x34_rolling_slope",
-        "x35_seasonality_strength", "x36_count_autocorrelation",
-        "x37_cross_type_correlation", "x38_cumulative_crossover",
-        "x39_burstiness", "x40_max_drawdown",
+    r6_remainder = {
+        "l6_incremental_dedup", "l6_temperature_sample", "l7g_pca_power",
+        "m2_latest_per_key", "m8_scd2_history", "w11_funnel_conversion",
+        "w13_wow_change", "x11_counter_rate", "x18_rolling_zscore",
+        "x1_tumbling_window", "x22_threshold_crossings",
+        "x23_max_concurrency", "x24_seasonal_backtest",
+        "x25_time_weighted_avg", "x26_trend_slope",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (changed | r5_cohort) - window
-    assert not out, f"round-11 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r6_remainder) - window
+    assert not out, f"round-12 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():

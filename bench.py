@@ -263,7 +263,6 @@ def _sf1_section(spark, regs, oracles):
     before round 11)."""
     import importlib.util
 
-    t_section = time.perf_counter()
     spec = importlib.util.spec_from_file_location(
         "bench_sf1",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_sf1.py"),
@@ -272,6 +271,11 @@ def _sf1_section(spark, regs, oracles):
     spec.loader.exec_module(mod)
     mod.generate()  # no-op when benchdata/sf1 already exists
     sf1_dir = mod.DST
+    # budget clock starts AFTER data generation: a purged benchdata/
+    # would otherwise eat the row budget with a one-off regeneration
+    # and silently shrink the matched set (the composition rule in
+    # BASELINE.md §4.1 assumes all 14 rows run)
+    t_section = time.perf_counter()
 
     duck = _duck_connect(sf1_dir)
     per_query: dict[str, float] = {}

@@ -284,3 +284,58 @@ def test_kernel_parity_property(spark, case):
         spark, docs, metric, n=n, threshold=threshold, max_shingle_freq=max_freq
     )
     assert k == d
+
+
+# --------------------------------------------------------------------------
+# G1 pair-expansion kernel (queries/graph._pair_count_kernel) property
+# check: for ANY bucket composition and ANY flush budget (including
+# budgets that force the row-blocked oversized-bucket path and
+# mid-batch partial flushes), the summed pair counts must equal the
+# brute-force combinations count. Round 12: the flush budget and the
+# pair-count bound replaced the unenforceable user-count bound
+# (ADVICE r11), so the budget-invariance IS the exactness contract.
+# --------------------------------------------------------------------------
+@st.composite
+def buckets_st(draw):
+    n_buckets = draw(st.integers(min_value=1, max_value=8))
+    buckets = [
+        draw(
+            st.lists(
+                st.integers(min_value=0, max_value=40),
+                min_size=0,
+                max_size=30,
+                unique=True,
+            )
+        )
+        for _ in range(n_buckets)
+    ]
+    flush = draw(st.sampled_from([1, 7, 50, 4_000_000]))
+    return buckets, flush
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=buckets_st())
+def test_g1_pair_kernel_flush_invariance_property(spark, case):
+    from collections import Counter
+    from itertools import combinations
+
+    from kompactor_spark.queries import graph as G
+
+    buckets, flush = case
+    expected = Counter()
+    for us in buckets:
+        for u, v in combinations(sorted(us), 2):
+            expected[(u, v)] += 1
+    df = spark.createDataFrame([(b,) for b in buckets], "us array<bigint>").coalesce(1)
+    old = G._G1_FLUSH_PAIRS
+    G._G1_FLUSH_PAIRS = flush
+    try:
+        got = {(r.u, r.v): r.w for r in G._pair_count_kernel(df, 1).collect()}
+    finally:
+        G._G1_FLUSH_PAIRS = old
+    assert got == dict(expected)

@@ -462,6 +462,21 @@ def main() -> None:
             # can regress for a real reason (VERDICT r10 #3).
             "same_window_ratio": round(s1 / d1, 3) if d1 else None,
             "control_matched_queries": len(m1),
+            # BASELINE.md §4.1 composition rule made self-auditing: no
+            # single row may exceed 30% of either total. Published so a
+            # window where g3's control side drifts over the line is
+            # visible in the artifact itself, not just at selection time.
+            "max_engine_share": round(max(q1[n] for n in m1) / s1, 3) if m1 and s1 else None,
+            "max_control_share": round(max(c1[n] for n in m1) / d1, 3) if m1 and d1 else None,
+            "row_notes": {
+                # sf1 rows whose ratio is floor/fixed-cost shaped; their
+                # design-grade points are the sf10 protocol rows
+                "m11_basket_lift": "sf1 is fixed-cost shaped; design grade = sf10 0.90x (BENCH_SF10)",
+                "j19_nearest_value_join": "sf1 sink floor-heavy; design grade = sf10 0.50x",
+                "l4_surprisal": "DuckDB side sub-0.3s at sf1 (floor); design grade = sf10 1.57x",
+                "l2_containment_collapsed": "DuckDB side sub-0.7s at sf1; design grade = sf10 1.82x with a FLAT engine curve",
+                "l4_repeated_ngrams": "DuckDB side sub-0.5s at sf1; design grade = sf10 0.61x",
+            },
             "protocol": (
                 "PRIMARY = sf1 matched set (benchdata/sf1, 10x replication), "
                 "interleaved same-window DuckDB control, sink for table-sized "

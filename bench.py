@@ -482,7 +482,12 @@ def main() -> None:
                 "interleaved same-window DuckDB control, sink for table-sized "
                 "results; sf0.1 suite retained under sf01_appendix for "
                 "floor calibration + cross-round trends. Not comparable to "
-                "the sf0.1-led BENCH_r01-r10 'value' field."
+                "the sf0.1-led BENCH_r01-r10 'value' field, NOR to "
+                "BENCH_r11's 5-row primary (round 12 widened the set to 14 "
+                "rows per BASELINE.md 4.1 — the ratio moved 0.73->~0.8 by "
+                "COMPOSITION, adding floor-shaped engine rows, not by any "
+                "query regressing; row-level continuity lives in "
+                "BENCH_SF10/BENCH_SF1)."
             ),
             "sf01_appendix": sf01,
         }

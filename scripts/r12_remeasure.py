@@ -176,7 +176,13 @@ def main() -> None:
     if os.path.exists(OUT):
         with open(OUT) as fh:
             prev = json.load(fh)
-    prev.update(res)
+    for k, v in res.items():
+        # merge per-scale row dicts so a subset re-run (R12_ONLY) never
+        # drops rows measured earlier
+        if isinstance(v, dict) and isinstance(prev.get(k), dict):
+            prev[k].update(v)
+        else:
+            prev[k] = v
     with open(OUT, "w") as fh:
         json.dump(prev, fh, indent=1)
     print(json.dumps(res))

@@ -1,8 +1,12 @@
 """Benchmark harness (SURVEY §5.4): headline queries at $SPARK_GRAFT_SF_DIR
 (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the full artifact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+followed by a compact headline-only JSON line (the LAST line of stdout,
+always <2 KB, so the driver's tail capture carries the primary metric
+whole — VERDICT r12 #1; BENCH_r12 lost its 14-row primary to truncation).
+The full artifact is also persisted to scripts/bench_out_latest.json.
 
 Protocol mirrors BASELINE.md §2: warm session (startup excluded), one
 warm-up run per query, then median of 3 timed action-to-completion runs.
@@ -493,6 +497,26 @@ def main() -> None:
         }
         if skipped:
             line["sf1_skipped_on_budget"] = skipped
+        # ADVICE r12: the headline ratio must not be readable as a clean
+        # 14-row measurement when the window wasn't one — a budget skip,
+        # an errored row, or a share past the 30% line all break the
+        # BASELINE.md §4.1 composition rule, so say so in the artifact.
+        held = (
+            not skipped
+            and not errs1
+            and line["max_engine_share"] is not None
+            and line["max_engine_share"] <= 0.30
+            and line["max_control_share"] is not None
+            and line["max_control_share"] <= 0.30
+        )
+        line["composition_rule_held"] = held
+        if not held:
+            line["composition_note"] = (
+                "BASELINE.md 4.1 composition rule NOT satisfied in this "
+                "window (budget skip, errored row, or a row >30% of a "
+                "total): same_window_ratio is not a clean "
+                f"{len(SF1_MATCHED)}-row measurement"
+            )
     else:
         line = {
             "metric": "headline_suite_total_median_sec",
@@ -508,8 +532,66 @@ def main() -> None:
             line["control_matched_queries"] = sf01["control_matched_queries"]
     if errors:
         line["errors"] = errors
+    # Publication hardening (VERDICT r12 #1): the driver records only the
+    # last ~2 KB of stdout, and BENCH_r12's single giant JSON line had its
+    # LEADING primary section truncated away (parsed: null) — the round's
+    # headline number never reached the repo. Two fixes, belt and braces:
+    #  (a) persist the FULL artifact to scripts/bench_out_latest.json
+    #      (committed per-round like every other scripts/*_out.json);
+    #  (b) print the full line first, then a compact headline-only line
+    #      LAST, sized to always fit the tail capture whole.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_out_latest.json"
+    )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(line, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not persist full artifact: {exc}", file=sys.stderr)
     print(json.dumps(line))
+    print(json.dumps(_compact_headline(line)))
     spark.stop()
+
+
+def _compact_headline(line: dict) -> dict:
+    """Headline-only trailing stdout line (VERDICT r12 #1): everything a
+    reader needs from the round — metric, value, per-query medians and
+    ratios, shares, composition flag — in well under 2 KB so a tail
+    capture can never lose it. Full detail precedes it on stdout and is
+    persisted at scripts/bench_out_latest.json."""
+    compact = {
+        "metric": line["metric"],
+        "value": line["value"],
+        "unit": line.get("unit", "sec"),
+        "sf": line["sf"],
+        "queries": line.get("queries", {}),
+    }
+    for k in (
+        "same_window_ratio",
+        "control_matched_queries",
+        "max_engine_share",
+        "max_control_share",
+        "composition_rule_held",
+        "sf1_skipped_on_budget",
+    ):
+        if k in line and line[k] is not None:
+            compact[k] = line[k]
+    ctl = line.get("duckdb_control", {})
+    if ctl:
+        compact["ratios"] = {
+            n: round(line["queries"][n] / ctl[n], 2)
+            for n in line.get("queries", {})
+            if n in ctl and ctl[n]
+        }
+    app = line.get("sf01_appendix")
+    if app:
+        compact["sf01_total_sec"] = app.get("total_median_sec")
+        compact["sf01_ratio"] = app.get("same_window_ratio")
+    if line.get("errors"):
+        compact["error_keys"] = sorted(line["errors"])
+    compact["full_artifact"] = "scripts/bench_out_latest.json"
+    return compact
 
 
 if __name__ == "__main__":

@@ -334,6 +334,14 @@ def batch_cosine_candidates(
     dropping so all three degeneracy classes get identical treatment
     and one bad row can't kill a graded job mid-shuffle). Callers that
     need the loud contract should validate norms upstream.
+
+    Observability (ADVICE r12): the drop is silent in the RESULT but not
+    in the run — every dropped degenerate row increments a Spark
+    accumulator exposed as ``result.degenerate_dropped`` (read
+    ``.value`` after an action; at-least-once semantics — task retries
+    and plan re-executions can over-count, so it is a did-we-lose-rows
+    signal, not an exact audit), and each dropping task emits one
+    stderr warning naming the batch's drop count.
     """
     if not queries:
         raise ValueError("batch_cosine_candidates: empty query batch")
@@ -350,15 +358,22 @@ def batch_cosine_candidates(
     )
     out_schema = f"query_id bigint, {id_col} {id_t}{payload_schema}, cosine double"
     cols = [id_col, *payload_cols, vec_col]
+    # ADVICE r12: degenerate drops must be observable without
+    # reintroducing the mid-shuffle raise — count them on an accumulator
+    # (attached to the result below) and warn once per dropping batch.
+    dropped_acc = df.sparkSession.sparkContext.accumulator(0)
 
     def run(batches):
+        import sys as _sys
+
         import numpy as np
 
         Q = np.asarray(qmat, dtype=np.float64)  # |Q| x d
         qn = np.sqrt((Q * Q).sum(axis=1))
         qid_arr = np.asarray(qids)
         for pdf in batches:
-            if not len(pdf):
+            n0 = len(pdf)
+            if not n0:
                 continue
             vecs = pdf[vec_col].to_numpy()
             # NULL -> -1 so it fails the dim check and is dropped, the
@@ -370,27 +385,36 @@ def batch_cosine_candidates(
                 count=len(vecs),
             )
             ok = lens == dim
+            V = nv = None
             if not ok.all():
                 pdf = pdf.iloc[np.flatnonzero(ok)]
                 vecs = pdf[vec_col].to_numpy()
-                if not len(pdf):
-                    continue
-            V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            nv = np.sqrt((V * V).sum(axis=1))
-            if not (nv > 0.0).all():
-                # zero-norm = undefined cosine: dropped like the other
-                # degeneracy classes (NULL, dim mismatch) rather than
-                # raised mid-shuffle (ADVICE r11) — under this kernel's
-                # ordering a NaN cosine lexsorts LAST, so a dropped row
-                # could only ever have surfaced by padding a top-k that
-                # had fewer than k valid rows; returning the valid rows
-                # alone is the cleaner contract and treats all three
-                # degeneracy classes identically
-                keep = np.flatnonzero(nv > 0.0)
-                if not len(keep):
-                    continue
-                pdf = pdf.iloc[keep]
-                V, nv = V[keep], nv[keep]
+            if len(pdf):
+                V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+                nv = np.sqrt((V * V).sum(axis=1))
+                if not (nv > 0.0).all():
+                    # zero-norm = undefined cosine: dropped like the other
+                    # degeneracy classes (NULL, dim mismatch) rather than
+                    # raised mid-shuffle (ADVICE r11) — under this kernel's
+                    # ordering a NaN cosine lexsorts LAST, so a dropped row
+                    # could only ever have surfaced by padding a top-k that
+                    # had fewer than k valid rows; returning the valid rows
+                    # alone is the cleaner contract and treats all three
+                    # degeneracy classes identically
+                    keep = np.flatnonzero(nv > 0.0)
+                    pdf = pdf.iloc[keep]
+                    V, nv = V[keep], nv[keep]
+            n_dropped = n0 - len(pdf)
+            if n_dropped:
+                dropped_acc.add(int(n_dropped))
+                print(
+                    f"batch_cosine_candidates: dropped {n_dropped} degenerate "
+                    "row(s) (NULL / dim-mismatch / zero-norm) in one Arrow "
+                    "batch — undefined cosine cannot rank (ADVICE r12)",
+                    file=_sys.stderr,
+                )
+            if not len(pdf):
+                continue
             S = (V @ Q.T) / np.outer(nv, qn)  # n x |Q|
             n = len(pdf)
             kk = min(k, n)
@@ -412,4 +436,8 @@ def batch_cosine_candidates(
 
             yield pd.DataFrame(out)
 
-    return df.select(*cols).mapInPandas(run, out_schema)
+    result = df.select(*cols).mapInPandas(run, out_schema)
+    # at-least-once drop counter (see docstring); read .value after an
+    # action on ``result``
+    result.degenerate_dropped = dropped_acc
+    return result

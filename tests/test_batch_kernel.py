@@ -138,6 +138,35 @@ def test_kernel_zero_norm_dropped(spark):
     assert S.batch_cosine_candidates(only_bad, [(9, [1.0, 0.0])], k=2).count() == 0
 
 
+def test_kernel_degenerate_drops_counted_on_accumulator(spark):
+    # ADVICE r12: the silent drop must be observable — every degenerate
+    # row (NULL, dim mismatch, zero-norm) increments the accumulator the
+    # kernel attaches to its result as .degenerate_dropped. One
+    # partition so the single action executes each batch exactly once
+    # (accumulators are at-least-once under retries; none happen here).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, None),  # NULL
+        (2, [0.0, 0.0]),  # zero-norm
+        (3, [1.0, 0.0, 0.0]),  # dim mismatch
+        (4, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1)
+    out = S.batch_cosine_candidates(df, [(9, [1.0, 0.0])], k=5)
+    assert sorted(r.vec_id for r in out.collect()) == [0, 4]
+    assert out.degenerate_dropped.value == 3
+
+    # a clean corpus reports zero drops
+    clean = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.5, 0.5])], "vec_id bigint, embedding array<double>"
+    ).coalesce(1)
+    out2 = S.batch_cosine_candidates(clean, [(9, [1.0, 0.0])], k=2)
+    out2.collect()
+    assert out2.degenerate_dropped.value == 0
+
+
 def test_kernel_exact_tie_cluster_split_by_cut_across_batches(spark):
     # VERDICT r10 #5 (tie half): 30 bit-identical vectors — an EXACT tie
     # cluster — spread over 10 partitions so it crosses Arrow-batch/task

@@ -23,7 +23,12 @@ Source files are ts-ordered slices (the WAL flusher's arrival order),
 so ingest's closed-hour rule compacts exactly the batch-boundary
 hours — continuous compaction work without degenerate per-hour jobs.
 
-Usage:  python scripts/streaming_scale.py [n_files]
+Round 13 (VERDICT r12 #4): both jobs run at maxFilesPerTrigger
+∈ {1, 4, 16} and publish a throughput CURVE (rows/s, per-batch wall,
+state bytes per trigger size), separating the micro-batch fixed cost
+from any per-row limit; K1 equivalence is asserted at every size.
+
+Usage:  python scripts/streaming_scale.py [n_files] [trigger_csv]
 Writes scripts/streaming_scale_out.json and prints one JSON line.
 """
 
@@ -46,17 +51,42 @@ NS_PER_HOUR = 3_600_000_000_000
 HOST = "streamhost"
 
 
+def _src_fingerprint(ev: str, n_rows: int) -> str:
+    """Content fingerprint of the sf1 events source: row count plus the
+    (name, size, mtime_ns) of every underlying parquet file. ADVICE r12:
+    keying slice reuse on file COUNT alone let a rerun measure stale
+    slices of a previous sf1 build after benchdata/ was regenerated."""
+    files = sorted(glob.glob(os.path.join(ev, "*.parquet"))) if os.path.isdir(ev) else [ev]
+    parts = [f"rows={n_rows}"] + [
+        f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+        for p in files
+    ]
+    import hashlib
+
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()
+
+
 def gen_source(n_files: int) -> int:
-    """Split sf1 events into n_files ts-ordered parquet slices."""
+    """Split sf1 events into n_files ts-ordered parquet slices. Reuse is
+    keyed on (slice count, source fingerprint) via a manifest, so a
+    regenerated benchdata/sf1 always re-slices (ADVICE r12)."""
     import duckdb
 
     ev = os.path.join(SF1, "events.parquet")
     src = f"{ev}/*.parquet" if os.path.isdir(ev) else ev
     con = duckdb.connect()
     n = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()[0]
-    if os.path.isdir(SRC) and len(glob.glob(os.path.join(SRC, "*.parquet"))) == n_files:
-        con.close()
-        return n
+    manifest = os.path.join(SRC, "_manifest.json")
+    want = {"n_files": n_files, "fingerprint": _src_fingerprint(ev, n)}
+    if (
+        os.path.isdir(SRC)
+        and len(glob.glob(os.path.join(SRC, "*.parquet"))) == n_files
+        and os.path.exists(manifest)
+    ):
+        with open(manifest, encoding="utf-8") as fh:
+            if json.load(fh) == want:
+                con.close()
+                return n
     shutil.rmtree(SRC, ignore_errors=True)
     os.makedirs(SRC, exist_ok=True)
     per = (n + n_files - 1) // n_files
@@ -67,6 +97,8 @@ def gen_source(n_files: int) -> int:
                 TO '{SRC}/f{i:03d}.parquet' (FORMAT PARQUET)"""
         )
     con.close()
+    with open(manifest, "w", encoding="utf-8") as fh:
+        json.dump(want, fh)
     return n
 
 
@@ -82,7 +114,7 @@ def progress_stats(q):
     return walls, state_rows, state_bytes, in_rows
 
 
-def _stream(spark, schema):
+def _stream(spark, schema, max_files: int = 1):
     """File stream with the engine's time policy applied: the sf1
     parquet ships ts as TIMESTAMP(µs), the engine contract is int64
     epoch-ns — normalize exactly like the batch loader does."""
@@ -90,17 +122,17 @@ def _stream(spark, schema):
 
     return normalize_event_time(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max_files)
         .parquet(os.path.join(SRC, "*.parquet"))
     )
 
 
-def run_ingest(spark, schema, scratch: str) -> dict:
+def run_ingest(spark, schema, scratch: str, max_files: int = 1) -> dict:
     from kompactor_spark.streaming.ingest import IngestJob
 
     lake = os.path.join(scratch, "lake")
     job = IngestJob(lake, HOST, db=0, table=0, time_col="ts", auto_compact=True)
-    stream = _stream(spark, schema)
+    stream = _stream(spark, schema, max_files)
     t0 = time.perf_counter()
     q = job.attach(stream, checkpoint=os.path.join(scratch, "ckpt_ingest"))
     q.awaitTermination()
@@ -177,10 +209,10 @@ def run_ingest(spark, schema, scratch: str) -> dict:
     }
 
 
-def run_stateful(spark, schema, scratch: str) -> dict:
+def run_stateful(spark, schema, scratch: str, max_files: int = 1) -> dict:
     from kompactor_spark.streaming.jobs import tumbling_counts
 
-    agg = tumbling_counts(_stream(spark, schema))
+    agg = tumbling_counts(_stream(spark, schema, max_files))
     t0 = time.perf_counter()
     q = (
         agg.writeStream.format("noop")
@@ -205,7 +237,19 @@ def run_stateful(spark, schema, scratch: str) -> dict:
 
 
 def main() -> None:
+    """VERDICT r12 #4: publish a throughput CURVE, not a point — the
+    round-11 5,446 rows/s at maxFilesPerTrigger=1 was 32 sequential
+    micro-batch floors, i.e. a statement about trigger granularity, not
+    about the pipeline. Running the SAME 1M-row stream at trigger sizes
+    {1, 4, 16} separates the two: if rows/s scales ~linearly with batch
+    size while per-batch wall stays near the floor, the limit is the
+    micro-batch fixed cost (driver scheduling + WAL/catalog commit), not
+    any per-row path. K1 equivalence is asserted at EVERY trigger size.
+    """
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    triggers = (
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [1, 4, 16]
+    )
     n = gen_source(n_files)
     print(f"source: {n} rows in {n_files} ts-ordered files", file=sys.stderr)
 
@@ -213,19 +257,32 @@ def main() -> None:
 
     spark = get_spark("streaming-scale")
     schema = spark.read.parquet(os.path.join(SRC, "f000.parquet")).schema
-    scratch = f"/tmp/streaming_scale_{os.getpid()}"
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(scratch, exist_ok=True)
-    try:
-        ingest = run_ingest(spark, schema, scratch)
-        stateful = run_stateful(spark, schema, scratch)
-    finally:
+    curve = {}
+    for mf in triggers:
+        scratch = f"/tmp/streaming_scale_{os.getpid()}_t{mf}"
         shutil.rmtree(scratch, ignore_errors=True)
+        os.makedirs(scratch, exist_ok=True)
+        try:
+            ingest = run_ingest(spark, schema, scratch, max_files=mf)
+            stateful = run_stateful(spark, schema, scratch, max_files=mf)
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+        curve[str(mf)] = {"ingest_auto_compact": ingest, "stateful_tumbling_x1": stateful}
+        print(
+            f"trigger={mf}: ingest {ingest['rows_per_sec']} rows/s "
+            f"({ingest['batches']} batches), stateful {stateful['rows_per_sec']} rows/s",
+            file=sys.stderr,
+        )
+    base = curve[str(triggers[0])]
     out = {
         "measured_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "source": f"benchdata/sf1 events, {n_files} ts-ordered files, maxFilesPerTrigger=1",
-        "ingest_auto_compact": ingest,
-        "stateful_tumbling_x1": stateful,
+        "source": f"benchdata/sf1 events, {n_files} ts-ordered files",
+        "trigger_sizes": triggers,
+        # trigger=1 kept at the top level for round-over-round continuity
+        # with the r12 artifact
+        "ingest_auto_compact": base["ingest_auto_compact"],
+        "stateful_tumbling_x1": base["stateful_tumbling_x1"],
+        "trigger_curve": curve,
     }
     with open(OUT, "w") as fh:
         json.dump(out, fh, indent=1)

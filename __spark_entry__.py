@@ -34,77 +34,20 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # Round-12 window (first 50 graded). Composition (standing rule):
-    #   (1) rows whose implementation round 12 touched — the whole
-    #       graph family (g1's pair kernel gained the NULL-bucket-key
-    #       filter, the pair-count bound, and the flush budget; every
-    #       g-row derives from _cooccurrence_edges), l4_surprisal
-    #       (xxhash64-keyed shape + collision guard, the r11 weak-row
-    #       close), and l3_batch_topk / l7_knn_classify (the batch
-    #       cosine kernel now drops zero-norm rows instead of raising);
-    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-6 cohort
-    #       remainder (15, queued by round 11);
-    #   (3) fill to 50 with the round-7 cohort, alphabetical (26 of 42;
-    #       the remaining 16 head the round-13 fill, listed at 51+).
-    # After this round no row's latest grade predates round 7 except
-    # the queued r7 remainder.
-    # --- (1) implementations changed in round 12: must re-grade ---
-    "l4_surprisal",
-    "g1_cooccurrence_graph",
-    "g2_degree_centrality",
-    "g3_pagerank",
-    "g4_triangle_count",
-    "g5_neighbor_jaccard",
-    "g6_degree_assortativity",
+    # Round-13 window (first 50 graded). Composition (standing rule):
+    #   (1) rows whose implementation round 13 touched — l3_batch_topk
+    #       and l7_knn_classify (the batch cosine kernel gained the
+    #       degenerate-drop accumulator + warning, ADVICE r12, and the
+    #       fused query-vector closure, VERDICT r12 #3);
+    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-7 cohort
+    #       remainder (16, queued by round 12 at 51+);
+    #   (3) fill to 50 with the round-8 cohort, alphabetical (32 of 43;
+    #       the remaining 11 head the round-14 fill, listed at 51+).
+    # After this round no row's latest grade predates round 8.
+    # --- (1) implementations changed in round 13: must re-grade ---
     "l3_batch_topk",
     "l7_knn_classify",
-    # --- (2) grade-age rule: the round-6 cohort remainder (15) ---
-    "l6_incremental_dedup",
-    "l6_temperature_sample",
-    "l7g_pca_power",
-    "m2_latest_per_key",
-    "m8_scd2_history",
-    "w11_funnel_conversion",
-    "w13_wow_change",
-    "x11_counter_rate",
-    "x18_rolling_zscore",
-    "x1_tumbling_window",
-    "x22_threshold_crossings",
-    "x23_max_concurrency",
-    "x24_seasonal_backtest",
-    "x25_time_weighted_avg",
-    "x26_trend_slope",
-    # --- (3) fill: round-7 cohort, alphabetical (26/42) ---
-    "a2_count_distinct",
-    "a4_cube",
-    "a4_rollup",
-    "a5_having",
-    "f1_string_funcs",
-    "f2_date_funcs",
-    "f2_ns_time",
-    "f3_math_funcs",
-    "f4_conditionals",
-    "f6_map_funcs",
-    "f7_json_extract",
-    "f8_casts",
-    "f9_variant_json",
-    "j1_inner_join",
-    "j2_full_outer_join",
-    "j2_left_outer_join",
-    "j3_semi_join",
-    "j4_anti_join",
-    "j5_cross_join",
-    "j6_broadcast_join",
-    "j7_theta_join",
-    "j8b_asof_tolerance",
-    "j8c_asof_forward",
-    "o1_multi_key_sort",
-    "o2_topk",
-    "p1_projection",
-    # --- 51+: round-13 fill — the round-7 cohort remainder (16), then
-    #     the round-8 cohort. Round 13 should promote
-    #     changed-that-round rows (if any) ahead of these, per the
-    #     standing composition rule. ---
+    # --- (2) grade-age rule: the round-7 cohort remainder (16) ---
     "p2_filter_predicates",
     "s1_parquet_scan",
     "s2_partition_pruned_scan",
@@ -121,6 +64,54 @@ _PRIORITY = [
     "w2_lag_lead",
     "w3_running_sum",
     "w4_sliding_frames",
+    # --- (3) fill: round-8 cohort, alphabetical (32/43) ---
+    "a10_grouping_sets",
+    "a11_histogram",
+    "a13_string_agg",
+    "a14_bool_aggs",
+    "a15_exact_mode",
+    "a9_percentiles",
+    "f10_bitwise",
+    "j10_decorrelated_subquery",
+    "j11_nullsafe_join",
+    "j13_lateral_topn",
+    "l1_exact_dedup",
+    "l2_containment_pairs",
+    "l2_dedup_clusters",
+    "l2_dedup_clusters_collapsed",
+    "l2_edit_distance_pairs",
+    "l2_embedding_neardup",
+    "l2_jaccard_collapsed",
+    "l4_bigram_freq",
+    "l4_bpe_token_count",
+    "l4_doc_stats",
+    "l4_fingerprint",
+    "l4_lang_id",
+    "l5_multimodal_roundtrip",
+    "l6_cap_per_source",
+    "l6_pack_sequences",
+    "l6_quality_filter",
+    "l6_redact",
+    "m1_upsert",
+    "m3_profile_orders",
+    "m4_funnel",
+    "m5_integrity_checks",
+    "m6_snapshot_diff",
+    # --- 51+: round-14 fill — the round-8 cohort remainder (11), then
+    #     the round-9 cohort. Round 14 should promote
+    #     changed-that-round rows (if any) ahead of these, per the
+    #     standing composition rule. ---
+    "p3_pivot",
+    "q18_large_volume_customer",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "s10_orc_roundtrip",
+    "v3_map_in_pandas_chunker",
+    "w8_journey_paths",
+    "w9_event_transitions",
+    "x28_latency_bands",
+    "z1_salted_agg",
 ]
 
 

@@ -44,30 +44,26 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round12_targets_inside_window():
-    """Round-12 window invariant (grade-age policy, VERDICT r9 #2):
-    every row whose implementation round 12 touched after its last
-    oracle grade (the g-family riding the guarded pair kernel, the
-    surprisal rewrite, and the two batch-cosine-kernel consumers) and
-    the queued round-6 cohort remainder must sit inside the first 50
-    registry slots; the rest follow the grade-age rule (round-7
-    cohort, alphabetical)."""
-    changed = {
-        "l4_surprisal", "g1_cooccurrence_graph", "g2_degree_centrality",
-        "g3_pagerank", "g4_triangle_count", "g5_neighbor_jaccard",
-        "g6_degree_assortativity", "l3_batch_topk", "l7_knn_classify",
-    }
-    r6_remainder = {
-        "l6_incremental_dedup", "l6_temperature_sample", "l7g_pca_power",
-        "m2_latest_per_key", "m8_scd2_history", "w11_funnel_conversion",
-        "w13_wow_change", "x11_counter_rate", "x18_rolling_zscore",
-        "x1_tumbling_window", "x22_threshold_crossings",
-        "x23_max_concurrency", "x24_seasonal_backtest",
-        "x25_time_weighted_avg", "x26_trend_slope",
+def test_round13_targets_inside_window():
+    """Round-13 window invariant (grade-age policy, VERDICT r9 #2):
+    every row whose implementation round 13 touched after its last
+    oracle grade (the two batch-cosine-kernel consumers — the kernel
+    gained the degenerate-drop accumulator and the fused query-vector
+    closure) and the queued round-7 cohort remainder must sit inside
+    the first 50 registry slots; the rest follow the grade-age rule
+    (round-8 cohort, alphabetical)."""
+    changed = {"l3_batch_topk", "l7_knn_classify"}
+    r7_remainder = {
+        "p2_filter_predicates", "s1_parquet_scan",
+        "s2_partition_pruned_scan", "s3_json_typed_parse",
+        "s4_csv_roundtrip", "s5_sorted_sink_roundtrip",
+        "s7_bucketed_join", "s9_json_sink_roundtrip", "u1_union_all",
+        "u2_union_distinct", "u3_except", "u3_intersect", "w1_ranking",
+        "w2_lag_lead", "w3_running_sum", "w4_sliding_frames",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (changed | r6_remainder) - window
-    assert not out, f"round-12 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r7_remainder) - window
+    assert not out, f"round-13 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():

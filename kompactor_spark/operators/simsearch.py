@@ -299,10 +299,22 @@ def batch_cosine_candidates(
     payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Arrow-batched brute-force scorer for a small CONSTANT query batch
-    (round 10): one corpus scan through ``mapInPandas``; each Arrow
-    batch is scored against the whole query matrix with one float64
-    numpy matmul, then pruned to the batch-local top-k per query BEFORE
-    anything leaves the task.
+    (round 10; rewritten on ``mapInArrow`` round 13): one corpus scan;
+    each Arrow batch is scored against the whole query matrix with one
+    float64 numpy matmul, then pruned to the batch-local top-k per
+    query BEFORE anything leaves the task.
+
+    Why mapInArrow and not mapInPandas (round 13, VERDICT r12 #3): the
+    measured sf10 decomposition of the two graded consumers put ~60% of
+    the row in the Python boundary, not the math — the Arrow→pandas
+    conversion materializes the list<float> column as 200k per-row
+    numpy objects which the kernel then re-converts one row at a time
+    (``np.vstack`` over python-level ``np.asarray`` calls). Reading the
+    RecordBatch directly lets the kernel reshape the flat float32
+    values buffer into the (n, d) matrix in one numpy call and take the
+    output columns zero-copy. Same batch sizing (Arrow
+    maxRecordsPerBatch), same semantics; measured interleaved A/B in
+    scripts/ann_fuse_ab.py.
 
     Why not the JVM fold: at dim 64 the ``aggregate(zip_with(...))``
     lambdas are interpreted per element (the measured _UNROLL_MAX_DIM
@@ -367,32 +379,42 @@ def batch_cosine_candidates(
         import sys as _sys
 
         import numpy as np
+        import pyarrow as pa
 
         Q = np.asarray(qmat, dtype=np.float64)  # |Q| x d
         qn = np.sqrt((Q * Q).sum(axis=1))
-        qid_arr = np.asarray(qids)
-        for pdf in batches:
-            n0 = len(pdf)
+        for b in batches:
+            n0 = b.num_rows
             if not n0:
                 continue
-            vecs = pdf[vec_col].to_numpy()
-            # NULL -> -1 so it fails the dim check and is dropped, the
-            # same degradation as the fold path's NULL cosine (ADVICE
-            # r10: len(None) killed the whole job here)
-            lens = np.fromiter(
-                (-1 if v is None else len(v) for v in vecs),
-                dtype=np.int64,
-                count=len(vecs),
+            vcol = b.column(len(cols) - 1)  # vec_col, last of `cols`
+            # flatten the list column without per-row python objects:
+            # lens/starts from the offsets buffer (or the fixed width),
+            # NULL rows from the validity bitmap — a NULL row is dropped
+            # exactly like the fold path's NULL cosine (ADVICE r10:
+            # len(None) killed the whole job in the old pandas kernel)
+            flat = vcol.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
             )
-            ok = lens == dim
+            if pa.types.is_fixed_size_list(vcol.type):
+                width = vcol.type.list_size
+                starts = (np.arange(n0, dtype=np.int64) + vcol.offset) * width
+                lens = np.full(n0, width, dtype=np.int64)
+            else:
+                offs = vcol.offsets.to_numpy().astype(np.int64, copy=False)
+                starts, lens = offs[:-1], np.diff(offs)
+            valid = lens == dim
+            if vcol.null_count:
+                valid &= vcol.is_valid().to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(valid)
             V = nv = None
-            if not ok.all():
-                pdf = pdf.iloc[np.flatnonzero(ok)]
-                vecs = pdf[vec_col].to_numpy()
-            if len(pdf):
-                V = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(idx):
+                # gather the (n, d) matrix in one fancy-index — no
+                # per-row conversion loop
+                V = flat[starts[idx][:, None] + np.arange(dim)]
                 nv = np.sqrt((V * V).sum(axis=1))
-                if not (nv > 0.0).all():
+                keep = nv > 0.0
+                if not keep.all():
                     # zero-norm = undefined cosine: dropped like the other
                     # degeneracy classes (NULL, dim mismatch) rather than
                     # raised mid-shuffle (ADVICE r11) — under this kernel's
@@ -401,10 +423,9 @@ def batch_cosine_candidates(
                     # had fewer than k valid rows; returning the valid rows
                     # alone is the cleaner contract and treats all three
                     # degeneracy classes identically
-                    keep = np.flatnonzero(nv > 0.0)
-                    pdf = pdf.iloc[keep]
+                    idx = idx[keep]
                     V, nv = V[keep], nv[keep]
-            n_dropped = n0 - len(pdf)
+            n_dropped = n0 - len(idx)
             if n_dropped:
                 dropped_acc.add(int(n_dropped))
                 print(
@@ -413,30 +434,43 @@ def batch_cosine_candidates(
                     "batch — undefined cosine cannot rank (ADVICE r12)",
                     file=_sys.stderr,
                 )
-            if not len(pdf):
+            if not len(idx):
                 continue
             S = (V @ Q.T) / np.outer(nv, qn)  # n x |Q|
-            n = len(pdf)
+            n = len(idx)
             kk = min(k, n)
-            out = {"query_id": [], id_col: [], **{c: [] for c in payload_cols}, "cosine": []}
-            ids = pdf[id_col].to_numpy()
+            ids = b.column(0).take(pa.array(idx)).to_numpy(zero_copy_only=False)
+            sel_rows, sel_qids, sel_cos = [], [], []
             for j in range(len(qids)):
                 col = S[:, j]
-                # full lexsort by (cosine desc, id asc): a plain
-                # argpartition could cut a boundary TIE on the wrong
-                # side of the id order; batches are Arrow-sized
-                # (~10k rows) so the exact sort is noise
-                cand = np.lexsort((ids, -col))[:kk]
-                out["query_id"].extend([qid_arr[j]] * len(cand))
-                out[id_col].extend(ids[cand])
-                for c in payload_cols:
-                    out[c].extend(pdf[c].to_numpy()[cand])
-                out["cosine"].extend(col[cand])
-            import pandas as pd
+                # exact (cosine desc, id asc) order, partition-then-sort:
+                # argpartition narrows to the top-k VALUE region, then
+                # every row >= the kth value (i.e. including boundary
+                # TIES) is lexsorted so a tie cluster is cut on the same
+                # side as a full sort would cut it
+                if n > kk:
+                    thresh = col[np.argpartition(-col, kk - 1)[:kk]].min()
+                    cand = np.flatnonzero(col >= thresh)
+                else:
+                    cand = np.arange(n)
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                sel_rows.append(sel)
+                sel_qids.append(np.full(len(sel), qids[j], dtype=np.int64))
+                sel_cos.append(col[sel])
+            rows = np.concatenate(sel_rows)
+            take = pa.array(idx[rows])
+            arrays = [
+                pa.array(np.concatenate(sel_qids), type=pa.int64()),
+                b.column(0).take(take),
+                *(b.column(i + 1).take(take) for i in range(len(payload_cols))),
+                pa.array(np.concatenate(sel_cos), type=pa.float64()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["query_id", id_col, *payload_cols, "cosine"]
+            )
 
-            yield pd.DataFrame(out)
-
-    result = df.select(*cols).mapInPandas(run, out_schema)
+    result = df.select(*cols).mapInArrow(run, out_schema)
     # at-least-once drop counter (see docstring); read .value after an
     # action on ``result``
     result.degenerate_dropped = dropped_acc

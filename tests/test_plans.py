@@ -138,15 +138,19 @@ def test_crossdoc_gram_build_shared_via_exchange_reuse(spark, Q):
 
 
 def test_batch_scoring_rows_use_arrow_kernel_no_expansion(spark, Q):
-    """l3_batch_topk / l7_knn_classify (round 10): the batch scorer is
-    the Arrow-batched MapInPandas kernel — never a row-at-a-time
+    """l3_batch_topk / l7_knn_classify (round 10; mapInArrow round 13):
+    the batch scorer is the Arrow-batched kernel — never a row-at-a-time
     BatchEvalPython, and never the |corpus| x |Q| crossJoin expansion
-    whose interpreted folds measured 25-28 s at sf10 (the kernel runs
-    1.4-1.6 s). The final window ranks only the kernel's pruned
-    candidates, so no join of any kind feeds it."""
+    whose interpreted folds measured 25-28 s at sf10. Round 13 moved
+    the kernel from MapInPandas to MapInArrow (the Arrow→pandas
+    list-column conversion was ~60% of the row at sf10 — see
+    scripts/ann_fuse_ab.py); the pin follows. The final window ranks
+    only the kernel's pruned candidates, so no join of any kind feeds
+    it."""
     for name in ("l3_batch_topk", "l7_knn_classify"):
         p = plan(spark, Q[name](spark, SF))
-        assert "MapInPandas" in p, name
+        assert "MapInArrow" in p, name
+        assert "MapInPandas" not in p, name
         assert "BatchEvalPython" not in p, name
         assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, name
 

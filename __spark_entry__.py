@@ -37,16 +37,21 @@ _PRIORITY = [
     # Round-13 window (first 50 graded). Composition (standing rule):
     #   (1) rows whose implementation round 13 touched — l3_batch_topk
     #       and l7_knn_classify (the batch cosine kernel gained the
-    #       degenerate-drop accumulator + warning, ADVICE r12, and the
-    #       fused query-vector closure, VERDICT r12 #3);
+    #       degenerate-drop accumulator + warning, ADVICE r12, plus the
+    #       mapInArrow rewrite and fused query-vector fetch, VERDICT
+    #       r12 #3), and m11_basket_lift (pair build moved to the g1
+    #       guarded Arrow pair kernel after the two-round rule fired on
+    #       its sf1 ratio — the old shape's plan broadcast the 6M-row
+    #       distinct side);
     #   (2) GRADE-AGE RULE (standing since r6 #5): the round-7 cohort
     #       remainder (16, queued by round 12 at 51+);
-    #   (3) fill to 50 with the round-8 cohort, alphabetical (32 of 43;
-    #       the remaining 11 head the round-14 fill, listed at 51+).
+    #   (3) fill to 50 with the round-8 cohort, alphabetical (31 of 43;
+    #       the remaining 12 head the round-14 fill, listed at 51+).
     # After this round no row's latest grade predates round 8.
     # --- (1) implementations changed in round 13: must re-grade ---
     "l3_batch_topk",
     "l7_knn_classify",
+    "m11_basket_lift",
     # --- (2) grade-age rule: the round-7 cohort remainder (16) ---
     "p2_filter_predicates",
     "s1_parquet_scan",
@@ -64,7 +69,7 @@ _PRIORITY = [
     "w2_lag_lead",
     "w3_running_sum",
     "w4_sliding_frames",
-    # --- (3) fill: round-8 cohort, alphabetical (32/43) ---
+    # --- (3) fill: round-8 cohort, alphabetical (31/43) ---
     "a10_grouping_sets",
     "a11_histogram",
     "a13_string_agg",
@@ -96,11 +101,11 @@ _PRIORITY = [
     "m3_profile_orders",
     "m4_funnel",
     "m5_integrity_checks",
-    "m6_snapshot_diff",
-    # --- 51+: round-14 fill — the round-8 cohort remainder (11), then
+    # --- 51+: round-14 fill — the round-8 cohort remainder (12), then
     #     the round-9 cohort. Round 14 should promote
     #     changed-that-round rows (if any) ahead of these, per the
     #     standing composition rule. ---
+    "m6_snapshot_diff",
     "p3_pivot",
     "q18_large_volume_customer",
     "q3_shipping_priority",

@@ -1453,10 +1453,10 @@ def a25_weighted_median(spark, sf_dir):
 # --------------------------------------------------------------------------
 # M11 — market-basket pair lift (new round 4): support / confidence /
 # lift for part pairs that co-occur in the same order — the association
-# -rule primitive behind "bought together" recommenders. Shape: pair
-# generation is a per-order self-join (bounded by order line count,
-# never corpus-quadratic — same bucketed-expansion discipline as G1),
-# per-part supports are one keyed count, and every statistic is a
+# -rule primitive behind "bought together" recommenders. Shape (round
+# 13): pair generation rides the G1 guarded Arrow pair kernel per order
+# basket (bounded by order line count, never corpus-quadratic), per-part
+# supports are one keyed distinct count, and every statistic is a
 # closed-form double over exact BIGINT counts. Pairs below min-support
 # are cut BEFORE the support joins.
 # --------------------------------------------------------------------------
@@ -1491,28 +1491,36 @@ _M11_MIN_PAIRS = 3
     """,
 )
 def m11_basket_lift(spark, sf_dir):
+    # Round 13 (two-round rule fired: sf1 ratios 2.92x judge / 3.27x /
+    # 2.53x on the old self-join shape): the executed sf1 plan showed
+    # AQE BROADCASTING the ~6M-row distinct (order, part) side of the
+    # basket self-join — a driver-sized hash-relation build per run and
+    # the never-broadcast-a-corpus-side 100 TB hazard. m11 is the g1
+    # co-occurrence shape with bucket=order, item=part, so it now rides
+    # the same guarded Arrow pair kernel: collect_set per order folds
+    # the dedup into the ONE orderkey shuffle, the kernel expands each
+    # basket's pairs in numpy (baskets are <=7 items; the 50M-pair
+    # bucket bound + 4M flush budget still guard pathological data) and
+    # pre-aggregates packed-key partials before the exchange — no join
+    # builds pairs at all. Supports/census are per-part and global
+    # countDistinct over the raw scan (partial-distinct expansion, one
+    # pass). Measured interleaved same-session (scripts/m11_shape_ab.py,
+    # identity-gated): sf1 5.40 s -> 3.40 s (2.62x -> 1.65x); the
+    # shuffle_hash-pinned self-join arm measured 1.71x — the kernel wins
+    # AND removes the hazard class structurally.
+    from kompactor_spark.queries import graph as G
+
     T = loader(sf_dir, spark)
-    # li feeds the pair self-join (twice), supports, and the order
-    # census — but all four consumers sit above the IDENTICAL distinct
-    # Exchange, which Spark's ReuseExchange dedupes inside the one
-    # final plan (pinned in test_plans.py). A localCheckpoint here
-    # OOM'd the 8g driver at sf10 (60M-row UnsafeRow copy at
-    # Dataset.checkpoint); exchange reuse gives the same single
-    # distinct pass with spill-safe shuffle files instead of
-    # block-store row copies.
-    li = T("lineitem").select("l_orderkey", "l_partkey").distinct()
-    n = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    li = T("lineitem").select("l_orderkey", "l_partkey")
+    buckets = (
+        li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("us")).select("us")
     )
-    sup = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
-    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("both"))
-        .where(F.col("both") >= _M11_MIN_PAIRS)
+    pairs = G._pair_count_kernel(buckets, _M11_MIN_PAIRS).select(
+        F.col("u").alias("p1"), F.col("v").alias("p2"), F.col("w").alias("both")
+    )
+    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    sup = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("s")
     )
     s1 = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
     s2 = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))

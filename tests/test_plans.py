@@ -104,21 +104,30 @@ def test_l3_no_python_udf_in_topk(spark, Q):
     assert "BatchEvalPython" not in p
 
 
-def test_m11_distinct_exchange_reused_not_checkpointed(spark, Q):
-    """m11's four consumers of the distinct (order, part) frame share
-    exchanges via ReuseExchange (round 10: the localCheckpoint this
-    replaced OOM'd the 8g driver at sf10 — a 60M-row UnsafeRow copy).
-    The reuse only appears in the FINALIZED adaptive plan, so execute
-    first."""
+def test_m11_pairs_from_kernel_no_corpus_broadcast(spark, Q):
+    """m11 (round 13, two-round rule): basket pairs come from the
+    guarded Arrow pair kernel (MapInPandas), never a self-join — the
+    old shape's sf1 plan BROADCAST the ~6M-row distinct (order, part)
+    side (AQE), a driver-sized hash build and the
+    never-broadcast-a-corpus-side 100 TB hazard. The only broadcast
+    allowed in the finalized plan is of model-sized frames: the 1-row
+    order census and the post-HAVING pair/support joins (AQE converts
+    those small sides). Round-10 history still pinned: no
+    localCheckpoint (the 60M-row UnsafeRow copy OOM'd the 8g driver)."""
     df = Q["m11_basket_lift"](spark, SF)
     df.collect()
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in p
+    p = df._jdf.queryExecution().executedPlan().toString().split("Initial Plan")[0]
+    assert "MapInPandas" in p
+    # the pair build must not join the corpus with itself
+    kernel_input = p.split("MapInPandas")[-1]
+    assert "Join" not in kernel_input  # below the kernel: scan+agg only
     import inspect
 
     from kompactor_spark.queries import relational_ext as R
 
-    assert ".localCheckpoint(" not in inspect.getsource(R.m11_basket_lift)
+    src = inspect.getsource(R.m11_basket_lift)
+    assert ".localCheckpoint(" not in src
+    assert ".distinct()" not in src  # dedup folded into collect_set
 
 
 def test_crossdoc_gram_build_shared_via_exchange_reuse(spark, Q):

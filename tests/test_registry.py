@@ -48,11 +48,13 @@ def test_round13_targets_inside_window():
     """Round-13 window invariant (grade-age policy, VERDICT r9 #2):
     every row whose implementation round 13 touched after its last
     oracle grade (the two batch-cosine-kernel consumers — the kernel
-    gained the degenerate-drop accumulator and the fused query-vector
-    closure) and the queued round-7 cohort remainder must sit inside
+    gained the degenerate-drop accumulator, the mapInArrow rewrite and
+    the fused query-vector fetch — plus m11, whose pair build moved to
+    the g1 pair kernel) and the queued round-7 cohort remainder must
+    sit inside
     the first 50 registry slots; the rest follow the grade-age rule
     (round-8 cohort, alphabetical)."""
-    changed = {"l3_batch_topk", "l7_knn_classify"}
+    changed = {"l3_batch_topk", "l7_knn_classify", "m11_basket_lift"}
     r7_remainder = {
         "p2_filter_predicates", "s1_parquet_scan",
         "s2_partition_pruned_scan", "s3_json_typed_parse",

@@ -8,13 +8,14 @@ mandate: ANN over array<float>).
   hyperplanes, sign-bit signature bucketing, multi-probe on Hamming-
   adjacent buckets. The scale path: at 100 TB the signature is a
   partition key; only candidate buckets are scanned.
-- batch_cosine_candidates (round 10): Arrow-batched scorer for a small
-  CONSTANT query batch — one mapInPandas corpus scan, one numpy matmul
-  per batch, batch-local top-k pruning under the exact global tie
-  order. The escape hatch for the dim-64 wall where neither the fold
-  nor the unroll codegens (see _UNROLL_MAX_DIM); used where output
-  parity is graded at rounded precision, NOT where bit-exact fold
-  association is the cross-engine contract (k-means assignment).
+- batch_cosine_candidates (round 10; mapInArrow round 13): Arrow-batched
+  scorer for a small CONSTANT query batch — one corpus scan through
+  mapInArrow (flat-buffer reshape, no per-row Python conversion), one
+  numpy matmul per batch, batch-local top-k pruning under the exact
+  global tie order. The escape hatch for the dim-64 wall where neither
+  the fold nor the unroll codegens (see _UNROLL_MAX_DIM); used where
+  output parity is graded at rounded precision, NOT where bit-exact
+  fold association is the cross-engine contract (k-means assignment).
 """
 
 from __future__ import annotations

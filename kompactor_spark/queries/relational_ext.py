@@ -1515,6 +1515,14 @@ def m11_basket_lift(spark, sf_dir):
     buckets = (
         li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("us")).select("us")
     )
+    # NOT adopted (round 13 second pass, measured): a size-grouped
+    # vectorized mapInArrow sibling of the pair kernel was A/B'd here on
+    # the theory that 15M ≤7-item baskets make the per-bucket Python
+    # loop the cost — it LOST at sf10 in all 3 interleaved rounds
+    # (median 19.1 s vs this kernel's 16.6 s; sf1 2.52 vs 2.66 s, a
+    # wash). The boundary lesson from the ANN rows does not transfer
+    # when per-row payloads are tiny and the expansion itself is the
+    # work. Record: scripts/m11_shape_ab_sf10b_out.json.
     pairs = G._pair_count_kernel(buckets, _M11_MIN_PAIRS).select(
         F.col("u").alias("p1"), F.col("v").alias("p2"), F.col("w").alias("both")
     )

@@ -42,16 +42,27 @@ _PRIORITY = [
     #       r12 #3), and m11_basket_lift (pair build moved to the g1
     #       guarded Arrow pair kernel after the two-round rule fired on
     #       its sf1 ratio — the old shape's plan broadcast the 6M-row
-    #       distinct side);
+    #       distinct side), x23_max_concurrency (sweep-line running
+    #       sum moved from the serial per-key window to the bucketed
+    #       two-level prefix sum — sf10 12.4 s -> 5.2 s),
+    #       x26_trend_slope (min-recentre moved off the bare-key window
+    #       onto a 5-row aggregate broadcast back — the same §7c
+    #       pathology), and x27_interval_coverage (islands/coverage
+    #       moved to the telescoping sweep — prefix max only, island
+    #       ids never materialized, one window + one agg; bucketed
+    #       lane opt-in for low-cardinality keys);
     #   (2) GRADE-AGE RULE (standing since r6 #5): the round-7 cohort
     #       remainder (16, queued by round 12 at 51+);
-    #   (3) fill to 50 with the round-8 cohort, alphabetical (31 of 43;
-    #       the remaining 12 head the round-14 fill, listed at 51+).
+    #   (3) fill to 50 with the round-8 cohort, alphabetical (28 of 43;
+    #       the remaining 15 head the round-14 fill, listed at 51+).
     # After this round no row's latest grade predates round 8.
     # --- (1) implementations changed in round 13: must re-grade ---
     "l3_batch_topk",
     "l7_knn_classify",
     "m11_basket_lift",
+    "x23_max_concurrency",
+    "x26_trend_slope",
+    "x27_interval_coverage",
     # --- (2) grade-age rule: the round-7 cohort remainder (16) ---
     "p2_filter_predicates",
     "s1_parquet_scan",
@@ -69,7 +80,7 @@ _PRIORITY = [
     "w2_lag_lead",
     "w3_running_sum",
     "w4_sliding_frames",
-    # --- (3) fill: round-8 cohort, alphabetical (31/43) ---
+    # --- (3) fill: round-8 cohort, alphabetical (28/43) ---
     "a10_grouping_sets",
     "a11_histogram",
     "a13_string_agg",
@@ -98,13 +109,13 @@ _PRIORITY = [
     "l6_quality_filter",
     "l6_redact",
     "m1_upsert",
-    "m3_profile_orders",
-    "m4_funnel",
-    "m5_integrity_checks",
-    # --- 51+: round-14 fill — the round-8 cohort remainder (12), then
+    # --- 51+: round-14 fill — the round-8 cohort remainder (15), then
     #     the round-9 cohort. Round 14 should promote
     #     changed-that-round rows (if any) ahead of these, per the
     #     standing composition rule. ---
+    "m3_profile_orders",
+    "m4_funnel",
+    "m5_integrity_checks",
     "m6_snapshot_diff",
     "p3_pivot",
     "q18_large_volume_customer",

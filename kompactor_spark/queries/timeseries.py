@@ -1245,8 +1245,17 @@ def x26_trend_slope(spark, sf_dir):
         F.expr("ts div 1000000000").cast("long").alias("xs"),
         F.round(F.col("value") * 100).cast("long").alias("y"),
     )
-    x = (F.col("xs") - F.min("xs").over(Window.partitionBy("event_type"))).alias("x")
-    r = e.select("event_type", x, "y")
+    # Recentre on the per-series min via a 5-row aggregate broadcast
+    # back — NOT min() OVER (PARTITION BY event_type): the bare-key
+    # window is the §7c low-cardinality pathology (it shuffles the FULL
+    # event set into #series tasks and buffers each series in one
+    # WindowExec). The extra scan of (event_type, ts) is column-pruned
+    # and fully parallel; the join side is #series rows. Round 13 —
+    # same class as x23's sweep fix (A/B in SCALE.md round-13 section).
+    mins = e.groupBy("event_type").agg(F.min("xs").alias("_xs0"))
+    r = e.join(F.broadcast(mins), "event_type").select(
+        "event_type", (F.col("xs") - F.col("_xs0")).alias("x"), "y"
+    )
     # Long SUMs of the raw products overflow under ANSI once the series
     # span grows (caught by perf_smoke at sf1: x ≤ ~2.6e7 s, x² ≤
     # ~6.7e14, SUM over 2e5 rows/series > 2^63 → ArithmeticException;
@@ -1297,11 +1306,15 @@ def x26_trend_slope(spark, sf_dir):
 # opens a 5-minute activity interval [ts, ts+5m); the question "what was
 # the maximum number of simultaneously open intervals, and when was it
 # first reached" is the capacity-planning primitive (max concurrent
-# sessions / connections / jobs). Shape: pointize each interval into a
-# +1/-1 delta row (a union, no shuffle), one running-sum window per
-# event_type, then a peak lookup that REUSES the same hash partitioning
-# (window partitionBy == groupBy key → Catalyst plans zero extra
-# exchanges). Output is O(series), input-linear work, one shuffle.
+# sessions / connections / jobs). Shape (round 13): pointize each
+# interval into a +1/-1 delta row (a union, no shuffle), then the
+# BUCKETED two-level prefix sum in operators/sweepline.py — the time
+# axis is cut into contiguous ranges so the running sum parallelizes
+# over (series × bucket) groups instead of serializing one sort task
+# per series key (the §7c low-cardinality-window pathology; sf10
+# 12.4 s → 5.2 s, scripts/x23_shape_ab_sf10_out.json). Exclusive
+# bucket offsets and the peak reduction see only series×bucket rows.
+# Output is O(series), input-linear work, one heavy exchange.
 #
 # Tie discipline: ordering is (t, d) with closes (-1) sorting before
 # opens (+1), so touching intervals [a,b) [b,c) never double-count —
@@ -1409,12 +1422,18 @@ def x28_latency_bands(spark, sf_dir):
 # wall-clock time covered by the union of their 5-minute activity
 # intervals, and how many disjoint activity islands that union has —
 # the gaps-and-islands primitive behind billable-time, uptime-%, and
-# session-stitching queries. Shape: one keyed window pass (island
-# breaks where an interval starts after the running max end of all
-# prior intervals), then two keyed aggregations on the SAME user key —
-# one shuffle total. Coverage arithmetic is all int64 ns: exact, no
-# float drift. Ties broken by unique event_id so both engines see the
-# same ROWS-frame order.
+# session-stitching queries. Shape (round 13): the telescoping sweep
+# in operators/sweepline.py — per row, only the PREFIX MAX of end is
+# needed (island ids are never materialized: break rows contribute
+# e - t, extenders max(0, e - prev_end), telescoping to exactly
+# sum(max_e - min_t) per island), so the old island-id window and the
+# (key, island) intermediate agg are gone: one window, one bare-key
+# agg on the same exchange. Keys here are user_id (high cardinality),
+# so the per-key window lane is the measured-fastest arm at sf10; the
+# operator's opt-in bucketed lane covers low-cardinality callers
+# (x23's §7c pathology). Coverage arithmetic is all int64 ns: exact,
+# no float drift. Ties broken by unique event_id so both engines see
+# the same ROWS-frame order.
 # --------------------------------------------------------------------------
 @register(
     "x27_interval_coverage",

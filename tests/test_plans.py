@@ -405,16 +405,61 @@ def test_z6_aqe_skew_join_split(spark):
             spark.conf.set(k, v)
 
 
-def test_x23_single_exchange_for_window_and_peak(spark, Q):
-    """X23: the running-sum window, the per-series peak window, and the
-    final groupBy all key on event_type — exactly ONE hashpartitioning
-    exchange on event_type may appear (plus the union-side scans)."""
-    p = plan(spark, Q["x23_max_concurrency"](spark, SF))
-    # the sweepline operator aliases the series key to `k` internally —
-    # count ALL hash exchanges: the two windows and the groupBy must
-    # share exactly one
+def test_x23_bucketed_sweep_not_serial_per_key(spark, Q):
+    """X23 (round 13): the running sum is the bucketed two-level prefix
+    sum — the HEAVY data (2|events| points) is partitioned by
+    (series, time-bucket) so the sweep parallelizes at any key
+    cardinality, and every window keyed on the bare series key runs
+    over MODEL-SIZED frames only (keys x buckets offsets / bucket-local
+    peak candidates). The old shape's single per-key window sorted the
+    whole point set in one task per key (5 keys = 5-way parallelism at
+    every scale; measured 12.4 s vs 5.2 s at sf10 —
+    scripts/x23_shape_ab_sf10_out.json)."""
+    df = Q["x23_max_concurrency"](spark, SF)
+    p = plan(spark, df)
+    # the heavy exchange keys on (k, _b): present, and the big
+    # running-sum window spec orders WITHIN it
+    assert "hashpartitioning(k#" in p and "_b#" in p, p
+    # the full point set is never windowed over the bare key: every
+    # windowspecdefinition mentioning only k sits above an aggregate
+    # (offsets / bucket-candidates), which the sort order pins — the
+    # running-sum spec must name both k and _b
+    import re
+
+    run_specs = [
+        s for s in re.findall(r"windowspecdefinition\(([^)]*)\)", p) if "t#" in s
+    ]
+    assert run_specs and all("_b#" in s for s in run_specs), run_specs
+
+
+def test_x26_no_window_broadcast_recentre(spark, Q):
+    """X26 (round 13): the per-series min recentre is a #series-row
+    aggregate BROADCAST back — not min() OVER (PARTITION BY
+    event_type), which shuffled the full event set into #series window
+    tasks (§7c). The plan must contain zero window operators and a
+    broadcast join."""
+    p = plan(spark, Q["x26_trend_slope"](spark, SF))
+    assert "windowspecdefinition" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_x27_telescoping_coverage_single_pass(spark, Q):
+    """X27 (round 13): coverage is the telescoping sweep — island ids
+    are NEVER materialized, so the plan has only the prefix-max window
+    (ROWS ... -1 frame; no currentrow-framed running sum) and the final
+    bare-key agg reuses the window's exchange: exactly ONE
+    hashpartitioning on the user key, no (key, island) intermediate.
+    The old shape ran a second island-id window plus a two-level agg.
+    x27 keys on user_id (high cardinality) so the serial per-key lane
+    is the measured-fastest arm (scripts/x26_x27_shape_ab_sf10_out.json
+    — the bucketed lane exists for low-cardinality callers and is
+    property-tested grain-invariant)."""
+    df = Q["x27_interval_coverage"](spark, SF)
+    p = plan(spark, df)
+    assert "windowspecdefinition" in p, p
+    assert "currentrow" not in p.lower(), f"island-id running sum leaked back:\n{p}"
     n_hash = p.count("hashpartitioning(")
-    assert n_hash == 1, f"expected 1 series-key exchange, plan has {n_hash}:\n{p}"
+    assert n_hash == 1, f"expected 1 user-key exchange, plan has {n_hash}:\n{p}"
 
 
 def test_a22_no_global_window(spark, Q):

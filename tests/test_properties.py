@@ -270,9 +270,18 @@ def test_peak_concurrency_matches_brute_force(spark, data):
             max_size=30,
         )
     )
+    # round 13: the running sum is a bucketed two-level prefix sum —
+    # the result must be bucket-grain-INVARIANT, so the property runs
+    # at a degenerate grain (1: everything in one bucket, the old
+    # per-key-window shape), a pathological grain (3: peaks straddle
+    # bucket edges), and the default (64)
+    n_buckets = data.draw(st.sampled_from([1, 3, 64]))
     rows = [(k, s, s + ln) for k, s, ln in ivs]
     df = spark.createDataFrame(rows, "k long, s long, e long")
-    got = {r.k: (r.peak_concurrency, r.first_peak) for r in peak_concurrency(df, "k", "s", "e").collect()}
+    got = {
+        r.k: (r.peak_concurrency, r.first_peak)
+        for r in peak_concurrency(df, "k", "s", "e", n_buckets=n_buckets).collect()
+    }
     for key in {k for k, _, _ in ivs}:
         own = [(s, e) for k, s, e in rows if k == key]
         # brute force: evaluate open-interval count at every start point
@@ -301,9 +310,17 @@ def test_interval_coverage_matches_brute_force(spark, data):
             max_size=30,
         )
     )
+    # round 13: coverage is a telescoping sum over the prefix max —
+    # the result must be invariant across the serial per-key shape
+    # (None, the default) and every bucket grain (1 = degenerate, 3 =
+    # islands straddle bucket edges, 64 = the low-cardinality default)
+    n_buckets = data.draw(st.sampled_from([None, 1, 3, 64]))
     rows = [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(ivs)]
     df = spark.createDataFrame(rows, "tb long, k long, s long, e long")
-    got = {r.k: (r.n_islands, r.covered) for r in interval_coverage(df, "k", "s", "e", "tb").collect()}
+    got = {
+        r.k: (r.n_islands, r.covered)
+        for r in interval_coverage(df, "k", "s", "e", "tb", n_buckets=n_buckets).collect()
+    }
     for key in {k for k, _, _ in ivs}:
         own = sorted((s, e) for _, k, s, e in rows if k == key)
         # brute force: merge sorted intervals

@@ -54,7 +54,10 @@ def test_round13_targets_inside_window():
     sit inside
     the first 50 registry slots; the rest follow the grade-age rule
     (round-8 cohort, alphabetical)."""
-    changed = {"l3_batch_topk", "l7_knn_classify", "m11_basket_lift"}
+    changed = {
+        "l3_batch_topk", "l7_knn_classify", "m11_basket_lift",
+        "x23_max_concurrency", "x26_trend_slope", "x27_interval_coverage",
+    }
     r7_remainder = {
         "p2_filter_predicates", "s1_parquet_scan",
         "s2_partition_pruned_scan", "s3_json_typed_parse",

@@ -47,14 +47,17 @@ _PRIORITY = [
     #       two-level prefix sum — sf10 12.4 s -> 5.2 s),
     #       x26_trend_slope (min-recentre moved off the bare-key window
     #       onto a 5-row aggregate broadcast back — the same §7c
-    #       pathology), and x27_interval_coverage (islands/coverage
+    #       pathology), x27_interval_coverage (islands/coverage
     #       moved to the telescoping sweep — prefix max only, island
     #       ids never materialized, one window + one agg; bucketed
-    #       lane opt-in for low-cardinality keys);
+    #       lane opt-in for low-cardinality keys), and
+    #       l6_temperature_sample (per-lang md5 rank moved to the
+    #       distributed keyed prefix count — lang has 4 values, the
+    #       bare-key window serialized the corpus into 4 sort tasks);
     #   (2) GRADE-AGE RULE (standing since r6 #5): the round-7 cohort
     #       remainder (16, queued by round 12 at 51+);
-    #   (3) fill to 50 with the round-8 cohort, alphabetical (28 of 43;
-    #       the remaining 15 head the round-14 fill, listed at 51+).
+    #   (3) fill to 50 with the round-8 cohort, alphabetical (27 of 43;
+    #       the remaining 16 head the round-14 fill, listed at 51+).
     # After this round no row's latest grade predates round 8.
     # --- (1) implementations changed in round 13: must re-grade ---
     "l3_batch_topk",
@@ -63,6 +66,7 @@ _PRIORITY = [
     "x23_max_concurrency",
     "x26_trend_slope",
     "x27_interval_coverage",
+    "l6_temperature_sample",
     # --- (2) grade-age rule: the round-7 cohort remainder (16) ---
     "p2_filter_predicates",
     "s1_parquet_scan",
@@ -80,7 +84,7 @@ _PRIORITY = [
     "w2_lag_lead",
     "w3_running_sum",
     "w4_sliding_frames",
-    # --- (3) fill: round-8 cohort, alphabetical (28/43) ---
+    # --- (3) fill: round-8 cohort, alphabetical (27/43) ---
     "a10_grouping_sets",
     "a11_histogram",
     "a13_string_agg",
@@ -108,11 +112,11 @@ _PRIORITY = [
     "l6_pack_sequences",
     "l6_quality_filter",
     "l6_redact",
-    "m1_upsert",
-    # --- 51+: round-14 fill — the round-8 cohort remainder (15), then
+    # --- 51+: round-14 fill — the round-8 cohort remainder (16), then
     #     the round-9 cohort. Round 14 should promote
     #     changed-that-round rows (if any) ahead of these, per the
     #     standing composition rule. ---
+    "m1_upsert",
     "m3_profile_orders",
     "m4_funnel",
     "m5_integrity_checks",

@@ -159,3 +159,125 @@ def distributed_row_number(
     return distributed_cumsum(
         df, order_by, F.lit(1).cast("long"), out_col, num_partitions
     )
+
+
+def distributed_keyed_cumsums(
+    df: DataFrame,
+    keys: list[str],
+    order_by,
+    values: dict[str, Column | str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(v) OVER (PARTITION BY keys ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING .. CURRENT ROW)`` for LOW-CARDINALITY keys, without
+    serializing one sort task per key (the §7c pathology: a bare-key
+    window over a full-data frame pins parallelism to #distinct keys at
+    every scale — 20 sources at 100 TB = 20 tasks).
+
+    Same two-pass range shape as :func:`distributed_cumsums`, with the
+    key prepended to the range order so each partition holds a
+    contiguous (key, order) slice: the per-partition window cumsum keys
+    on ``(pid, *keys)`` (parallel over range slices), per-(pid, key)
+    totals become exclusive carry-ins via a window over the model-sized
+    keys x partitions frame, and the carry-ins broadcast back. NULL key
+    values are one group, exactly like the window's PARTITION BY —
+    the carry-in join is null-safe.
+
+    ``keys`` must be plain column names. The caller-side contract is
+    the same as the keyed window it replaces: ``order_by`` plus the
+    keys must form a total order within each key (include a unique
+    tiebreaker). Prefer the plain window when key cardinality ≫ cores
+    (measured on x27: the distributed machinery is pure overhead at
+    ~1500 keys); use this when keys are few and frames are corpus-sized.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    cols = _as_cols(order_by)
+    vals = {
+        name: (F.col(v) if isinstance(v, str) else v) for name, v in values.items()
+    }
+
+    # One materialization so the cumsum pass and the totals pass see ONE
+    # consistent partitioning (repartitionByRange boundary sampling is
+    # not deterministic across plan instances — module docstring).
+    ranged = (
+        df.repartitionByRange(num_partitions, *[F.col(k) for k in keys], *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_local = (
+        Window.partitionBy(_PID, *keys)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.select(
+        "*",
+        *[F.sum(v).over(w_local).alias(f"__ps_local_{n}") for n, v in vals.items()],
+    )
+
+    totals = ranged.groupBy(_PID, *keys).agg(
+        *[F.sum(v).alias(f"__ps_total_{n}") for n, v in vals.items()]
+    )
+    # Exclusive carry-ins over the keys x partitions frame — bare-key
+    # window, but MODEL-SIZED input (the rule SCALE.md's §7c audit
+    # enforces).
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID,
+        *keys,
+        *[
+            F.coalesce(F.sum(f"__ps_total_{n}").over(w_off), F.lit(0)).alias(
+                f"__ps_off_{n}"
+            )
+            for n in vals
+        ],
+    )
+
+    sum_types = {
+        n: df.select(F.sum(v).alias("__t")).schema["__t"].dataType
+        for n, v in vals.items()
+    }
+    off = offsets
+    for k in keys:
+        off = off.withColumnRenamed(k, f"__ps_k_{k}")
+    cond = F.col(f"l.{_PID}") == F.col(f"r.{_PID}")
+    for k in keys:
+        # null-safe: a NULL key is one PARTITION BY group
+        cond = cond & F.col(f"l.{k}").eqNullSafe(F.col(f"r.__ps_k_{k}"))
+    out = local.alias("l").join(F.broadcast(off.alias("r")), cond).drop(
+        f"r.{_PID}", *[f"__ps_k_{k}" for k in keys]
+    )
+    # drop() with qualified names is unreliable across versions — select
+    # the left side plus the computed columns explicitly
+    out = out.select(
+        *[F.col(f"l.{c}") for c in local.columns],
+        *[F.col(f"r.__ps_off_{n}") for n in vals],
+    )
+    for n in vals:
+        out = out.withColumn(
+            n,
+            (F.col(f"__ps_local_{n}") + F.col(f"__ps_off_{n}")).cast(sum_types[n]),
+        )
+    return out.drop(
+        _PID, *[f"__ps_local_{n}" for n in vals], *[f"__ps_off_{n}" for n in vals]
+    )
+
+
+def distributed_keyed_row_number(
+    df: DataFrame,
+    keys: list[str],
+    order_by,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY keys ORDER BY order_by)``
+    (1-based) via :func:`distributed_keyed_cumsums` over a constant 1."""
+    return distributed_keyed_cumsums(
+        df, keys, order_by, {out_col: F.lit(1).cast("long")}, num_partitions
+    )

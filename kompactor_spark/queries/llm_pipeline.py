@@ -2820,8 +2820,12 @@ def l6_e2e_pipeline(spark, sf_dir):
 # downsampled hard, tail languages keep nearly everything) while a
 # deterministic md5 rank picks WHICH docs survive — reproducible and
 # partitioning-independent. Shape: per-language count table (5 rows) ->
-# one-row normalizer broadcast -> keep-quota broadcast against a single
-# rank-windowed corpus scan. At 100 TB the quota table stays KBs.
+# one-row normalizer broadcast -> keep-quota broadcast against the
+# per-lang md5 rank, computed (r13) by the distributed keyed prefix
+# count (operators/prefixsum.py) — a bare-lang window would serialize
+# the corpus into 4 sort tasks (§7c; measured 0.93 -> 0.64 s at sf10).
+# At 100 TB the quota table stays KBs and the rank scales with the
+# cluster, not with #languages.
 # --------------------------------------------------------------------------
 @register(
     "l6_temperature_sample",
@@ -2848,7 +2852,7 @@ def l6_e2e_pipeline(spark, sf_dir):
     """,
 )
 def l6_temperature_sample(spark, sf_dir):
-    from pyspark.sql import Window
+    from kompactor_spark.operators.prefixsum import distributed_keyed_row_number
 
     T = loader(sf_dir, spark)
     docs = T("documents")
@@ -2864,10 +2868,19 @@ def l6_temperature_sample(spark, sf_dir):
         .alias("k"),
     )
     h = F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
-    rn = F.row_number().over(Window.partitionBy("lang").orderBy(h, "doc_id"))
+    # Per-lang rank via the distributed keyed prefix count — NOT
+    # row_number() OVER (PARTITION BY lang ...): lang has 4 values, so
+    # the bare-key window serializes the whole corpus into 4 sort tasks
+    # (§7c). Measured at sf10 (scripts/l6_keyed_prefix_ab_sf10_out.json,
+    # interleaved identity-gated): 0.93 s -> 0.64 s even at 500k docs;
+    # at 100 TB it is the difference between 4 tasks and the cluster.
+    # The source-keyed (20-value) L6 siblings measured fastest on the
+    # plain window at this scale and keep it — severity ~ rows/keys.
+    ranked = distributed_keyed_row_number(
+        docs.select("doc_id", "lang", h.alias("__h")), ["lang"], ["__h", "doc_id"], "rn"
+    )
     return (
-        docs.select("doc_id", "lang", rn.alias("rn"))
-        .join(F.broadcast(keep), "lang")
+        ranked.join(F.broadcast(keep), "lang")
         .where(F.col("rn") <= F.col("k"))
         .groupBy("lang")
         .agg(

@@ -462,6 +462,24 @@ def test_x27_telescoping_coverage_single_pass(spark, Q):
     assert n_hash == 1, f"expected 1 user-key exchange, plan has {n_hash}:\n{p}"
 
 
+def test_l6_temperature_no_bare_lang_window(spark, Q):
+    """L6r (round 13): the per-lang md5 rank rides the distributed
+    keyed prefix count (operators/prefixsum.py) — lang has 4 values, so
+    a bare-key window would serialize the corpus into 4 sort tasks
+    (§7c; measured 0.93 -> 0.64 s at sf10). The plan must carry the
+    keyed-prefix machinery's pid column, and every full-data window
+    spec must include it (bare-key windows appear only above the
+    model-sized carry-in frame, whose input is an aggregate)."""
+    p = plan(spark, Q["l6_temperature_sample"](spark, SF))
+    assert "__ps_pid" in p, f"keyed-prefix machinery missing from plan:\n{p}"
+    import re
+
+    heavy_specs = [
+        s for s in re.findall(r"windowspecdefinition\(([^)]*)\)", p) if "__h#" in s
+    ]
+    assert heavy_specs and all("__ps_pid#" in s for s in heavy_specs), heavy_specs
+
+
 def test_a22_no_global_window(spark, Q):
     """A22: equi-depth bucketing must NOT use a global ntile/row_number
     window (the single-reducer scale-killer) NOR the exact `percentile`

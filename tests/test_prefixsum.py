@@ -116,3 +116,88 @@ def test_multi_sums_share_one_pass(spark):
         .toPandas()
     )
     assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+# --------------------------------------------------------------------------
+# Keyed variants (round 13): PARTITION BY low-cardinality keys without
+# one sort task per key. Byte-identical to the keyed window, including
+# NULL keys (one PARTITION BY group; the carry-in join is null-safe).
+# --------------------------------------------------------------------------
+
+
+def _keyed_demo(spark, n=40_000, null_every=0):
+    src = F.concat(F.lit("s"), (F.col("id") % 7).cast("string"))
+    if null_every:
+        src = F.when(F.col("id") % null_every == 0, F.lit(None)).otherwise(src)
+    return spark.range(0, n).select(
+        src.alias("g"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 53 - 11).cast("long").alias("v"),
+    )
+
+
+def test_keyed_cumsum_matches_keyed_window(spark):
+    from kompactor_spark.operators.prefixsum import distributed_keyed_cumsums
+
+    df = _keyed_demo(spark)
+    got = (
+        distributed_keyed_cumsums(df, ["g"], [F.col("v").desc(), "uid"], {"cum": "v"}, 8)
+        .orderBy("uid")
+        .toPandas()
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), "uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("cum", F.sum("v").over(w)).orderBy("uid").toPandas()
+    assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+
+def test_keyed_cumsum_null_keys_one_group(spark):
+    from kompactor_spark.operators.prefixsum import distributed_keyed_cumsums
+
+    df = _keyed_demo(spark, 10_000, null_every=9)
+    got = (
+        distributed_keyed_cumsums(df, ["g"], ["uid"], {"cum": "v"}, 8)
+        .orderBy("uid")
+        .toPandas()
+    )
+    w = Window.partitionBy("g").orderBy("uid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("cum", F.sum("v").over(w)).orderBy("uid").toPandas()
+    assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+
+def test_keyed_row_number_matches_keyed_window(spark):
+    from kompactor_spark.operators.prefixsum import distributed_keyed_row_number
+
+    df = _keyed_demo(spark, 20_000)
+    got = (
+        distributed_keyed_row_number(df, ["g"], ["v", "uid"], "rn", 8)
+        .orderBy("uid")
+        .toPandas()
+    )
+    ref = (
+        df.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("v", "uid"))
+            .cast("long"),
+        )
+        .orderBy("uid")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))
+
+
+def test_keyed_more_partitions_than_rows(spark):
+    from kompactor_spark.operators.prefixsum import distributed_keyed_cumsums
+
+    df = _keyed_demo(spark, 5)
+    got = (
+        distributed_keyed_cumsums(df, ["g"], ["uid"], {"cum": "v"}, 32)
+        .orderBy("uid")
+        .toPandas()
+    )
+    w = Window.partitionBy("g").orderBy("uid").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.withColumn("cum", F.sum("v").over(w)).orderBy("uid").toPandas()
+    assert got.reset_index(drop=True).equals(ref.reset_index(drop=True))

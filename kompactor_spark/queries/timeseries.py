@@ -1361,7 +1361,9 @@ def x23_max_concurrency(spark, sf_dir):
         "event_type", ts_us.alias("t"), (ts_us + F.lit(_X23_HOLD_NS)).alias("e")
     )
     return (
-        peak_concurrency(iv, "event_type", "t", "e")
+        # explicit bucketed lane: event_type is ~5 values (known), so
+        # skip the "auto" dispatch's cardinality-probe job (round 14)
+        peak_concurrency(iv, "event_type", "t", "e", n_buckets=64)
         .withColumnRenamed("first_peak", "first_peak_ns")
         .orderBy("event_type")
     )

@@ -274,8 +274,10 @@ def test_peak_concurrency_matches_brute_force(spark, data):
     # the result must be bucket-grain-INVARIANT, so the property runs
     # at a degenerate grain (1: everything in one bucket, the old
     # per-key-window shape), a pathological grain (3: peaks straddle
-    # bucket edges), and the default (64)
-    n_buckets = data.draw(st.sampled_from([1, 3, 64]))
+    # bucket edges), and the default (64). Round 14 adds the serial
+    # per-key lane (None) so BOTH dispatch arms of the "auto" default
+    # are held to the same brute-force contract (VERDICT r13 #5).
+    n_buckets = data.draw(st.sampled_from([None, 1, 3, 64]))
     rows = [(k, s, s + ln) for k, s, ln in ivs]
     df = spark.createDataFrame(rows, "k long, s long, e long")
     got = {
@@ -503,3 +505,55 @@ def test_oriented_triangles_match_brute_force(spark, data):
         if (x, y) in eset and (x, z) in eset and (y, z) in eset
     ]
     assert sorted(got) == sorted(expected)  # exactly-once, not just set-equal
+
+
+def test_sweepline_auto_dispatch_picks_lane_by_cardinality(spark):
+    """VERDICT r13 #5: n_buckets="auto" must route low-cardinality keys
+    to the bucketed lane and high-cardinality keys to the serial lane
+    (where the bucket machinery is measured pure overhead: 4.47 s vs
+    2.00 s at ~1500 keys), and both dispatches must agree with an
+    explicit-lane call on the same data."""
+    from kompactor_spark.operators import sweepline as SW
+
+    threshold = max(64, 4 * spark.sparkContext.defaultParallelism)
+    lo = spark.createDataFrame(
+        [(i % 3, 10 * i, 10 * i + 15) for i in range(60)], "k long, s long, e long"
+    )
+    hi_n = 4 * threshold
+    hi = spark.createDataFrame(
+        [(i, 10 * (i % 7), 10 * (i % 7) + 25) for i in range(hi_n)],
+        "k long, s long, e long",
+    )
+    assert SW._auto_lane(lo, "k") == SW._AUTO_BUCKETS
+    assert SW._auto_lane(hi, "k") is None
+
+    # both ends of the dispatch agree with the explicit lanes
+    auto_lo = {
+        r.k: (r.peak_concurrency, r.first_peak)
+        for r in SW.peak_concurrency(lo, "k", "s", "e").collect()
+    }
+    bucketed_lo = {
+        r.k: (r.peak_concurrency, r.first_peak)
+        for r in SW.peak_concurrency(lo, "k", "s", "e", n_buckets=64).collect()
+    }
+    assert auto_lo == bucketed_lo
+    auto_hi = {
+        r.k: (r.peak_concurrency, r.first_peak)
+        for r in SW.peak_concurrency(hi, "k", "s", "e").collect()
+    }
+    serial_hi = {
+        r.k: (r.peak_concurrency, r.first_peak)
+        for r in SW.peak_concurrency(hi, "k", "s", "e", n_buckets=None).collect()
+    }
+    assert auto_hi == serial_hi and len(auto_hi) == hi_n
+
+    # interval_coverage honors the same "auto" spelling
+    cov_auto = {
+        r.k: (r.n_islands, r.covered)
+        for r in SW.interval_coverage(lo, "k", "s", "e", "s", n_buckets="auto").collect()
+    }
+    cov_serial = {
+        r.k: (r.n_islands, r.covered)
+        for r in SW.interval_coverage(lo, "k", "s", "e", "s", n_buckets=None).collect()
+    }
+    assert cov_auto == cov_serial

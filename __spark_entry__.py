@@ -34,88 +34,32 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # Round-13 window (first 50 graded). Composition (standing rule):
-    #   (1) rows whose implementation round 13 touched — l3_batch_topk
-    #       and l7_knn_classify (the batch cosine kernel gained the
-    #       degenerate-drop accumulator + warning, ADVICE r12, plus the
-    #       mapInArrow rewrite and fused query-vector fetch, VERDICT
-    #       r12 #3), and m11_basket_lift (pair build moved to the g1
-    #       guarded Arrow pair kernel after the two-round rule fired on
-    #       its sf1 ratio — the old shape's plan broadcast the 6M-row
-    #       distinct side), x23_max_concurrency (sweep-line running
-    #       sum moved from the serial per-key window to the bucketed
-    #       two-level prefix sum — sf10 12.4 s -> 5.2 s),
-    #       x26_trend_slope (min-recentre moved off the bare-key window
-    #       onto a 5-row aggregate broadcast back — the same §7c
-    #       pathology), x27_interval_coverage (islands/coverage
-    #       moved to the telescoping sweep — prefix max only, island
-    #       ids never materialized, one window + one agg; bucketed
-    #       lane opt-in for low-cardinality keys), and
-    #       l6_temperature_sample (per-lang md5 rank moved to the
-    #       distributed keyed prefix count — lang has 4 values, the
-    #       bare-key window serialized the corpus into 4 sort tasks);
-    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-7 cohort
-    #       remainder (16, queued by round 12 at 51+);
-    #   (3) fill to 50 with the round-8 cohort, alphabetical (27 of 43;
-    #       the remaining 16 head the round-14 fill, listed at 51+).
-    # After this round no row's latest grade predates round 8.
-    # --- (1) implementations changed in round 13: must re-grade ---
+    # Round-14 window (first 50 graded). Composition (standing rule):
+    #   (1) rows whose implementation round 14 touched —
+    #       x26_trend_slope (the recentre join is now null-safe <=> so
+    #       a NULL event_type series keeps its group, ADVICE r13),
+    #       l3_batch_topk and l7_knn_classify (the batch cosine kernel
+    #       raises on zero-norm QUERY vectors, gained the counters=
+    #       accumulator escape hatch, and the pyarrow query-vector
+    #       fetch pins the embeddings physical schema — all ADVICE
+    #       r13), x23_max_concurrency and x27_interval_coverage (the
+    #       shared sweep-line operators gained cardinality-aware
+    #       "auto" lane dispatch, VERDICT r13 #5; both graded callers
+    #       pin their lane explicitly but ride the restructured
+    #       functions);
+    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-8 cohort
+    #       remainder (16, queued by round 13 at 51+);
+    #   (3) fill to 50 with the round-9 cohort, alphabetical (29 of
+    #       41; the remaining 12 head the round-15 fill, listed at
+    #       51+).
+    # After this round no row's latest grade predates round 9.
+    # --- (1) implementations changed in round 14: must re-grade ---
+    "x26_trend_slope",
     "l3_batch_topk",
     "l7_knn_classify",
-    "m11_basket_lift",
     "x23_max_concurrency",
-    "x26_trend_slope",
     "x27_interval_coverage",
-    "l6_temperature_sample",
-    # --- (2) grade-age rule: the round-7 cohort remainder (16) ---
-    "p2_filter_predicates",
-    "s1_parquet_scan",
-    "s2_partition_pruned_scan",
-    "s3_json_typed_parse",
-    "s4_csv_roundtrip",
-    "s5_sorted_sink_roundtrip",
-    "s7_bucketed_join",
-    "s9_json_sink_roundtrip",
-    "u1_union_all",
-    "u2_union_distinct",
-    "u3_except",
-    "u3_intersect",
-    "w1_ranking",
-    "w2_lag_lead",
-    "w3_running_sum",
-    "w4_sliding_frames",
-    # --- (3) fill: round-8 cohort, alphabetical (27/43) ---
-    "a10_grouping_sets",
-    "a11_histogram",
-    "a13_string_agg",
-    "a14_bool_aggs",
-    "a15_exact_mode",
-    "a9_percentiles",
-    "f10_bitwise",
-    "j10_decorrelated_subquery",
-    "j11_nullsafe_join",
-    "j13_lateral_topn",
-    "l1_exact_dedup",
-    "l2_containment_pairs",
-    "l2_dedup_clusters",
-    "l2_dedup_clusters_collapsed",
-    "l2_edit_distance_pairs",
-    "l2_embedding_neardup",
-    "l2_jaccard_collapsed",
-    "l4_bigram_freq",
-    "l4_bpe_token_count",
-    "l4_doc_stats",
-    "l4_fingerprint",
-    "l4_lang_id",
-    "l5_multimodal_roundtrip",
-    "l6_cap_per_source",
-    "l6_pack_sequences",
-    "l6_quality_filter",
-    "l6_redact",
-    # --- 51+: round-14 fill — the round-8 cohort remainder (16), then
-    #     the round-9 cohort. Round 14 should promote
-    #     changed-that-round rows (if any) ahead of these, per the
-    #     standing composition rule. ---
+    # --- (2) grade-age rule: the round-8 cohort remainder (16) ---
     "m1_upsert",
     "m3_profile_orders",
     "m4_funnel",
@@ -132,6 +76,51 @@ _PRIORITY = [
     "w9_event_transitions",
     "x28_latency_bands",
     "z1_salted_agg",
+    # --- (3) fill: round-9 cohort, alphabetical (29/41) ---
+    "a16_exact_moments",
+    "a20_mad",
+    "a22_equi_depth_histogram",
+    "a25_weighted_median",
+    "a8_stats_aggs",
+    "a9c_percentile_disc",
+    "f5_array_funcs",
+    "f5_posexplode",
+    "l2_containment_collapsed",
+    "l2_jaccard_pairs",
+    "l2_semantic_dedup",
+    "l3g_pq_codebook",
+    "l3h_pq_adc_topk",
+    "l3i_ivf_pq_topk",
+    "l4_zipf_slope",
+    "l6_dedup_rate_by_source",
+    "l6_e2e_pipeline",
+    "l6_train_val_split",
+    "l6_weighted_mix",
+    "l7_kmeans_refine",
+    "p5_empty_result",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "r5_chsql_compat",
+    "r5b_chsql_strings",
+    "s8_schema_evolution",
+    "u4_multiset_ops",
+    "v1_scalar_pandas_udf",
+    # --- 51+: round-15 fill — the round-9 cohort remainder (12).
+    #     Round 15 should promote changed-that-round rows (if any)
+    #     ahead of these, per the standing composition rule. ---
+    "v2_grouped_agg_pandas_udf",
+    "v4_cogroup_asof",
+    "w5_rolling_distinct",
+    "x10_retention_cohorts",
+    "x12_time_rollup_hierarchy",
+    "x2_sliding_window",
+    "x3_session_window",
+    "x7_gap_fill",
+    "x8_locf",
+    "x9_interval_join",
+    "z2_salted_join",
+    "z3_shuffle_hash_join",
 ]
 
 

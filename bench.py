@@ -305,30 +305,29 @@ def _sf1_section(spark, regs, oracles):
     return per_query, control, skipped, errors
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark("kompactor-spark-bench")
-    regs = all_queries()
+def _run_sf01_suite(spark, regs, oracles, sf_dir, warmup: bool):
+    """One full sf0.1 window: every HEADLINE row + the two compaction
+    rows, engine and DuckDB control interleaved. Extracted round 14 so
+    the appendix can run TWICE per bench session (first and last act,
+    VERDICT r13 #4): one window per round left ambient drift vs real
+    regression as a prose argument; the start/end pair brackets the
+    session's drift with data."""
     names = [n for n in HEADLINE if n in regs]
-
-    from kompactor_spark.queries import all_oracles
-
-    oracles = all_oracles()
     try:
         duck = _duck_connect(sf_dir)
     except Exception:
         duck = None
         print("bench: DuckDB control unavailable, publishing engine-only", file=sys.stderr)
 
-    # Global JIT warm-up (see scripts/bench_sf1.py): one untimed pass of
-    # every query so the first timed query doesn't pay C2 compilation of
-    # the shared scan/agg/shuffle paths.
-    for name in names:
-        try:
-            regs[name](spark, sf_dir).toPandas()
-        except Exception:
-            pass
+    if warmup:
+        # Global JIT warm-up (see scripts/bench_sf1.py): one untimed pass
+        # of every query so the first timed query doesn't pay C2
+        # compilation of the shared scan/agg/shuffle paths.
+        for name in names:
+            try:
+                regs[name](spark, sf_dir).toPandas()
+            except Exception:
+                pass
 
     per_query: dict[str, float] = {}
     duck_control: dict[str, float] = {}
@@ -405,7 +404,10 @@ def main() -> None:
     )
     if duck is not None:
         duck.close()
+    return per_query, duck_control, errors
 
+
+def _sf01_section(per_query, duck_control):
     # sf0.1 suite — the floor-calibration appendix since round 11
     # (VERDICT r10 #3: every matched sf0.1 row is sub-second engine-side
     # where the ~0.1-0.3 s per-job floor dominates; it stays measured for
@@ -429,6 +431,24 @@ def main() -> None:
         sf01["duckdb_control"] = duck_control
         sf01["same_window_ratio"] = round(s_sum / d_sum, 3) if d_sum else None
         sf01["control_matched_queries"] = len(matched)
+    return sf01
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("kompactor-spark-bench")
+    regs = all_queries()
+
+    from kompactor_spark.queries import all_oracles
+
+    oracles = all_oracles()
+
+    # Appendix window 1 — FIRST act of the session (VERDICT r13 #4).
+    per_query, duck_control, errors = _run_sf01_suite(
+        spark, regs, oracles, sf_dir, warmup=True
+    )
+    sf01 = _sf01_section(per_query, duck_control)
 
     # sf1 matched section — the headline since round 11. Only attempted
     # on the default grading dir (a custom SPARK_GRAFT_SF_DIR keeps the
@@ -445,6 +465,31 @@ def main() -> None:
             )
 
     if sf1_res is not None:
+        # Appendix window 2 — LAST act of the session (VERDICT r13 #4):
+        # re-run the identical sf0.1 suite so the artifact carries a
+        # start/end ratio PAIR. Cross-round appendix comparisons read
+        # the pair's spread as the session's ambient band instead of
+        # arguing drift vs regression from one point (round 13: 3.40x
+        # mid-round vs 3.88x end-of-round on one unchanged tree).
+        try:
+            pq2, dc2, errs2 = _run_sf01_suite(
+                spark, regs, oracles, sf_dir, warmup=False
+            )
+            w2 = _sf01_section(pq2, dc2)
+            w2.pop("protocol", None)  # identical to window 1's
+            sf01["second_window"] = w2
+            sf01["window_protocol"] = (
+                "two identical windows per session (first/last act); "
+                "spread between same_window_ratio values = ambient drift "
+                "bracket for this session (BASELINE.md 4.1, round 14)"
+            )
+            errors.update({f"sf01w2:{k}": v for k, v in errs2.items()})
+        except Exception:
+            print(
+                "bench: second appendix window unavailable: "
+                + traceback.format_exc().splitlines()[-1],
+                file=sys.stderr,
+            )
         q1, c1, skipped, errs1 = sf1_res
         # namespace sf1 failures: the sets overlap (g3, j14, ...), and a
         # bare-name merge would overwrite the sf0.1 error for the same
@@ -588,6 +633,9 @@ def _compact_headline(line: dict) -> dict:
     if app:
         compact["sf01_total_sec"] = app.get("total_median_sec")
         compact["sf01_ratio"] = app.get("same_window_ratio")
+        w2 = app.get("second_window")
+        if w2:
+            compact["sf01_ratio_w2"] = w2.get("same_window_ratio")
     if line.get("errors"):
         compact["error_keys"] = sorted(line["errors"])
     compact["full_artifact"] = "scripts/bench_out_latest.json"

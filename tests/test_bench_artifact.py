@@ -85,3 +85,19 @@ def test_compact_headline_engine_only_fallback():
     assert compact["unit"] == "sec"
     assert "ratios" not in compact
     assert compact["error_keys"] == ["sf1:g3_pagerank"]
+
+
+def test_compact_headline_carries_second_window_ratio():
+    """VERDICT r13 #4: the appendix runs twice per session (first/last
+    act); the compact trailing line must surface BOTH ratios so the
+    drift bracket survives the driver's 2 KB tail capture."""
+    line = _fake_primary_line()
+    line["sf01_appendix"]["second_window"] = {
+        "total_median_sec": 10.91,
+        "queries": {},
+        "same_window_ratio": 3.91,
+    }
+    compact = bench._compact_headline(line)
+    assert compact["sf01_ratio"] == 3.58
+    assert compact["sf01_ratio_w2"] == 3.91
+    assert len(json.dumps(compact)) < 2048

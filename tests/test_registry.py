@@ -44,32 +44,31 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round13_targets_inside_window():
-    """Round-13 window invariant (grade-age policy, VERDICT r9 #2):
-    every row whose implementation round 13 touched after its last
-    oracle grade (the two batch-cosine-kernel consumers — the kernel
-    gained the degenerate-drop accumulator, the mapInArrow rewrite and
-    the fused query-vector fetch — plus m11, whose pair build moved to
-    the g1 pair kernel) and the queued round-7 cohort remainder must
-    sit inside
-    the first 50 registry slots; the rest follow the grade-age rule
-    (round-8 cohort, alphabetical)."""
+def test_round14_targets_inside_window():
+    """Round-14 window invariant (grade-age policy, VERDICT r9 #2):
+    every row whose implementation round 14 touched after its last
+    oracle grade (x26's null-safe recentre join; the two batch-cosine
+    consumers behind the zero-norm-query guard, counters= escape hatch
+    and query-fetch schema pin; x23/x27 behind the sweepline "auto"
+    lane dispatch) and the queued round-8 cohort remainder must sit
+    inside the first 50 registry slots; the rest follow the grade-age
+    rule (round-9 cohort, alphabetical)."""
     changed = {
-        "l3_batch_topk", "l7_knn_classify", "m11_basket_lift",
-        "x23_max_concurrency", "x26_trend_slope", "x27_interval_coverage",
-        "l6_temperature_sample",
+        "x26_trend_slope", "l3_batch_topk", "l7_knn_classify",
+        "x23_max_concurrency", "x27_interval_coverage",
     }
-    r7_remainder = {
-        "p2_filter_predicates", "s1_parquet_scan",
-        "s2_partition_pruned_scan", "s3_json_typed_parse",
-        "s4_csv_roundtrip", "s5_sorted_sink_roundtrip",
-        "s7_bucketed_join", "s9_json_sink_roundtrip", "u1_union_all",
-        "u2_union_distinct", "u3_except", "u3_intersect", "w1_ranking",
-        "w2_lag_lead", "w3_running_sum", "w4_sliding_frames",
+    r8_remainder = {
+        "m1_upsert", "m3_profile_orders", "m4_funnel",
+        "m5_integrity_checks", "m6_snapshot_diff", "p3_pivot",
+        "q18_large_volume_customer", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "s10_orc_roundtrip", "v3_map_in_pandas_chunker",
+        "w8_journey_paths", "w9_event_transitions", "x28_latency_bands",
+        "z1_salted_agg",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (changed | r7_remainder) - window
-    assert not out, f"round-13 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r8_remainder) - window
+    assert not out, f"round-14 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():
@@ -105,3 +104,34 @@ def test_driver_sim_catches_signed_zero():
     assert not ok, "driver_sim.compare must distinguish +0.0 from -0.0"
     ok2, _ = driver_sim.compare(a, a.copy())
     assert ok2
+
+
+def test_coverage_doc_totals_line_in_sync():
+    """VERDICT r13 #6: COVERAGE.md's totals header carried "(round 9)"
+    for five rounds next to otherwise-correct counts. Pin all three
+    facts: the query count, the oracle-twin count, and the round label
+    (within 1 of PROGRESS.jsonl's current round, so a stale doc fails
+    the suite instead of waiting for a judge to notice)."""
+    import json
+    import re
+
+    from kompactor_spark.queries import all_oracles, all_queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md"), encoding="utf-8") as fh:
+        text = fh.read()
+    m = re.search(
+        r"Totals \(round (\d+)\): (\d+) registered queries, (\d+) with DuckDB-oracle twins",
+        text,
+    )
+    assert m, "COVERAGE.md totals line missing or reformatted"
+    label_round, n_q, n_o = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    assert n_q == len(all_queries())
+    assert n_o == len(all_oracles())
+    with open(os.path.join(root, "PROGRESS.jsonl"), encoding="utf-8") as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    current = json.loads(lines[-1])["round"]
+    assert abs(label_round - current) <= 1, (
+        f"COVERAGE.md totals label says round {label_round} but the build "
+        f"is in round {current} — sync the doc header"
+    )

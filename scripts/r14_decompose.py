@@ -144,7 +144,7 @@ def main() -> None:
             F.when(left_when, F.col("event_id")).alias("event_id"),
             F.when(~left_when, F.col("ts_us")).alias("_r"),
         )
-        u.agg(F.count("event_id"), F.sum("_r"), F.sum("_t")).collect()
+        u.agg(F.count("event_id"), F.avg("_r"), F.avg("_t")).collect()
 
     def asof_frame():
         return asof_join_split(
@@ -160,7 +160,7 @@ def main() -> None:
 
     def stage_window():
         asof_frame().agg(
-            F.count(F.lit(1)), F.sum("signup_ts"), F.sum("err_ts")
+            F.count(F.lit(1)), F.avg("signup_ts"), F.avg("err_ts")
         ).collect()
 
     def stage_j8_full():

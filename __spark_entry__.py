@@ -47,11 +47,19 @@ _PRIORITY = [
     #       "auto" lane dispatch, VERDICT r13 #5; both graded callers
     #       pin their lane explicitly but ride the restructured
     #       functions);
+    #       — plus the round-14 BROADCAST AUDIT rows: the 11 TPC-H
+    #       queries whose SF-proportional dimension sides
+    #       (customer/supplier/part derivatives) moved onto
+    #       session.dim_broadcast, j9_star_join (customer side), and
+    #       l4_surprisal (vocabulary side). Default mode keeps the
+    #       byte-identical forced-broadcast plan (pinned by
+    #       test_dim_broadcast_policy_switch), but changed code
+    #       re-grades regardless;
     #   (2) GRADE-AGE RULE (standing since r6 #5): the round-8 cohort
-    #       remainder (16, queued by round 13 at 51+);
-    #   (3) fill to 50 with the round-9 cohort, alphabetical (29 of
-    #       41; the remaining 12 head the round-15 fill, listed at
-    #       51+).
+    #       remainder (16; q18 overlaps the changed set above);
+    #   (3) fill to 50 with the round-9 cohort, alphabetical (17 of
+    #       the 38 not already promoted as changed; the remaining 21
+    #       head the round-15 fill, listed at 51+).
     # After this round no row's latest grade predates round 9.
     # --- (1) implementations changed in round 14: must re-grade ---
     "x26_trend_slope",
@@ -59,14 +67,26 @@ _PRIORITY = [
     "l7_knn_classify",
     "x23_max_concurrency",
     "x27_interval_coverage",
-    # --- (2) grade-age rule: the round-8 cohort remainder (16) ---
+    "j9_star_join",
+    "l4_surprisal",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    # --- (2) grade-age rule: the round-8 cohort remainder (15 more) ---
     "m1_upsert",
     "m3_profile_orders",
     "m4_funnel",
     "m5_integrity_checks",
     "m6_snapshot_diff",
     "p3_pivot",
-    "q18_large_volume_customer",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
@@ -76,7 +96,7 @@ _PRIORITY = [
     "w9_event_transitions",
     "x28_latency_bands",
     "z1_salted_agg",
-    # --- (3) fill: round-9 cohort, alphabetical (29/41) ---
+    # --- (3) fill: round-9 cohort, alphabetical (17/38) ---
     "a16_exact_moments",
     "a20_mad",
     "a22_equi_depth_histogram",
@@ -94,21 +114,18 @@ _PRIORITY = [
     "l4_zipf_slope",
     "l6_dedup_rate_by_source",
     "l6_e2e_pipeline",
+    # --- 51+: round-15 fill — the round-9 cohort remainder (21).
+    #     Round 15 should promote changed-that-round rows (if any)
+    #     ahead of these, per the standing composition rule. ---
     "l6_train_val_split",
     "l6_weighted_mix",
     "l7_kmeans_refine",
     "p5_empty_result",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
     "r5_chsql_compat",
     "r5b_chsql_strings",
     "s8_schema_evolution",
     "u4_multiset_ops",
     "v1_scalar_pandas_udf",
-    # --- 51+: round-15 fill — the round-9 cohort remainder (12).
-    #     Round 15 should promote changed-that-round rows (if any)
-    #     ahead of these, per the standing composition rule. ---
     "v2_grouped_agg_pandas_udf",
     "v4_cogroup_asof",
     "w5_rolling_distinct",

@@ -16,6 +16,7 @@ from kompactor_spark.operators import dedup as D
 from kompactor_spark.operators import simsearch as S
 from kompactor_spark.operators import text as X
 from kompactor_spark.queries import register
+from kompactor_spark.session import dim_broadcast
 from kompactor_spark.tables import fan_out, loader
 
 # Shared DuckDB fragment: distinct 3-gram shingles per doc.
@@ -1834,7 +1835,7 @@ def l4_surprisal(spark, sf_dir):
     # aggs over ONE Exchange(doc_id, th). Plan-pinned in test_plans.py.
     probe = dt.where(F.col("mn") <= F.col("mx"))
     return (
-        probe.join(F.broadcast(tf), "th")
+        probe.join(dim_broadcast(tf), "th")
         .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

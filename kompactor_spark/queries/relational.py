@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from kompactor_spark import fixedpoint as fx
 from kompactor_spark.operators.asof import asof_join_split
 from kompactor_spark.queries import register
+from kompactor_spark.session import dim_broadcast
 from kompactor_spark.tables import loader
 
 
@@ -426,7 +427,7 @@ def j9_star_join(spark, sf_dir):
         # too (1.4 s vs 1.0 s at sf1) — the extra shuffle costs more than
         # the dim-probe rows it saves; revisit if dims stop broadcasting.
         l2.join(o2.hint("SHUFFLE_HASH"), l2.l_orderkey == o2.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim_broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

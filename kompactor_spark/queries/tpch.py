@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kompactor_spark.queries import register
+from kompactor_spark.session import dim_broadcast
 from kompactor_spark.tables import loader
 
 
@@ -288,9 +289,9 @@ def q8_market_share(spark, sf_dir):
         F.lit(0).cast("decimal(18,4)")
     )
     return (
-        F.broadcast(T("part").where(F.col("p_type") == "STANDARD"))
+        dim_broadcast(T("part").where(F.col("p_type") == "STANDARD"))
         .join(T("lineitem"), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(T("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(dim_broadcast(T("supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(T("customer"), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
@@ -337,7 +338,7 @@ def q14_promo_revenue(spark, sf_dir):
     vol = _revenue()
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
-        li.join(F.broadcast(T("part")), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(T("part")), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 6
@@ -381,7 +382,7 @@ def q18_large_volume_customer(spark, sf_dir):
         T("customer")
         .join(T("orders"), F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(dim_broadcast(big), F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
         .select(
@@ -424,7 +425,7 @@ def q17_small_qty_revenue(spark, sf_dir):
     )
     return (
         li.join(
-            F.broadcast(T("part").where(F.col("p_brand") == "Brand#1")),
+            dim_broadcast(T("part").where(F.col("p_brand") == "Brand#1")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(avgq, F.col("l_partkey") == F.col("ap_partkey"))
@@ -516,7 +517,7 @@ def q19_discounted_revenue(spark, sf_dir):
     )
     return (
         T("lineitem")
-        .join(F.broadcast(T("part")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(dim_broadcast(T("part")), F.col("p_partkey") == F.col("l_partkey"))
         .where(branch("Brand#1", 15, 1, 11) | branch("Brand#2", 25, 10, 20) | branch("Brand#3", 35, 20, 30))
         .agg(
             F.sum(_revenue()).cast("double").alias("revenue"),
@@ -639,7 +640,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     p = T("part").where((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
     return (
-        F.broadcast(p)
+        dim_broadcast(p)
         .join(roffers, roffers.l_partkey == p.p_partkey)
         .join(
             best,
@@ -722,8 +723,8 @@ def q9_product_profit(spark, sf_dir):
         * dec("l_quantity", 2, 9)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(dim_broadcast(p), li.l_partkey == p.p_partkey)
+        .join(dim_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -768,7 +769,7 @@ def q11_important_parts(spark, sf_dir):
     )
     val = (
         T("lineitem")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
     )
@@ -883,8 +884,8 @@ def q16_supplier_part_counts(spark, sf_dir):
     bad = T("supplier").where(F.col("s_acctbal") < 1000).select("s_suppkey")
     return (
         T("lineitem")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(dim_broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(dim_broadcast(p), F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -922,7 +923,7 @@ def q20_part_promotion(spark, sf_dir):
             (F.col("l_shipdate") >= "1996-01-01 00:00:00")
             & (F.col("l_shipdate") < "1997-01-01 00:00:00")
         )
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(dim_broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
         .where(F.col("qty") > F.lit(50).cast("decimal(18,2)"))
@@ -995,7 +996,7 @@ def q21_waiting_suppliers(spark, sf_dir):
     n = T("nation").where(F.col("n_name") == "NATION_4")
     s = T("supplier").join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     return (
-        l1.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l1.join(dim_broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -915,3 +915,38 @@ def test_pq_assign_agg_argmin_no_window(spark, Q):
     # the deliberately-uncheckpointed a1 subtree prints its pass once
     # per consumer, so count is >= 2, not == 2
     assert p.count("partial_min(struct(d2") >= 2, p
+
+
+def test_dim_broadcast_policy_switch(spark, Q):
+    """Round-14 broadcast audit: SF-proportional dimension sides (TPC-H
+    customer/supplier/part, the surprisal vocabulary) route through
+    session.dim_broadcast. Default (force) keeps the measured explicit
+    hint; KOMPACTOR_DIM_BROADCAST=auto emits NO hint so the
+    deployment's threshold + AQE pick the strategy — the only safe
+    choice once a "dimension" can outgrow executor memory. Pinned by
+    disabling auto-broadcast: force still broadcasts (hint outranks the
+    threshold), auto does not (nothing left to force it)."""
+    import os
+
+    q14 = Q["q14_promo_revenue"]
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_force = plan(spark, q14(spark, SF))
+        assert "BroadcastHashJoin" in p_force, p_force
+        os.environ["KOMPACTOR_DIM_BROADCAST"] = "auto"
+        try:
+            p_auto = plan(spark, q14(spark, SF))
+        finally:
+            del os.environ["KOMPACTOR_DIM_BROADCAST"]
+        assert "BroadcastHashJoin" not in p_auto, p_auto
+        # true constants (nation/region) stay unconditional: j9 under
+        # auto keeps its dim broadcasts while the customer side unpins
+        os.environ["KOMPACTOR_DIM_BROADCAST"] = "auto"
+        try:
+            p_j9 = plan(spark, Q["j9_star_join"](spark, SF))
+        finally:
+            del os.environ["KOMPACTOR_DIM_BROADCAST"]
+        assert "BroadcastHashJoin" in p_j9  # nation/region remain forced
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

@@ -56,6 +56,13 @@ def test_round14_targets_inside_window():
     changed = {
         "x26_trend_slope", "l3_batch_topk", "l7_knn_classify",
         "x23_max_concurrency", "x27_interval_coverage",
+        # broadcast-audit rows (session.dim_broadcast rewiring)
+        "j9_star_join", "l4_surprisal", "q2_min_cost_supplier",
+        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        "q14_promo_revenue", "q16_supplier_part_counts",
+        "q17_small_qty_revenue", "q18_large_volume_customer",
+        "q19_discounted_revenue", "q20_part_promotion",
+        "q21_waiting_suppliers",
     }
     r8_remainder = {
         "m1_upsert", "m3_profile_orders", "m4_funnel",

@@ -950,3 +950,24 @@ def test_dim_broadcast_policy_switch(spark, Q):
         assert "BroadcastHashJoin" in p_j9  # nation/region remain forced
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_dim_broadcast_modes_result_invariant(spark, Q):
+    """The dim_broadcast switch changes join STRATEGY only — auto-mode
+    results must be bit-identical to force-mode for a query whose plan
+    genuinely differs between modes (q14 under a disabled threshold:
+    broadcast vs sort-merge join)."""
+    import os
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = Q["q14_promo_revenue"](spark, SF).toPandas()
+        os.environ["KOMPACTOR_DIM_BROADCAST"] = "auto"
+        try:
+            b = Q["q14_promo_revenue"](spark, SF).toPandas()
+        finally:
+            del os.environ["KOMPACTOR_DIM_BROADCAST"]
+        assert a.equals(b), (a, b)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

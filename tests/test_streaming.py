@@ -541,3 +541,40 @@ def test_x23_stream_multichunk_arrow_batches(spark, src, tmp_path):
             assert abs(skey[(b.user_id, b.event_id)].ewma - b.ewma) < 1e-12
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_x5_dedup_state_survives_restart(spark, tmp_path):
+    """X5 recovery semantics (round 14): the dedup state must come back
+    from the CHECKPOINT, not from memory — a duplicate arriving in a
+    fresh run after the first query stopped must still be dropped, and
+    a restart with no new input must emit nothing (exactly-once against
+    the file sink). This is the crash-recovery story a 1000-executor
+    deployment relies on; the in-run test above never restarts."""
+    p = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "ckpt_x5r")
+    out = str(tmp_path / "x5r_out")
+    os.makedirs(p, exist_ok=True)
+
+    def step(dirname, rows):
+        if rows is not None:
+            df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+            df.coalesce(1).write.mode("overwrite").parquet(os.path.join(p, dirname))
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(os.path.join(p, "*"))
+        q = (
+            J.stateful_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = _rows(0, BASE, n=4)
+    step("b0", rows)                       # run 1: ids 0-3 pass, state written
+    step("b1", rows[:2])                   # run 2 (RESTART): ids 0-1 are dups
+    step(None, None)                       # run 3: no new input → no output
+
+    emitted = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert emitted == [0, 1, 2, 3], f"restart broke dedup state: {emitted}"

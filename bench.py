@@ -119,13 +119,29 @@ SF1_LARGE_RESULT = {"j14_binned_interval_join", "j19_nearest_value_join"}
 # bench.py under a timeout, and a killed process publishes NO JSON line
 # at all — so the section is hard-capped here and any rows skipped on
 # budget are listed in the output (no silent caps). The round-12
-# 14-row set measures ~330 s/section (engine ~40 s + control ~41 s per
-# round x 4); the cap leaves headroom for one ambient-band slowdown,
-# and the ordering puts the heavy informative rows first so a skip
-# degrades the composition, never the artifact. The wider sf1 set
-# (containment pairs, minhash) stays in scripts/bench_sf1.py /
-# BENCH_SF1.json.
-SF1_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "420"))
+# 14-row set measured ~330 s/section (engine ~40 s + control ~41 s per
+# round x 4) and 420 s left headroom for one ambient-band slowdown —
+# but the round-14 session's VM runs the DuckDB recursive-CTE controls
+# ~2.5x slower than round 13's (g3 control 23-24 s standalone vs
+# ~11.8 s in BENCH_r13; engine side only ~1.25x slower), and the
+# unchanged 420 s cap skipped HALF the matched set in the round-14
+# baseline window (7/14 rows, composition_rule_held=false — recorded in
+# OPTIMIZATION_r14.md). The default is resized to what the measured
+# worst window actually needs (~800 s), and it scales with the core
+# count because the driver re-runs the bench at LOWER core counts to
+# measure scaling — the engine side slows roughly with 32/N while the
+# budget guarded a 32-core pace. Heavy informative rows stay first so
+# any residual skip degrades the composition, never the artifact. The
+# wider sf1 set (containment pairs, minhash) stays in
+# scripts/bench_sf1.py / BENCH_SF1.json.
+try:
+    _CPUS = float(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+except ValueError:  # e.g. unset-> "*" local wildcard
+    _CPUS = 32.0
+SF1_BUDGET_SEC = float(
+    os.environ.get("SPARK_GRAFT_SF1_BUDGET", "")
+    or min(900.0 * max(1.0, 32.0 / max(_CPUS, 1.0)), 2400.0)
+)
 
 
 def _time_full(spark, fn, sf_dir: str) -> float:
@@ -435,6 +451,7 @@ def _sf01_section(per_query, duck_control):
 
 
 def main() -> None:
+    t_session = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark("kompactor-spark-bench")
@@ -471,7 +488,24 @@ def main() -> None:
         # the pair's spread as the session's ambient band instead of
         # arguing drift vs regression from one point (round 13: 3.40x
         # mid-round vs 3.88x end-of-round on one unchanged tree).
+        # Session-deadline guard (round 14): the second window is the
+        # only OPTIONAL section — a driver-side timeout killing the
+        # process publishes NOTHING, so when the session is already past
+        # the deadline (slow-VM window + the resized sf1 budget), skip
+        # w2 with a note instead of risking the whole artifact.
+        _deadline = float(
+            os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "")
+            or min(1500.0 * max(1.0, 32.0 / max(_CPUS, 1.0)), 3600.0)
+        )
+        if time.perf_counter() - t_session > _deadline:
+            sf01["second_window_skipped"] = (
+                f"session past deadline ({_deadline:.0f}s) before window 2; "
+                "w1 published alone to protect the artifact from the "
+                "driver's process timeout"
+            )
         try:
+            if "second_window_skipped" in sf01:
+                raise RuntimeError(sf01["second_window_skipped"])
             pq2, dc2, errs2 = _run_sf01_suite(
                 spark, regs, oracles, sf_dir, warmup=False
             )

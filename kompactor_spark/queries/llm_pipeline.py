@@ -1442,6 +1442,14 @@ def l4_repeated_ngrams(spark, sf_dir):
             "dup_frac",
             F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"), 6),
         )
+        # Round 14 (optimization): materialization barrier before the
+        # presentation sort. The orderBy's range-bounds sampling pass
+        # re-executes its child — previously the whole n-gram build ran
+        # TWICE per job (guide §7.2). One hash exchange of the tiny
+        # per-doc stat rows (conf-sized, AQE-coalescible) makes the
+        # sampling re-read a skinny shuffle instead
+        # (scripts/r14_sortexec_ab.py: sf1 1.01 s -> 0.83 s).
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 

@@ -1650,10 +1650,28 @@ def j19_nearest_value_join(spark, sf_dir):
         F.coalesce((F.lag("p").over(wp) + F.col("p")) / 2, F.lit(-1e308)).alias("lo"),
         F.coalesce((F.col("p") + F.lead("p").over(wp)) / 2, F.lit(1e308)).alias("hi"),
     )
-    f = T("lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    f = (
+        T("lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+        )
+        # Round 14 (optimization): global order is established by
+        # range-partitioning the FACT below the join + one LOCAL sort of
+        # the joined output above it, instead of a final orderBy. A final
+        # orderBy plans as Exchange(rangepartitioning) whose bounds
+        # sampling pass RE-EXECUTES everything below it — here the whole
+        # BroadcastNestedLoopJoin ran twice per job (guide §7.2; probe
+        # and A/B in scripts/r14_sortexec_ab.py: sf1 sink 12.9 s -> 4.3 s,
+        # row-order-identical output). Sound because the Voronoi cells
+        # partition the real line: each fact row emits EXACTLY one output
+        # row, so range partitioning by (l_orderkey, l_linenumber) below
+        # the join is the output's own partitioning, and the local sort
+        # above the join makes every partition — hence the whole result —
+        # ordered. The local sort must sit ABOVE the join: EliminateSorts
+        # removes a bare Sort under a Join.
+        .repartitionByRange("l_orderkey", "l_linenumber")
     )
     return (
         f.join(F.broadcast(cells), (F.col("up") >= F.col("lo")) & (F.col("up") < F.col("hi")))
@@ -1670,7 +1688,7 @@ def j19_nearest_value_join(spark, sf_dir):
             F.col("p").alias("nearest_price"),
             F.abs(F.col("up") - F.col("p")).alias("diff"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
     )
 
 

@@ -32,9 +32,11 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def audit(plan: str) -> dict:
-    n_ex = len(re.findall(r"\bExchange ", plan))
-    n_range = len(re.findall(r"Exchange rangepartitioning", plan))
-    n_single = len(re.findall(r"Exchange SinglePartition", plan))
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    # formatted explain separates the node name from its arguments, so
+    # match the partitioning argument lines, not "Exchange rangepart..."
+    n_range = len(re.findall(r"rangepartitioning\(", plan))
+    n_single = len(re.findall(r"SinglePartition", plan))
     joins = sorted(set(re.findall(r"(\w*Join\w*)", plan)) - {"Join"})
     pyevals = sorted(set(re.findall(r"(BatchEvalPython|ArrowEvalPython|MapInPandas|PythonMapInArrow|FlatMapGroupsInPandas|MapInArrow)", plan)))
     return {

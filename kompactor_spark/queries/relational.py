@@ -380,6 +380,18 @@ def j8_asof_join(spark, sf_dir):
             right_ts_name="signup_ts",
         )
         .select("event_id", "user_id", "err_ts", "signup_ts")
+        # Round 14 (optimization): materialization barrier before the
+        # presentation sort — the orderBy's range-bounds sampling pass
+        # re-executes its child, which here re-ran the whole union+sort+
+        # running-last window (the 0.63 s component of the sf10
+        # decomposition) a second time per job. One hash exchange of the
+        # skinny result rows makes the sampling re-read a shuffle
+        # instead (scripts/r14_sortexec_ab.py + /tmp sf10 reruns:
+        # sf1 fetch 0.81 s -> 0.69 s; sf10 fetch min 4.34 -> 2.89 in a
+        # noisy window). The §3.3 sink reclassification stays un-adopted:
+        # its pre-committed trigger (>=1.8x two consecutive rounds) has
+        # not fired and the sink A/B showed no ratio gain.
+        .repartition("event_id")
         .orderBy("event_id")
     )
 

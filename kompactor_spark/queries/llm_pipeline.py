@@ -391,13 +391,23 @@ def l2_dedup_clusters_collapsed(spark, sf_dir):
         "doc_id", "rep_id"
     )
     return (
+        # Round 14 (optimization): global order via range-partitioning
+        # the checkpointed mapped frame BELOW the broadcast label join +
+        # one local sort above it (the j19 shape) instead of a final
+        # orderBy — whose range sampling re-ran the label probe over
+        # every doc row AND whose exchange re-shuffled the whole output.
+        # Sound because the label join is structurally broadcast (labels
+        # are bounded by small_edge_bound), so the doc-keyed range
+        # partitioning survives the join. scripts/r14_sortexec_ab2.py:
+        # sf1 fetch 0.62 s -> 0.49 s, row-identical.
         mapped.select("doc_id", "rep_id")
+        .repartitionByRange("doc_id")
         .join(labels, "rep_id")
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.col("cluster_id").cast("bigint").alias("cluster_id"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -2716,6 +2726,12 @@ def l2_semantic_dedup(spark, sf_dir):
             "cluster_id",
             (F.round("cos_raw", 6) + F.lit(0.0)).alias("cosine"),
         )
+        # Round 14 (optimization): hash barrier before the presentation
+        # sort. The orderBy's range sampling re-executed the k-means
+        # assign kernel + per-cell pair join TWICE per job — the row
+        # literally cost double (scripts/r14_sortexec_ab2.py: sf1
+        # 14.74 s -> 7.78 s; guide §7.2).
+        .repartition("id_a")
         .orderBy("id_a", "id_b")
     )
 

@@ -46,6 +46,11 @@ def w1_ranking(spark, sf_dir):
             F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.round(F.percent_rank().over(w), 6).alias("prank"),
         )
+        # Round 14 (optimization): hash barrier before the presentation
+        # sort — orderBy's range sampling re-executed the 5-function
+        # ranking window twice per job (scripts/r14_sortexec_ab2.py:
+        # sf1 0.40 s -> 0.36 s; guide §7.2)
+        .repartition("c_custkey")
         .orderBy("c_custkey")
     )
 

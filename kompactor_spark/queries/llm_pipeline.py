@@ -396,13 +396,18 @@ def l2_dedup_clusters_collapsed(spark, sf_dir):
         # one local sort above it (the j19 shape) instead of a final
         # orderBy — whose range sampling re-ran the label probe over
         # every doc row AND whose exchange re-shuffled the whole output.
-        # Sound because the label join is structurally broadcast (labels
-        # are bounded by small_edge_bound), so the doc-keyed range
-        # partitioning survives the join. scripts/r14_sortexec_ab2.py:
-        # sf1 fetch 0.62 s -> 0.49 s, row-identical.
+        # scripts/r14_sortexec_ab2.py: sf1 fetch 0.62 s -> 0.49 s,
+        # row-identical. Round 15 (ADVICE r14): the doc_id range
+        # partitioning only survives the join if it plans as BROADCAST —
+        # a sort-merge pick would insert a rep_id exchange and silently
+        # unorder the output (the order-insensitive oracle hash would
+        # not catch it). labels is one row per cluster representative
+        # (model-sized), so the hint is structural, like j19's
+        # F.broadcast(cells); the no-exchange-above-the-join invariant
+        # is pinned for real in tests/test_r14_sort_shapes.py.
         mapped.select("doc_id", "rep_id")
         .repartitionByRange("doc_id")
-        .join(labels, "rep_id")
+        .join(F.broadcast(labels), "rep_id")
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             F.col("cluster_id").cast("bigint").alias("cluster_id"),

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kompactor_spark.queries import register
+from kompactor_spark.session import bounded_broadcast
 from kompactor_spark.tables import loader
 
 
@@ -1674,7 +1675,11 @@ def j19_nearest_value_join(spark, sf_dir):
         .repartitionByRange("l_orderkey", "l_linenumber")
     )
     return (
-        f.join(F.broadcast(cells), (F.col("up") >= F.col("lo")) & (F.col("up") < F.col("hi")))
+        # bounded_broadcast: cells = DISTINCT p_retailprice — bounded by
+        # the price DOMAIN (~2M values at saturation), not by SF; see
+        # session.bounded_broadcast for why this side must never lose
+        # its hint (non-equi join + the sort-below-join order contract).
+        f.join(bounded_broadcast(cells), (F.col("up") >= F.col("lo")) & (F.col("up") < F.col("hi")))
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -42,20 +42,44 @@ def test_j19_sort_below_join(spark, Q):
     p = plan(spark, Q["j19_nearest_value_join"](spark, SF))
     assert "rangepartitioning(l_orderkey" in p
     assert "BroadcastNestedLoopJoin" in p
-    # the join's output feeds the Sort directly — no exchange between
+    # Round 15 (ADVICE r14): the old disjunct here was vacuously true
+    # (the top Sort always precedes the join in the top-down string).
+    # The real invariant: NO exchange between the top local Sort and
+    # the join — the join's output feeds the Sort directly, so the
+    # range partitioning established BELOW the join is what the Sort
+    # sees and the join runs once per job.
     join_pos = p.index("BroadcastNestedLoopJoin")
-    assert "Exchange" not in p[: p.index("Sort")] or p.index("Sort") < join_pos
+    sort_pos = p.index("Sort")
+    assert sort_pos < join_pos
+    assert "Exchange" not in p[sort_pos:join_pos]
+    # and the one range exchange sits BELOW the join
+    assert p.index("rangepartitioning(l_orderkey") > join_pos
     # top sort is a local sort, not a global one
-    top_sort = p[p.index("Sort") : p.index("Sort") + 200]
+    top_sort = p[sort_pos : sort_pos + 200]
     assert "false" in top_sort  # Sort [...], false, 0 — global=false
 
 
 def test_clusters_collapsed_sort_below_label_join(spark, Q):
     """l2_dedup_clusters_collapsed: mapped frame range-partitioned by
-    doc_id below the broadcast label join, local sort above."""
+    doc_id below the broadcast label join, local sort above.
+
+    Round 15 (ADVICE r14): the global doc_id order DEPENDS on the label
+    join planning as broadcast — an SMJ pick would insert a rep_id hash
+    exchange between the range exchange and the top sort and silently
+    unorder the output (undetectable by the order-insensitive oracle
+    hash). The F.broadcast(labels) hint is now explicit in the query;
+    this pin asserts the consequence for real: the join IS a broadcast
+    hash join, no rep_id hash exchange exists anywhere, and no exchange
+    of any kind sits between the top local Sort and the join."""
     p = plan(spark, Q["l2_dedup_clusters_collapsed"](spark, SF))
     assert "rangepartitioning(doc_id" in p
-    top_sort = p[p.index("Sort") : p.index("Sort") + 200]
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(rep_id" not in p
+    join_pos = p.index("BroadcastHashJoin")
+    sort_pos = p.index("Sort")
+    assert sort_pos < join_pos
+    assert "Exchange" not in p[sort_pos:join_pos]
+    top_sort = p[sort_pos : sort_pos + 200]
     assert "false" in top_sort
 
 

@@ -234,6 +234,18 @@ _FUSED_PAIRS_MAX_TEXT_BYTES = 64 << 20
 # pair-instance chunk size for the kernel's vectorized counting: caps
 # peak memory at ~2 arrays x chunk int64 regardless of shingle skew
 _KERNEL_PAIR_CHUNK = 1 << 24
+# Python-boundary flavor for the fused pair kernel (round 15, the
+# deferred VERDICT r14 #4 A/B): "pandas" = mapInPandas (the shipped
+# default), "arrow" = mapInArrow (same numpy core, no pandas
+# conversion on either side). Read at plan-construction time, like the
+# dim_broadcast / staging knobs, so A/Bs can flip it per-plan.
+_KERNEL_BOUNDARY_DEFAULT = "pandas"
+
+
+def _kernel_boundary() -> str:
+    import os
+
+    return os.environ.get("KOMPACTOR_PAIRS_BOUNDARY", _KERNEL_BOUNDARY_DEFAULT)
 
 
 def _pairs_small_input(df, id_col, text_col) -> bool:
@@ -385,20 +397,17 @@ def _pairs_kernel(
     if copies_col:
         out_schema += ", n_copies_a bigint, n_copies_b bigint"
 
-    def run(batches):
+    def compute(ids, copies, texts):
+        """numpy core shared by the pandas and arrow boundary wrappers
+        (round 15): ids/copies are numpy arrays, texts an iterable of
+        str|None; returns a dict of numpy output columns, or None when
+        no pair survives. Byte-identical math either way."""
         from collections import defaultdict
 
         import numpy as np
-        import pandas as pd
 
-        parts = [b for b in batches if len(b)]
-        if not parts:
-            return
-        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-        ids = pdf[id_col].to_numpy()
-        copies = pdf[copies_col].to_numpy() if copies_col else None
-        ndocs = len(pdf)
-        sets = _kernel_shingle_sets(pdf[text_col], n)
+        ndocs = len(ids)
+        sets = _kernel_shingle_sets(texts, n)
         sizes = np.array([len(s) for s in sets], dtype=np.float64)
 
         # one unconditional postings pass; the hot filter moves to the
@@ -456,7 +465,7 @@ def _pairs_kernel(
                 key_parts.append(uk)
                 cnt_parts.append(uc.astype(np.int32))
         if not key_parts:
-            return
+            return None
         keys = np.concatenate(key_parts)
         cnts = np.concatenate(cnt_parts)
         uk, inv_idx = np.unique(keys, return_inverse=True)
@@ -488,10 +497,43 @@ def _pairs_kernel(
         if copies_col:
             out["n_copies_a"] = copies[a_idx][keep]
             out["n_copies_b"] = copies[b_idx][keep]
-        yield pd.DataFrame(out)
+        return out
+
+    def run(batches):
+        import pandas as pd
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        out = compute(
+            pdf[id_col].to_numpy(),
+            pdf[copies_col].to_numpy() if copies_col else None,
+            pdf[text_col],
+        )
+        if out is not None:
+            yield pd.DataFrame(out)
+
+    def run_arrow(batches):
+        import pyarrow as pa
+
+        parts = [b for b in batches if b.num_rows]
+        if not parts:
+            return
+        tbl = pa.Table.from_batches(parts)
+        out = compute(
+            tbl.column(id_col).to_numpy(),
+            tbl.column(copies_col).to_numpy() if copies_col else None,
+            tbl.column(text_col).to_pylist(),
+        )
+        if out is not None:
+            yield pa.RecordBatch.from_pydict(out)
 
     cols = [id_col, text_col] + ([copies_col] if copies_col else [])
-    return df.select(*cols).coalesce(1).mapInPandas(run, out_schema)
+    src = df.select(*cols).coalesce(1)
+    if _kernel_boundary() == "arrow":
+        return src.mapInArrow(run_arrow, out_schema)
+    return src.mapInPandas(run, out_schema)
 
 
 def jaccard_pairs(

@@ -1761,8 +1761,9 @@ def a19b_theta_difference(spark, sf_dir):
 # data curation). Two shuffles at any scale: one map-combined token
 # count (the vocabulary), one per-doc aggregate; the vocabulary joins
 # back BROADCAST (vocab is millions of rows when the corpus is 100 TB —
-# KBs per executor), and the corpus total rides along as a broadcast
-# 1-row aggregate, never a driver collect.
+# KBs per executor), and the corpus total rides INSIDE that broadcast
+# as a single-partition window sum over the vocab frame (round 15 —
+# exact: integer-valued doubles), never a driver collect.
 # --------------------------------------------------------------------------
 def _collision_guarded_tf(dt):
     """Corpus term counts over hashed token keys, with the loud
@@ -1848,8 +1849,23 @@ def l4_surprisal(spark, sf_dir):
         F.min("g").alias("mn"),
         F.max("g").alias("mx"),
     )
-    tf = _collision_guarded_tf(dt)
-    tot = tf.agg(F.sum("c").cast("double").alias("total"))
+    from pyspark.sql import Window
+
+    # Round 15 (VERDICT r14 #3 — the 3.56x same-window row decomposed
+    # at 11 jobs for a ~1 s result, launch-floor dominated): the corpus
+    # total rides the tf broadcast itself as a single-partition window
+    # sum instead of a separate 1-row aggregate — the old broadcast(tot)
+    # re-ran the vocab final-agg inside its own broadcast build and its
+    # BNLJ touched every token-level row. The window input is the SAME
+    # vocab-sized frame the broadcast already carries (bounded by
+    # assumption), and c is an integer-valued double (a sum of counts),
+    # so the window sum is EXACT — zero FP-reassociation risk. Measured:
+    # one job folded (11 -> 10), one scan subtree and 4 exchanges gone
+    # from the plan, sf10 2.99 -> 2.88 s, sf1 wash; output byte-identical
+    # (scripts/r15_m11_surprisal_ab_out.json, r15_surp_sf10 log).
+    tf = _collision_guarded_tf(dt).withColumn(
+        "total", F.sum("c").over(Window.partitionBy())
+    )
     # tautological filter (the tfidf tf>=1 lesson): the join probe
     # doesn't otherwise consume the guard lanes, and pruning them from
     # this side's partial aggregate would make the two subtrees differ
@@ -1859,7 +1875,6 @@ def l4_surprisal(spark, sf_dir):
     probe = dt.where(F.col("mn") <= F.col("mx"))
     return (
         probe.join(dim_broadcast(tf), "th")
-        .join(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.sum("cd").cast("bigint").alias("n_tokens"),

@@ -1513,9 +1513,7 @@ def m11_basket_lift(spark, sf_dir):
 
     T = loader(sf_dir, spark)
     li = T("lineitem").select("l_orderkey", "l_partkey")
-    buckets = (
-        li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("us")).select("us")
-    )
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("us"))
     # NOT adopted (round 13 second pass, measured): a size-grouped
     # vectorized mapInArrow sibling of the pair kernel was A/B'd here on
     # the theory that 15M ≤7-item baskets make the per-bucket Python
@@ -1523,13 +1521,34 @@ def m11_basket_lift(spark, sf_dir):
     # (median 19.1 s vs this kernel's 16.6 s; sf1 2.52 vs 2.66 s, a
     # wash). The boundary lesson from the ANN rows does not transfer
     # when per-row payloads are tiny and the expansion itself is the
-    # work. Record: scripts/m11_shape_ab_sf10b_out.json.
-    pairs = G._pair_count_kernel(buckets, _M11_MIN_PAIRS).select(
+    # work. Record: scripts/m11_shape_ab_sf10b_out.json. Round 15
+    # re-confirmed with a pure-JVM transform()/explode expansion arm —
+    # also a loser (scripts/r15_m11_ab2_out.json C: 4.36 s vs A 4.19 s
+    # sf1; 32.4 vs 25.7 s sf10): the expansion itself is the work.
+    pairs = G._pair_count_kernel(baskets.select("us"), _M11_MIN_PAIRS).select(
         F.col("u").alias("p1"), F.col("v").alias("p2"), F.col("w").alias("both")
     )
-    n = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
-    sup = li.groupBy("l_partkey").agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("s")
+    # Round 15 (the m11 1.8x trigger FIRED in the clean window —
+    # scripts/r15_cleanwindow_out.json 1.93x/1.91x): supports and the
+    # global order count now DERIVE FROM THE BASKETS FRAME instead of
+    # re-scanning lineitem — explode(us) counts exactly
+    # countDistinct(l_orderkey) per part (us is the order's DISTINCT
+    # part set), and counting basket rows IS countDistinct(l_orderkey).
+    # All three consumers keep byte-identical partial collect_set
+    # aggregates over ONE Exchange(l_orderkey) (the size(us) >= 0
+    # tautological filter is the surprisal tf>=1 lesson: prune nothing,
+    # so AQE stage reuse fires) — lineitem is scanned ONCE instead of
+    # three times. sf1 wash (floor-bound row; A 4.19 s vs B 4.23 s
+    # inside a 2.7-4.3 s DuckDB drift band), sf10 paired window 35.8 ->
+    # 29.1 s median (scripts/r15_m11_ab2_out.json, r15_m11_sf10 logs);
+    # at 100 TB this is one pass over the fact table instead of three.
+    sup = (
+        baskets.select(F.explode("us").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    )
+    n = baskets.where(F.size("us") >= 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
     s1 = sup.select(F.col("l_partkey").alias("p1"), F.col("s").alias("s1"))
     s2 = sup.select(F.col("l_partkey").alias("p2"), F.col("s").alias("s2"))

@@ -235,11 +235,18 @@ _FUSED_PAIRS_MAX_TEXT_BYTES = 64 << 20
 # peak memory at ~2 arrays x chunk int64 regardless of shingle skew
 _KERNEL_PAIR_CHUNK = 1 << 24
 # Python-boundary flavor for the fused pair kernel (round 15, the
-# deferred VERDICT r14 #4 A/B): "pandas" = mapInPandas (the shipped
-# default), "arrow" = mapInArrow (same numpy core, no pandas
-# conversion on either side). Read at plan-construction time, like the
-# dim_broadcast / staging knobs, so A/Bs can flip it per-plan.
-_KERNEL_BOUNDARY_DEFAULT = "pandas"
+# deferred VERDICT r14 #4 A/B): "arrow" = mapInArrow (the shipped
+# default since round 15), "pandas" = mapInPandas (the pre-r15 shape,
+# kept for A/Bs). Same numpy core either way; the arrow wrapper skips
+# the pandas conversion on BOTH sides of the boundary. Measured on the
+# graded l2_containment_collapsed row, interleaved identity-gated sf1
+# (scripts/r15_pairs_boundary_ab_out.json): eager 2.17 s -> 1.14 s
+# median (ratio vs the same-window DuckDB control 3.39x -> 1.78x) —
+# the pandas Series materialization of the text column and the
+# DataFrame->Arrow output conversion were most of the row's Python
+# boundary, the same lesson as the round-13 ANN kernel move. Read at
+# plan-construction time, like the dim_broadcast / staging knobs.
+_KERNEL_BOUNDARY_DEFAULT = "arrow"
 
 
 def _kernel_boundary() -> str:

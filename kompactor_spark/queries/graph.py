@@ -58,14 +58,34 @@ _G1_MAX_BUCKET_PAIRS = 50_000_000
 #: flush grain invisible to results.
 _G1_FLUSH_PAIRS = 4_000_000
 _PAIR_PACK_BITS = 32  # pair key = u << 32 | v; requires 0 <= id < 2^31
+# Python-boundary flavor for the pair-count kernel (round 15, the same
+# A/B class as operators/dedup._kernel_boundary): "pandas" =
+# mapInPandas (pre-r15; pandas materializes one object ndarray per
+# bucket for the list column), "arrow" = mapInArrow (zero-copy int64
+# views over the Arrow list offsets/values). Default set by the
+# measured A/B in scripts/r15_g1_boundary_ab.py.
+_PAIRKERNEL_BOUNDARY_DEFAULT = "pandas"
+
+
+def _pairkernel_boundary() -> str:
+    import os
+
+    return os.environ.get("KOMPACTOR_PAIRKERNEL_BOUNDARY", _PAIRKERNEL_BOUNDARY_DEFAULT)
 
 
 def _pair_count_kernel(buckets, out_min_w: int):
-    """mapInPandas kernel: bucket user-sets -> packed-pair partial
+    """Arrow-task kernel: bucket user-sets -> packed-pair partial
     counts. Exact: np.unique is a sort-based count, the final agg sums
     partials (the flush grain only changes HOW MANY partials ride the
     exchange, never their sum); packing is int64-exact (ids bounded
-    below 2^31, checked loudly per batch)."""
+    below 2^31, checked loudly per batch).
+
+    Round 15: the numpy expansion core is shared by two boundary
+    wrappers — mapInPandas (the pre-r15 shape: pandas materializes an
+    ndarray-of-ndarrays for the list column, one object per bucket) and
+    mapInArrow (list offsets + flat values read directly from the Arrow
+    batch; each bucket is a zero-copy int64 view). Selected by
+    KOMPACTOR_PAIRKERNEL_BOUNDARY at plan-construction time."""
 
     # captured by VALUE into the task closure (module globals would be
     # re-imported fresh on the python workers, defeating test overrides)
@@ -73,9 +93,10 @@ def _pair_count_kernel(buckets, out_min_w: int):
     flush_pairs = _G1_FLUSH_PAIRS
     pack_bits = _PAIR_PACK_BITS
 
-    def expand(batches):
+    def expand(bucket_arrays):
+        """Consumes an iterator of per-bucket int64-coercible arrays;
+        yields (pk, w) numpy array pairs."""
         import numpy as np
-        import pandas as pd
 
         tri: dict[int, tuple] = {}  # cached upper-triangle index pairs per size
         tri_cached_pairs = 0  # evict-all budget so the cache itself is bounded
@@ -86,66 +107,100 @@ def _pair_count_kernel(buckets, out_min_w: int):
             nonlocal pending, n_pending
             pk, cnt = np.unique(np.concatenate(pending), return_counts=True)
             pending, n_pending = [], 0
-            return pd.DataFrame({"pk": pk, "w": cnt})
+            return pk, cnt
 
-        for pdf in batches:
-            for us in pdf["us"]:
-                c = len(us)
-                if c < 2:
-                    continue
-                n_bucket_pairs = c * (c - 1) // 2
-                if n_bucket_pairs > max_pairs:
-                    raise ValueError(
-                        f"co-occurrence bucket has {c} active users = "
-                        f"{n_bucket_pairs} pairs (> {max_pairs}): pair "
-                        "expansion is quadratic — refine the bucket "
-                        "grain or salt the hot bucket"
-                    )
-                a = np.sort(np.asarray(us, dtype=np.int64))
-                if a[0] < 0 or a[-1] >= (1 << (pack_bits - 1)):
-                    raise ValueError(
-                        f"user_id out of pack range [0, 2^31): "
-                        f"[{a[0]}, {a[-1]}] — widen _PAIR_PACK_BITS"
-                    )
-                if n_bucket_pairs <= flush_pairs:
-                    if c not in tri:
-                        if tri_cached_pairs > flush_pairs:
-                            tri.clear()
-                            tri_cached_pairs = 0
-                        tri[c] = np.triu_indices(c, k=1)
-                        tri_cached_pairs += n_bucket_pairs
-                    i, j = tri[c]
-                    pending.append((a[i] << pack_bits) | a[j])
-                    n_pending += n_bucket_pairs
+        for us in bucket_arrays:
+            c = len(us)
+            if c < 2:
+                continue
+            n_bucket_pairs = c * (c - 1) // 2
+            if n_bucket_pairs > max_pairs:
+                raise ValueError(
+                    f"co-occurrence bucket has {c} active users = "
+                    f"{n_bucket_pairs} pairs (> {max_pairs}): pair "
+                    "expansion is quadratic — refine the bucket "
+                    "grain or salt the hot bucket"
+                )
+            a = np.sort(np.asarray(us, dtype=np.int64))
+            if a[0] < 0 or a[-1] >= (1 << (pack_bits - 1)):
+                raise ValueError(
+                    f"user_id out of pack range [0, 2^31): "
+                    f"[{a[0]}, {a[-1]}] — widen _PAIR_PACK_BITS"
+                )
+            if n_bucket_pairs <= flush_pairs:
+                if c not in tri:
+                    if tri_cached_pairs > flush_pairs:
+                        tri.clear()
+                        tri_cached_pairs = 0
+                    tri[c] = np.triu_indices(c, k=1)
+                    tri_cached_pairs += n_bucket_pairs
+                i, j = tri[c]
+                pending.append((a[i] << pack_bits) | a[j])
+                n_pending += n_bucket_pairs
+                if n_pending >= flush_pairs:
+                    yield flush()
+            else:
+                # oversized bucket: expand in row blocks of at most
+                # flush_pairs pairs each (row r pairs with a[r+1:])
+                # so the peak allocation never tracks the bucket
+                r = 0
+                while r < c - 1:
+                    rows, block = 0, 0
+                    while (
+                        r + rows < c - 1
+                        and block + (c - 1 - (r + rows)) <= flush_pairs
+                    ):
+                        block += c - 1 - (r + rows)
+                        rows += 1
+                    rows = max(rows, 1)
+                    idx = np.arange(r, r + rows)
+                    lens = c - 1 - idx
+                    left = np.repeat(a[idx], lens)
+                    right = np.concatenate([a[q + 1 :] for q in idx])
+                    pending.append((left << pack_bits) | right)
+                    n_pending += int(lens.sum())
+                    r += rows
                     if n_pending >= flush_pairs:
                         yield flush()
-                else:
-                    # oversized bucket: expand in row blocks of at most
-                    # flush_pairs pairs each (row r pairs with a[r+1:])
-                    # so the peak allocation never tracks the bucket
-                    r = 0
-                    while r < c - 1:
-                        rows, block = 0, 0
-                        while (
-                            r + rows < c - 1
-                            and block + (c - 1 - (r + rows)) <= flush_pairs
-                        ):
-                            block += c - 1 - (r + rows)
-                            rows += 1
-                        rows = max(rows, 1)
-                        idx = np.arange(r, r + rows)
-                        lens = c - 1 - idx
-                        left = np.repeat(a[idx], lens)
-                        right = np.concatenate([a[q + 1 :] for q in idx])
-                        pending.append((left << pack_bits) | right)
-                        n_pending += int(lens.sum())
-                        r += rows
-                        if n_pending >= flush_pairs:
-                            yield flush()
         if n_pending:
             yield flush()
 
-    partial = buckets.mapInPandas(expand, "pk bigint, w bigint")
+    def run_pandas(batches):
+        import pandas as pd
+
+        def arrays():
+            for pdf in batches:
+                yield from pdf["us"]
+
+        for pk, cnt in expand(arrays()):
+            yield pd.DataFrame({"pk": pk, "w": cnt})
+
+    def run_arrow(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def arrays():
+            for b in batches:
+                col = b.column(0)
+                if col.offset != 0:  # sliced array: offsets are relative
+                    col = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+                    for us in col.to_pylist():
+                        yield np.asarray(us, dtype=np.int64)
+                    continue
+                offs = np.asarray(col.offsets)
+                vals = np.asarray(col.values)
+                for i in range(len(col)):
+                    yield vals[offs[i] : offs[i + 1]]
+
+        for pk, cnt in expand(arrays()):
+            yield pa.RecordBatch.from_pydict(
+                {"pk": pk, "w": cnt.astype(np.int64)}
+            )
+
+    if _pairkernel_boundary() == "arrow":
+        partial = buckets.mapInArrow(run_arrow, "pk bigint, w bigint")
+    else:
+        partial = buckets.mapInPandas(run_pandas, "pk bigint, w bigint")
     return (
         partial.groupBy("pk")
         .agg(F.sum("w").cast("bigint").alias("w"))

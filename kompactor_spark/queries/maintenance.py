@@ -70,7 +70,18 @@ def m1_upsert(spark, sf_dir):
     )
     changes = updates.unionByName(inserts)
     kept = target.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
-    return kept.select(*cols).unionByName(changes.select(*cols)).orderBy("o_orderkey")
+    return (
+        kept.select(*cols)
+        .unionByName(changes.select(*cols))
+        # Round 15 (the r14 barrier pattern, measured on this untimed
+        # path): the final orderBy's range-bounds sampling re-executes
+        # the whole union — three orders scans + the anti probe — so a
+        # hash barrier on the sort key materializes the union once and
+        # the sampling re-reads the shuffle. Interleaved A/B
+        # (scripts/r15_untimed_ab_out.json): 2.81 -> 2.22 s sf1.
+        .repartition("o_orderkey")
+        .orderBy("o_orderkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -191,6 +202,10 @@ def m6_snapshot_diff(spark, sf_dir):
             F.coalesce("old_key", "new_key").alias("o_orderkey"),
             F.when(F.col("old_key").isNull(), "added").otherwise("removed").alias("op"),
         )
+        # Round 15 barrier (scripts/r15_untimed_ab_out.json, 1.10 ->
+        # 0.94 s sf1): the sort's sampling pass re-ran the full-outer
+        # sort-merge join; the barrier shuffles only the ~2% diff rows.
+        .repartition("o_orderkey")
         .orderBy("o_orderkey")
     )
 

@@ -781,6 +781,11 @@ def q11_important_parts(spark, sf_dir):
             > F.col("total_dec")
         )
         .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        # Round 15 barrier (scripts/r15_untimed_ab_out.json, 0.57 ->
+        # 0.49 s sf1): the sort's sampling pass re-ran the lineitem agg
+        # + both broadcast probes; the barrier shuffles only the few
+        # above-threshold parts.
+        .repartition("part_value", "l_partkey")
         .orderBy(F.col("part_value").desc(), "l_partkey")
     )
 

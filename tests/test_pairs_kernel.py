@@ -106,7 +106,7 @@ def test_ceiling_keeps_kernel_path_with_driver_guard(spark):
     # with a generous ceiling the guarded call STILL plans the kernel...
     g_df = D.jaccard_pairs(docs, max_candidate_pairs=10_000)
     p = g_df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in p and "Join" not in p
+    assert ("MapInPandas" in p or "MapInArrow" in p) and "Join" not in p
     # ...and matches both the unguarded kernel and the guarded
     # distributed path bit-for-bit
     g = _canon(g_df, "jaccard")
@@ -162,7 +162,7 @@ def test_kernel_single_stage_plan(spark):
     )
     df = D.jaccard_pairs(docs, threshold=0.1)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in p
+    assert "MapInPandas" in p or "MapInArrow" in p
     assert "Join" not in p and "HashAggregate" not in p
 
 
@@ -198,7 +198,7 @@ def test_collapsed_kernel_parity_and_single_task(spark, metric):
 
     fused_df = fn(docs, threshold=0.1)
     p = fused_df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in p and "Join" not in p
+    assert ("MapInPandas" in p or "MapInArrow" in p) and "Join" not in p
     fused = canon(fused_df)
     old = D._FUSED_PAIRS_MAX_REPS
     try:
@@ -221,7 +221,7 @@ def test_collapsed_kernel_guard(spark):
         D.jaccard_pairs_collapsed(docs, max_candidate_pairs=1)
     ok = D.jaccard_pairs_collapsed(docs, max_candidate_pairs=100_000)
     p = ok._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in p and "Join" not in p
+    assert ("MapInPandas" in p or "MapInArrow" in p) and "Join" not in p
     assert ok.count() > 0
 
 

@@ -90,6 +90,11 @@ def test_clusters_collapsed_sort_below_label_join(spark, Q):
         ("l4_repeated_ngrams", "hashpartitioning(doc_id"),
         ("l2_semantic_dedup", "hashpartitioning(id_a"),
         ("v3_map_in_pandas_chunker", "hashpartitioning(doc_id"),
+        # round-15 adoptions on the untimed doubled regions
+        # (scripts/r15_untimed_ab_out.json)
+        ("m1_upsert", "hashpartitioning(o_orderkey"),
+        ("m6_snapshot_diff", "hashpartitioning(o_orderkey"),
+        ("q11_important_parts", "hashpartitioning(part_value"),
     ],
 )
 def test_barrier_between_compute_and_sort(spark, Q, name, barrier_key):

@@ -63,6 +63,22 @@ def test_m11_supports_from_baskets_source(spark):
     assert 'F.size("us") >= 0' in src  # tautological reuse-preserving filter
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["l2_containment_collapsed", "l2_jaccard_pairs", "l2_jaccard_collapsed"],
+)
+def test_pairs_kernel_arrow_boundary(spark, Q, name):
+    """The fused pair kernel crosses the Python boundary as Arrow on
+    BOTH sides (round 15: mapInPandas -> mapInArrow, 2.17 -> 1.14 s on
+    the graded containment row; scripts/r15_pairs_boundary_ab_out.json).
+    Guard: the kernel rows must never silently fall back to the pandas
+    wrapper."""
+    p = df_plan = Q[name](spark, SF)
+    p = df_plan._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in p, name
+    assert "MapInPandas" not in p, name
+
+
 def test_surprisal_no_total_crossjoin(spark, Q):
     """The corpus total is folded into the tf broadcast (window sum) —
     no 1-row BroadcastNestedLoopJoin pass over the token rows, corpus

@@ -34,89 +34,45 @@ from kompactor_spark.session import ensure_conf  # noqa: E402
 # carries a check-class annotation in the registry
 # (kompactor_spark.queries.check_notes(), asserted by test_registry.py).
 _PRIORITY = [
-    # Round-14 window (first 50 graded). Composition (standing rule):
-    #   (1) rows whose implementation round 14 touched —
-    #       x26_trend_slope (the recentre join is now null-safe <=> so
-    #       a NULL event_type series keeps its group, ADVICE r13),
-    #       l3_batch_topk and l7_knn_classify (the batch cosine kernel
-    #       raises on zero-norm QUERY vectors, gained the counters=
-    #       accumulator escape hatch, and the pyarrow query-vector
-    #       fetch pins the embeddings physical schema — all ADVICE
-    #       r13), x23_max_concurrency and x27_interval_coverage (the
-    #       shared sweep-line operators gained cardinality-aware
-    #       "auto" lane dispatch, VERDICT r13 #5; both graded callers
-    #       pin their lane explicitly but ride the restructured
-    #       functions);
-    #       — plus the round-14 BROADCAST AUDIT rows: the 11 TPC-H
-    #       queries whose SF-proportional dimension sides
-    #       (customer/supplier/part derivatives) moved onto
-    #       session.dim_broadcast, j9_star_join (customer side), and
-    #       l4_surprisal (vocabulary side). Default mode keeps the
-    #       byte-identical forced-broadcast plan (pinned by
-    #       test_dim_broadcast_policy_switch), but changed code
-    #       re-grades regardless;
-    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-8 cohort
-    #       remainder (16; q18 overlaps the changed set above);
-    #   (3) fill to 50 with the round-9 cohort, alphabetical (17 of
-    #       the 38 not already promoted as changed; the remaining 21
-    #       head the round-15 fill, listed at 51+).
-    # After this round no row's latest grade predates round 9.
-    # --- (1) implementations changed in round 14: must re-grade ---
-    "x26_trend_slope",
-    "l3_batch_topk",
-    "l7_knn_classify",
-    "x23_max_concurrency",
-    "x27_interval_coverage",
-    "j9_star_join",
+    # Round-15 window (first 50 graded). Composition (standing rule):
+    #   (1) rows whose implementation round 15 touched —
+    #       the fired-trigger decomposition (m11: supports/census folded
+    #       onto the baskets exchange), the surprisal window-total fold,
+    #       the three adopted untimed barriers (m1/m6/q11), the ordering
+    #       -shape enforcement rows (clusters-collapsed broadcast hint,
+    #       j19 bounded_broadcast routing), every consumer of the fused
+    #       pair kernel (mapInPandas -> mapInArrow: the jaccard /
+    #       containment families incl. edit-distance's candidate pass),
+    #       and every consumer of the restructured pair-count kernel
+    #       (g1-g6 + m11 — boundary wrappers split; default pandas is
+    #       plan-identical, but changed code re-grades regardless);
+    #   (2) GRADE-AGE RULE (standing since r6 #5): the round-9 cohort
+    #       remainder (21 — the only rows whose last grade predated
+    #       round 10);
+    #   (3) fill to 50 with the round-10 cohort, alphabetical (10 of
+    #       29). After this round no hash-graded row's latest grade
+    #       predates round 10.
+    # --- (1) implementations changed in round 15: must re-grade ---
+    "m11_basket_lift",
     "l4_surprisal",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    # --- (2) grade-age rule: the round-8 cohort remainder (15 more) ---
+    "l2_dedup_clusters_collapsed",
+    "j19_nearest_value_join",
     "m1_upsert",
-    "m3_profile_orders",
-    "m4_funnel",
-    "m5_integrity_checks",
     "m6_snapshot_diff",
-    "p3_pivot",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "s10_orc_roundtrip",
-    "v3_map_in_pandas_chunker",
-    "w8_journey_paths",
-    "w9_event_transitions",
-    "x28_latency_bands",
-    "z1_salted_agg",
-    # --- (3) fill: round-9 cohort, alphabetical (17/38) ---
-    "a16_exact_moments",
-    "a20_mad",
-    "a22_equi_depth_histogram",
-    "a25_weighted_median",
-    "a8_stats_aggs",
-    "a9c_percentile_disc",
-    "f5_array_funcs",
-    "f5_posexplode",
-    "l2_containment_collapsed",
+    "q11_important_parts",
     "l2_jaccard_pairs",
-    "l2_semantic_dedup",
-    "l3g_pq_codebook",
-    "l3h_pq_adc_topk",
-    "l3i_ivf_pq_topk",
-    "l4_zipf_slope",
-    "l6_dedup_rate_by_source",
-    "l6_e2e_pipeline",
-    # --- 51+: round-15 fill — the round-9 cohort remainder (21).
-    #     Round 15 should promote changed-that-round rows (if any)
-    #     ahead of these, per the standing composition rule. ---
+    "l2_containment_pairs",
+    "l2_containment_collapsed",
+    "l2_jaccard_collapsed",
+    "l2_dedup_clusters",
+    "l2_edit_distance_pairs",
+    "g1_cooccurrence_graph",
+    "g2_degree_centrality",
+    "g3_pagerank",
+    "g4_triangle_count",
+    "g5_neighbor_jaccard",
+    "g6_degree_assortativity",
+    # --- (2) grade-age rule: the round-9 cohort remainder (21) ---
     "l6_train_val_split",
     "l6_weighted_mix",
     "l7_kmeans_refine",
@@ -138,6 +94,47 @@ _PRIORITY = [
     "x9_interval_join",
     "z2_salted_join",
     "z3_shuffle_hash_join",
+    # --- (3) fill: round-10 cohort, alphabetical (10/29) ---
+    "a23_ab_ztest",
+    "a24_chi_square",
+    "a26_benford",
+    "j16_band_join_lookup",
+    "j17_point_in_time_join",
+    "j8_asof_join",
+    "l3_cosine_topk",
+    "l4_ttr_hapax",
+    "l4_tv_drift",
+    "l4_vocab_coverage",
+    # --- 51+: the round-10 cohort remainder (19 of 29 already
+    # promoted above or touched) heads any future fill.
+    "l6_decontaminate",
+    "l6_length_profile",
+    "l6_ngram_novelty",
+    "l6_source_diversity",
+    "l6_token_budget",
+    "l7_cluster_purity",
+    "l7_label_centroids",
+    "l7f_dimension_stats",
+    "m10_skew_report",
+    "m12_profile_drift",
+    "m7_dynamic_partition_overwrite",
+    "m9_cdc_apply",
+    "p4_unpivot",
+    "q10_returned_items",
+    "q12_late_lines_by_class",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q22_sales_opportunity",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "v3_apply_in_pandas",
+    "w6_distribution_funcs",
+    "w7_share_of_total",
+    "x16_m4_downsample",
+    "x17_gap_detect",
+    "x19_ewma",
+    "x20_cusum",
+    "x21_asof_snapshot",
 ]
 
 

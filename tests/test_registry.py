@@ -44,38 +44,42 @@ def test_first_window_entries_all_have_oracle_twins():
     assert not missing, f"first-{WINDOW} window entries without oracle SQL: {missing}"
 
 
-def test_round14_targets_inside_window():
-    """Round-14 window invariant (grade-age policy, VERDICT r9 #2):
-    every row whose implementation round 14 touched after its last
-    oracle grade (x26's null-safe recentre join; the two batch-cosine
-    consumers behind the zero-norm-query guard, counters= escape hatch
-    and query-fetch schema pin; x23/x27 behind the sweepline "auto"
-    lane dispatch) and the queued round-8 cohort remainder must sit
-    inside the first 50 registry slots; the rest follow the grade-age
-    rule (round-9 cohort, alphabetical)."""
+def test_round15_targets_inside_window():
+    """Round-15 window invariant (grade-age policy, VERDICT r9 #2):
+    every row whose implementation round 15 touched after its last
+    oracle grade — the m11 fired-trigger fold, the surprisal
+    window-total fold, the three adopted untimed barriers, the
+    ordering-shape enforcement rows, every fused-pair-kernel consumer
+    (mapInArrow boundary) and every pair-count-kernel consumer (wrapper
+    split) — plus the queued round-9 cohort remainder must sit inside
+    the first 50 registry slots; the fill follows the grade-age rule
+    (round-10 cohort, alphabetical)."""
     changed = {
-        "x26_trend_slope", "l3_batch_topk", "l7_knn_classify",
-        "x23_max_concurrency", "x27_interval_coverage",
-        # broadcast-audit rows (session.dim_broadcast rewiring)
-        "j9_star_join", "l4_surprisal", "q2_min_cost_supplier",
-        "q8_market_share", "q9_product_profit", "q11_important_parts",
-        "q14_promo_revenue", "q16_supplier_part_counts",
-        "q17_small_qty_revenue", "q18_large_volume_customer",
-        "q19_discounted_revenue", "q20_part_promotion",
-        "q21_waiting_suppliers",
+        "m11_basket_lift", "l4_surprisal", "l2_dedup_clusters_collapsed",
+        "j19_nearest_value_join", "m1_upsert", "m6_snapshot_diff",
+        "q11_important_parts",
+        # fused pair kernel consumers (mapInPandas -> mapInArrow)
+        "l2_jaccard_pairs", "l2_containment_pairs",
+        "l2_containment_collapsed", "l2_jaccard_collapsed",
+        "l2_dedup_clusters", "l2_edit_distance_pairs",
+        # pair-count kernel consumers (boundary wrappers split)
+        "g1_cooccurrence_graph", "g2_degree_centrality", "g3_pagerank",
+        "g4_triangle_count", "g5_neighbor_jaccard",
+        "g6_degree_assortativity",
     }
-    r8_remainder = {
-        "m1_upsert", "m3_profile_orders", "m4_funnel",
-        "m5_integrity_checks", "m6_snapshot_diff", "p3_pivot",
-        "q18_large_volume_customer", "q3_shipping_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue",
-        "s10_orc_roundtrip", "v3_map_in_pandas_chunker",
-        "w8_journey_paths", "w9_event_transitions", "x28_latency_bands",
-        "z1_salted_agg",
+    r9_remainder = {
+        "l6_train_val_split", "l6_weighted_mix", "l7_kmeans_refine",
+        "p5_empty_result", "r5_chsql_compat", "r5b_chsql_strings",
+        "s8_schema_evolution", "u4_multiset_ops", "v1_scalar_pandas_udf",
+        "v2_grouped_agg_pandas_udf", "v4_cogroup_asof",
+        "w5_rolling_distinct", "x10_retention_cohorts",
+        "x12_time_rollup_hierarchy", "x2_sliding_window",
+        "x3_session_window", "x7_gap_fill", "x8_locf", "x9_interval_join",
+        "z2_salted_join", "z3_shuffle_hash_join",
     }
     window = set(list(E.queries())[:WINDOW])
-    out = (changed | r8_remainder) - window
-    assert not out, f"round-14 must-grade rows outside the 50-slot window: {out}"
+    out = (changed | r9_remainder) - window
+    assert not out, f"round-15 must-grade rows outside the 50-slot window: {out}"
 
 
 def test_every_oracle_less_row_is_annotated():
